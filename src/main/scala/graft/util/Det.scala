@@ -1,0 +1,41 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers for the DuckDB differential oracle.
+  *
+  * Floating-point sums are order-sensitive: Spark folds partition-local
+  * partial sums in a nondeterministic order, DuckDB folds sequentially,
+  * so `sum(double)` can differ in the last ulps and a final `round()`
+  * can then land on different sides of a bucket boundary. The fix used
+  * everywhere in this library: round each ELEMENT to cents (exact,
+  * per-row deterministic), sum as integers (exact, order-independent),
+  * and divide once at the end (one deterministic double op). The oracle
+  * SQL mirrors the same expression, so both engines compute bit-equal
+  * doubles regardless of partitioning — this property survives any
+  * scale-up, unlike "round the float sum" which gets WORSE with more
+  * rows/partitions.
+  */
+object Det {
+  /** Per-element exact cents: round(x*100) as BIGINT.
+    * DuckDB mirror: `CAST(round(x*100) AS BIGINT)`. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Order-independent money sum, emitted as DOUBLE.
+    * DuckDB mirror: `CAST(sum(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/100`. */
+  def sumMoney(c: Column): Column = sum(cents(c)).cast("double") / 100
+
+  /** Order-independent money mean, emitted as DOUBLE.
+    * DuckDB mirror: `.../100/count(*)`. */
+  def avgMoney(c: Column): Column =
+    sum(cents(c)).cast("double") / 100 / count(lit(1))
+
+  /** SQL-side mirrors (DuckDB dialect), kept next to the Scala forms so
+    * the two can be reviewed for equivalence in one place. */
+  def sqlCents(x: String): String = s"CAST(round(($x)*100) AS BIGINT)"
+  def sqlSumMoney(x: String): String =
+    s"CAST(sum(${sqlCents(x)}) AS DOUBLE)/100"
+  def sqlAvgMoney(x: String): String =
+    s"CAST(sum(${sqlCents(x)}) AS DOUBLE)/100/count(*)"
+}
