@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
+    ops.Scans, ops.Filters, ops.Scalars, ops.Sorts, ops.SetOps,
     ops.Aggregates)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
