@@ -52,9 +52,144 @@ object Aggregates extends QueryPack {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** Two-phase distinct aggregation (Expand + partial/final agg). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+           countDistinct($"l_suppkey").as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** HLL++ sketch next to the exact answer. The sketch IS the 100 TB
+    * design: fixed-size state, one pass, mergeable across partitions —
+    * countDistinct's expand+reshuffle is what it replaces. No oracle
+    * (DuckDB's approx algorithm differs); accuracy asserted in tests. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.05).as("n_approx"),
+           countDistinct($"l_partkey").as("n_exact"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def custGeo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+  }
+
+  /** Hierarchical totals region→nation (ROLLUP). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    custGeo(s, dir)
+      .rollup($"r_name", $"n_name")
+      .agg(grouping_id().cast("int").as("gid"),
+           count(lit(1)).as("n_cust"),
+           sumMoney($"c_acctbal").as("bal"))
+      .orderBy($"gid", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** All 2^2 grouping combinations (CUBE) over segment × region. */
+  def aggCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    custGeo(s, dir)
+      .cube($"c_mktsegment", $"r_name")
+      .agg(grouping_id().cast("int").as("gid"),
+           count(lit(1)).as("n_cust"),
+           sumMoney($"c_acctbal").as("bal"))
+      .orderBy($"gid", $"c_mktsegment".asc_nulls_first, $"r_name".asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS via the SQL surface (temp view + spark.sql). */
+  def aggGsets(s: SparkSession, dir: String): DataFrame = {
+    custGeo(s, dir).createOrReplaceTempView("cust_geo")
+    s.sql(
+      s"""SELECT r_name, c_mktsegment,
+         |  CAST(grouping_id() AS INT) AS gid,
+         |  count(1) AS n_cust,
+         |  ${"CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100"} AS bal
+         |FROM cust_geo
+         |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+         |ORDER BY gid, r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Order statistics: min/max, exact stddev via integer moments,
+    * interpolated median. stddev is NOT computed with stddev_samp:
+    * float moment accumulation is order-sensitive, so both engines
+    * build exact integer Σx and Σx² (cents) and apply one shared
+    * closed-form — deterministic at any partitioning. */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = cents($"l_extendedprice")
+    val n = count(lit(1)).cast("double")
+    val s1 = sum(c).cast("double")
+    val s2 = sum((c * c).cast("decimal(38,0)")).cast("double")
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           min($"l_extendedprice").as("mn"),
+           max($"l_extendedprice").as("mx"),
+           (sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))) / 100).as("sd"),
+           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_hash" -> (aggHash _))
+    "agg_hash" -> (aggHash _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_gsets" -> (aggGsets _),
+    "agg_stats" -> (aggStats _))
+
+  private val geoCte =
+    """WITH cust_geo AS (
+      |  SELECT * FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
-    "agg_hash" -> aggHashSql)
+    "agg_hash" -> aggHashSql,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      s"""$geoCte
+        |SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
+        |  count(*) AS n_cust, ${sqlSumMoney("c_acctbal")} AS bal
+        |FROM cust_geo GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""$geoCte
+        |SELECT c_mktsegment, r_name,
+        |  CAST(GROUPING(c_mktsegment, r_name) AS INTEGER) AS gid,
+        |  count(*) AS n_cust, ${sqlSumMoney("c_acctbal")} AS bal
+        |FROM cust_geo GROUP BY CUBE(c_mktsegment, r_name)
+        |ORDER BY gid, c_mktsegment ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin,
+    "agg_gsets" ->
+      s"""$geoCte
+        |SELECT r_name, c_mktsegment,
+        |  CAST(GROUPING(r_name, c_mktsegment) AS INTEGER) AS gid,
+        |  count(*) AS n_cust, ${sqlSumMoney("c_acctbal")} AS bal
+        |FROM cust_geo GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |ORDER BY gid, r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "agg_stats" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+        |  min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+        |  sqrt((CAST(sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_extendedprice")}) AS DOUBLE)
+        |        - CAST(sum(${sqlCents("l_extendedprice")}) AS DOUBLE)
+        |          * CAST(sum(${sqlCents("l_extendedprice")}) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |       / (CAST(count(*) AS DOUBLE) - 1.0)) / 100 AS sd,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

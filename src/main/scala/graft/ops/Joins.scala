@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.io.Tables.t
+import graft.util.Det._
+
+/** SURVEY.md §2.3 — join strategies.
+  *
+  * Scale posture: `broadcast()` is hinted only on provably-bounded
+  * sides (region=5, nation=25 rows at ANY scale factor; filtered
+  * supplier band in the theta join). Fact-fact joins are left to
+  * Catalyst → sort-merge/shuffled-hash with AQE skew handling; at
+  * 100 TB those shuffles partition on the join key and scale linearly.
+  * The as-of join avoids a join entirely: one shuffle by user_id, then
+  * a window scan — the classic union+last(ignoreNulls) emulation.
+  */
+object Joins extends QueryPack {
+
+  /** Dim join with tiny build sides → BroadcastHashJoinExec. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name", $"r_name")
+    t(s, dir, "customer")
+      .join(broadcast(dim), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"r_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Fact-fact equi join orders⋈lineitem → shuffle join + partial agg. */
+  def joinShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderstatus")
+      .agg(sumMoney($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** TPC-H Q5-shaped 6-table star join; Catalyst reorders, dims broadcast. */
+  def joinMultiway(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(t(s, dir, "supplier"),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .where($"r_name" === "ASIA" &&
+             $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+             $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .groupBy($"n_name")
+      .agg(sumMoney($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
+  /** Left outer: every customer, with 1995 order count (0 if none). */
+  def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o95 = t(s, dir, "orders").where(year($"o_orderdate") === 1995)
+    t(s, dir, "customer")
+      .join(o95, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(count($"o_orderkey").as("n95"),
+           sumMoney(coalesce($"o_totalprice", lit(0.0))).as("spend95"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Full outer over per-year purchase summaries (unmatched both ways). */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = t(s, dir, "orders").where(year($"o_orderdate") === 1995)
+      .groupBy($"o_custkey".as("k95")).agg(count(lit(1)).as("n95"))
+    val b = t(s, dir, "orders").where(year($"o_orderdate") === 1996)
+      .groupBy($"o_custkey".as("k96")).agg(count(lit(1)).as("n96"))
+    a.join(b, $"k95" === $"k96", "full")
+      .select(coalesce($"k95", $"k96").as("custkey"), $"n95", $"n96")
+      .orderBy($"custkey")
+  }
+
+  /** Left-semi: customers having at least one urgent order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = t(s, dir, "orders")
+      .where($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    t(s, dir, "customer")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti: customers with no orders at all. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  /** Pure non-equi band join (no equi key) → broadcast nested loop on
+    * a provably-small filtered build side. Scale path: bucket both
+    * sides on floor(acctbal/width) and equi-join buckets ±1. */
+  def joinTheta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rich = t(s, dir, "supplier").where($"s_acctbal" > 9000.0)
+    t(s, dir, "customer")
+      .join(broadcast(rich),
+            $"c_acctbal" >= $"s_acctbal" - 50.0 && $"c_acctbal" <= $"s_acctbal" + 50.0)
+      .groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("n_close"), sumMoney($"c_acctbal").as("bal_sum"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** As-of join: for each purchase event, the latest click by the same
+    * user at-or-before it. Spark lacks a native as-of join; emulated
+    * with the union + last(ignoreNulls) window trick: one shuffle by
+    * user_id, one sort — no join, no state blowup at scale. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val clicks = e.where($"event_type" === "click")
+      .groupBy($"user_id", $"ts") // unique (user,ts) so tie-break is engine-independent
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts", lit(0).as("kind"),
+              lit(null).cast("long").as("p_id"), $"click_id")
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("kind"),
+              $"event_id".as("p_id"), lit(null).cast("long").as("click_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"kind".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+      .where($"kind" === 1)
+      .select($"user_id", $"p_id".as("purchase_id"), $"ts",
+              $"last_click".as("click_id"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast" -> (joinBroadcast _),
+    "join_shuffle" -> (joinShuffle _),
+    "join_multiway" -> (joinMultiway _),
+    "join_left" -> (joinLeft _),
+    "join_full" -> (joinFull _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_theta" -> (joinTheta _),
+    "join_asof" -> (joinAsof _))
+
+  def oracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_shuffle" ->
+      s"""SELECT o_orderkey, o_orderstatus,
+        |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_multiway" ->
+      s"""SELECT n_name,
+        |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_left" ->
+      s"""SELECT c_custkey, c_mktsegment,
+        |  count(o_orderkey) AS n95,
+        |  ${sqlSumMoney("coalesce(o_totalprice, 0.0)")} AS spend95
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE year(o_orderdate)=1995) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+    "join_full" ->
+      """WITH a AS (SELECT o_custkey AS k95, count(*) AS n95 FROM orders
+        |           WHERE year(o_orderdate)=1995 GROUP BY o_custkey),
+        |     b AS (SELECT o_custkey AS k96, count(*) AS n96 FROM orders
+        |           WHERE year(o_orderdate)=1996 GROUP BY o_custkey)
+        |SELECT coalesce(k95, k96) AS custkey, n95, n96
+        |FROM a FULL JOIN b ON k95 = k96
+        |ORDER BY custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta" ->
+      s"""SELECT s_suppkey, count(*) AS n_close,
+        |  ${sqlSumMoney("c_acctbal")} AS bal_sum
+        |FROM customer
+        |JOIN (SELECT * FROM supplier WHERE s_acctbal > 9000.0) s
+        |  ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal <= s_acctbal + 50.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "join_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id AS purchase_id, p.ts, c.click_id
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin)
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.io.Tables.t
+import graft.util.Det._
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Every window ORDER BY carries a unique tie-break column so ranks,
+  * frames, and cume_dist peer groups are engine-independent. Frame
+  * sums use the exact-cents pattern (`Det`): Spark evaluates sliding
+  * frames incrementally (add/remove), which reorders float adds vs
+  * DuckDB's evaluation — integers make that difference vanish.
+  * Scale: windows shuffle once on partitionBy keys; the per-brand /
+  * per-user / per-customer partitions here stay small at any SF, so
+  * no single partition ever concentrates (no skew risk).
+  */
+object Windows extends QueryPack {
+
+  /** Top-3 parts per brand by retail price: row_number/rank/dense_rank. */
+  def winRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"p_retailprice".desc, $"p_partkey".asc)
+    t(s, dir, "part")
+      .select($"p_brand", $"p_partkey", $"p_retailprice",
+              row_number().over(w).as("rn"),
+              rank().over(w).as("rnk"),
+              dense_rank().over(w).as("drnk"))
+      .where($"rn" <= 3)
+      .orderBy($"p_brand", $"rn")
+  }
+
+  /** Per-user inter-event gap (µs) via lag over the event timeline. */
+  def winLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+      .select($"user_id", $"event_id", $"event_type",
+              ($"us" - lag($"us", 1).over(w)).as("gap_us"),
+              lead($"event_type", 1).over(w).as("next_type"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** 7-row moving sum/avg of order totals per customer (ROWS frame). */
+  def winFrameRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(-6, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+              (sum(cents($"o_totalprice")).over(w).cast("double") / 100).as("mov_sum"),
+              (sum(cents($"o_totalprice")).over(w).cast("double") / 100 /
+                count(lit(1)).over(w)).as("mov_avg"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Running revenue by order date (RANGE frame: ties all included). */
+  def winFrameRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"o_orderdate")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .where(year($"o_orderdate") === 1997)
+      .select($"o_orderkey", $"o_orderdate",
+              (sum(cents($"o_totalprice")).over(w).cast("double") / 100).as("run_sum"))
+      .orderBy($"o_orderdate", $"o_orderkey")
+  }
+
+  /** Quartiles + cumulative distribution of customer balances. */
+  def winNtileCumdist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    t(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal",
+              ntile(4).over(w).as("quartile"),
+              cume_dist().over(w).as("cd"),
+              percent_rank().over(w).as("pr"))
+      .orderBy($"c_custkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> (winRank _),
+    "win_lag" -> (winLag _),
+    "win_frame_rows" -> (winFrameRows _),
+    "win_frame_range" -> (winFrameRange _),
+    "win_ntile_cumdist" -> (winNtileCumdist _))
+
+  def oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(row_number() OVER w AS INTEGER) AS rn,
+        |    CAST(rank() OVER w AS INTEGER) AS rnk,
+        |    CAST(dense_rank() OVER w AS INTEGER) AS drnk
+        |  FROM part
+        |  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC))
+        |SELECT * FROM r WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "win_lag" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "win_frame_rows" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(${sqlCents("o_totalprice")}) OVER w AS DOUBLE)/100 AS mov_sum,
+        |  CAST(sum(${sqlCents("o_totalprice")}) OVER w AS DOUBLE)/100
+        |    / count(*) OVER w AS mov_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_frame_range" ->
+      s"""SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(${sqlCents("o_totalprice")}) OVER w AS DOUBLE)/100 AS run_sum
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |WINDOW w AS (ORDER BY o_orderdate
+        |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin,
+    "win_ntile_cumdist" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin)
+}
