@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     ops.Scans, ops.Filters, ops.Scalars, ops.Sorts, ops.SetOps,
-    ops.Aggregates, ops.Joins, ops.Windows)
+    ops.Aggregates, ops.Joins, ops.Windows, ops.StreamingBatch,
+    ops.Udfs, text.TextOps, vec.VectorOps, multimodal.Multimodal,
+    stream.Streams)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.QueryPack
+import graft.io.Tables.t
+
+/** North-star multimodal-column operators: opaque binary payloads +
+  * typed metadata, decoded per-partition.
+  *
+  * The real pattern at 100 TB: media bytes ride as a `binary` column
+  * next to typed metadata; decode/feature-extract runs inside
+  * `mapPartitions` (Scala) so each task amortizes decoder setup over
+  * its whole partition and nothing ever funnels through the driver.
+  * No image/audio codec ships in this container, so `decodeStub`
+  * fakes the codec with a deterministic header parse — the Spark-side
+  * plumbing (schema, encoders, per-partition batching) is real.
+  */
+object Multimodal extends QueryPack {
+
+  /** Struct column bundling text + vector + metadata; nested
+    * projection and predicate pushdown into struct fields. */
+  def multimodalCols(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val e = t(s, dir, "embeddings")
+    d.join(e, d("doc_id") === e("vec_id"))
+      .withColumn("bundle", struct(
+        $"text".as("txt"),
+        $"embedding".as("emb"),
+        struct($"lang", $"source", $"label").as("meta")))
+      .where($"bundle.meta.lang".isin("en", "fr"))
+      .select($"doc_id",
+              $"bundle.meta.lang".as("lang"),
+              $"bundle.meta.label".as("label"),
+              size($"bundle.emb").as("dim"),
+              length($"bundle.txt").as("n_chars_txt"))
+      .orderBy($"doc_id")
+  }
+
+  /** Fake media header: [magic(2) | width(2) | height(2) | payload].
+    * Built deterministically from each doc so the decode path has
+    * real bytes to parse. */
+  private def mediaFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("media", concat(
+        lit(Array[Byte](0x42, 0x4D)),                       // magic "BM"
+        expr("unhex(lpad(hex(pmod(doc_id * 37, 4096) + 16), 4, '0'))"),  // width
+        expr("unhex(lpad(hex(pmod(doc_id * 53, 4096) + 16), 4, '0'))"),  // height
+        encode($"text", "UTF-8")))
+      .select($"doc_id", $"lang", $"media")
+  }
+
+  private case class Decoded(doc_id: Long, lang: String, n_bytes: Int,
+                             width: Int, height: Int, mp: Double)
+
+  /** STUB decoder — stands in for a real image codec (none in this
+    * container). Parses the deterministic fake header; a production
+    * build swaps `decodeStub` for e.g. a JNI codec, same signature. */
+  private def decodeStub(media: Array[Byte]): (Int, Int) = {
+    require(media.length >= 6 && media(0) == 0x42 && media(1) == 0x4D,
+      "bad magic")
+    val w = ((media(2) & 0xFF) << 8) | (media(3) & 0xFF)
+    val h = ((media(4) & 0xFF) << 8) | (media(5) & 0xFF)
+    (w, h)
+  }
+
+  /** Per-partition decode: binary column → typed features. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = mediaFrame(s, dir)
+    val decoded = rows.as[(Long, String, Array[Byte])].mapPartitions { it =>
+      // one decoder instance per partition, amortized over the batch
+      it.map { case (id, lang, media) =>
+        val (w, h) = decodeStub(media)
+        Decoded(id, lang, media.length, w, h, w.toLong * h / 1e6)
+      }
+    }
+    decoded.toDF().orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_cols" -> (multimodalCols _),
+    "multimodal_decode" -> (multimodalDecode _))
+
+  def oracle: Map[String, String] = Map(
+    "multimodal_cols" ->
+      """SELECT doc_id, lang, label,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(length(text) AS INTEGER) AS n_chars_txt
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |WHERE lang IN ('en', 'fr')
+        |ORDER BY doc_id""".stripMargin,
+    // the decode itself has no SQL twin, but the header fields are
+    // pure arithmetic on doc_id — oracle the whole pipeline anyway.
+    "multimodal_decode" ->
+      """SELECT doc_id, lang,
+        |  CAST(length(text) + 6 AS INTEGER) AS n_bytes,
+        |  CAST((doc_id * 37) % 4096 + 16 AS INTEGER) AS width,
+        |  CAST((doc_id * 53) % 4096 + 16 AS INTEGER) AS height,
+        |  CAST((doc_id * 37) % 4096 + 16 AS BIGINT)
+        |    * CAST((doc_id * 53) % 4096 + 16 AS BIGINT) / 1e6 AS mp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.io.Tables.t
+
+/** SURVEY.md §2.11 — deliberate custom-function API-surface demos.
+  *
+  * Policy: built-ins beat UDFs (codegen, null handling, pushdown);
+  * these two exist to pin the extension surface. The scalar UDF is a
+  * pure function (safe to re-evaluate, no partition-order
+  * dependence); the Aggregator keeps a fixed-size mutable buffer and
+  * merges associatively/commutatively — the properties that make a
+  * custom aggregate correct under ANY partitioning, which is the
+  * contract that matters at 100 TB.
+  */
+object Udfs extends QueryPack {
+
+  /** Polynomial text hash mod 1e9+7 — same recurrence as
+    * TextOps.docFingerprint but as a Scala closure. */
+  private val polyHash: String => Long = { s =>
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+    acc
+  }
+
+  /** Scalar Scala UDF, registered for both Column and SQL use. */
+  def udfScalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val normHash = udf(polyHash)
+    s.udf.register("norm_hash", normHash)
+    t(s, dir, "documents")
+      .withColumn("norm", lower(trim($"text")))
+      .select($"doc_id",
+              normHash($"norm").as("h_col"),
+              expr("norm_hash(norm)").as("h_sql"))
+      .orderBy($"doc_id")
+  }
+
+  /** Typed Aggregator: per-label centroid of the 64-dim embeddings.
+    * BUF = (running per-dim sums, count): fixed size, mergeable. */
+  private object Centroid
+      extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    def zero: (Array[Double], Long) = (Array.fill(64)(0.0), 0L)
+    def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      var i = 0
+      while (i < v.length) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < 64) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    def finish(r: (Array[Double], Long)): Seq[Double] =
+      r._1.map(_ / r._2).toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Typed custom aggregate via functions.udaf. */
+  def udafTyped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val centroid = org.apache.spark.sql.functions.udaf(Centroid)
+    t(s, dir, "embeddings")
+      .withColumn("emb", $"embedding".cast("array<double>"))
+      .groupBy($"label")
+      .agg(centroid($"emb").as("c"), count(lit(1)).as("n"))
+      .select($"label", $"n",
+              round(element_at($"c", 1), 4).as("c0"),
+              round(element_at($"c", 2), 4).as("c1"),
+              round(element_at($"c", 64), 4).as("c63"))
+      .orderBy($"label")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_scalar" -> (udfScalar _),
+    "udaf_typed" -> (udafTyped _))
+
+  def oracle: Map[String, String] = Map(
+    "udf_scalar" ->
+      """WITH n AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(norm, ''), c -> ascii(c))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM n)
+        |SELECT doc_id, h AS h_col, h AS h_sql FROM h ORDER BY doc_id""".stripMargin,
+    "udaf_typed" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(embedding[1]::DOUBLE), 4) AS c0,
+        |  round(avg(embedding[2]::DOUBLE), 4) AS c1,
+        |  round(avg(embedding[64]::DOUBLE), 4) AS c63
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+}

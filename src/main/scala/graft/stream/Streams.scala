@@ -1,0 +1,101 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.QueryPack
+
+// Encoder targets must be top-level classes: nesting them inside the
+// object makes generated code resolve `Streams$UserState` members
+// against the wrong constructor shape (codegen failure under 4.1.2).
+case class UserState(n: Long, cents: Long, minTs: Long, maxTs: Long)
+case class UserSummary(user_id: Long, n: Long, val_sum: Double,
+                       first_us: Long, last_us: Long)
+
+/** SURVEY.md §2.9 (*no-oracle* rows) — true Structured Streaming over
+  * the events fixture, driven as a file source and drained
+  * synchronously into a memory sink so the driver contract still gets
+  * a finite DataFrame back.
+  *
+  * Design notes for the real cluster: the same plans run against
+  * Kafka/files with checkpointing; watermarks bound state (windows
+  * older than watermark are evicted), and the stateful op keeps an
+  * order-insensitive fixed-size state per key — commutative updates,
+  * so shuffle nondeterminism can't change results.
+  */
+object Streams extends QueryPack {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream source needs a directory or glob basePath; the
+    // single-char glob class makes it treat $dir as the base dir.
+    s.readStream.schema(eventsSchema)
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def drain(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Watermarked tumbling windows + in-watermark dedup: late data
+    * beyond 10 min is dropped, duplicate event_ids inside the
+    * watermark are deduped before aggregation. */
+  def streamWatermark(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"event_type", $"n")
+    drain(agg, "graft_stream_watermark", OutputMode.Update())
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Custom per-key state via flatMapGroupsWithState: running count /
+    * exact sum / first / last per user. State updates are commutative
+    * + associative, so results are identical under any input order. */
+  def streamStateful(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = eventStream(s, dir)
+      .select($"user_id", unix_micros($"ts").as("us"),
+              (round($"value" * 100)).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserSummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, us, cents) =>
+            st = UserState(st.n + 1, st.cents + cents,
+                           math.min(st.minTs, us), math.max(st.maxTs, us))
+          }
+          state.update(st)
+          Iterator(UserSummary(uid, st.n, st.cents.toDouble / 100, st.minTs, st.maxTs))
+      }
+    drain(out.toDF(), "graft_stream_stateful", OutputMode.Update())
+      .orderBy($"user_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_watermark" -> (streamWatermark _),
+    "stream_stateful" -> (streamStateful _))
+
+  // True streaming runs have no SQL twin (watermark/state semantics);
+  // verified by StreamsSpec against batch equivalents instead.
+  def oracle: Map[String, String] = Map()
+}

@@ -1,0 +1,283 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.io.Tables.t
+
+/** SURVEY.md §2.10 + north-star text-analysis operators for an
+  * LLM-training-data pipeline: exact dedup, n-gram Jaccard near-dup,
+  * corpus stats, explicit-math TF-IDF, marker-based language ID,
+  * heuristic quality scoring, tokenizer comparison, and rolling-hash
+  * fingerprinting.
+  *
+  * All implemented as codegen'd built-ins (split / explode / HOFs) —
+  * no UDFs — so every stage is a plain shuffle-and-aggregate that
+  * scales linearly: per-doc work is independent (map-side), and the
+  * only shuffles key on (term), (shingle) or (norm_text), all
+  * high-cardinality and skew-free.
+  */
+object TextOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  private def normCol: Column =
+    lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** Exact dedup on normalized text; deterministic survivor = min doc_id. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"norm").orderBy($"doc_id".asc)
+    docs(s, dir)
+      .withColumn("norm", normCol)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy($"norm")))
+      .where($"rn" === 1)
+      .select($"doc_id", $"lang", $"source", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  /** Word-3-gram Jaccard near-dup pairs within the same source.
+    * Exact set semantics (distinct shingles), SQL-oracle-able; the
+    * probabilistic MinHash/SimHash variants live in graft.vec. */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, dir)
+      .withColumn("w", split($"text", " "))
+      .select($"doc_id", $"source",
+        explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+        )).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id".as("sz_id"))
+      .agg(count(lit(1)).as("sz"))
+    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"), $"sh")
+    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"), $"sh")
+    a.join(b, a("sh") === b("sh") && $"src_a" === $"src_b" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("sz", "sz_a"), $"doc_a" === $"sz_id").drop("sz_id")
+      .join(sizes.withColumnRenamed("sz", "sz_b"), $"doc_b" === $"sz_id").drop("sz_id")
+      .select($"doc_a", $"doc_b", $"inter",
+              ($"inter".cast("double") /
+               ($"sz_a" + $"sz_b" - $"inter").cast("double")).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Corpus stats per (lang, source): docs, tokens, chars. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("n_tok", size(split($"text", " ")))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tok".cast("long")).as("tok_sum"),
+           (sum($"n_tok".cast("long")).cast("double") / count(lit(1))).as("avg_tok"),
+           sum(length($"text").cast("long")).as("char_sum"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Explicit-math TF-IDF (no MLlib): tf per (doc, term), df per term,
+    * idf = ln((N+1)/(df+1)) + 1 — the smoothed sklearn form. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_total"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .where($"doc_id" < 30)
+      .select($"doc_id", $"term", $"tf", $"df",
+        round($"tf" * (log(($"n_total" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0)), 6)
+          .as("tfidf"))
+      .orderBy($"doc_id", $"term")
+  }
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+
+  /** Marker-token language ID (n-gram-heuristic family): count hits
+    * from per-language stopword lists, argmax with fixed tie order. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hits(lang: String): Column = {
+      val set = langMarkers(lang).map(m => s"'$m'").mkString(",")
+      expr(s"size(filter(split(text, ' '), x -> x in ($set)))")
+    }
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+              hits("en").as("h_en"), hits("de").as("h_de"), hits("fr").as("h_fr"))
+      .withColumn("pred",
+        when($"h_en" >= $"h_de" && $"h_en" >= $"h_fr" && $"h_en" > 0, "en")
+          .when($"h_de" >= $"h_fr" && $"h_de" > 0, "de")
+          .when($"h_fr" > 0, "fr")
+          .otherwise("unknown"))
+      .orderBy($"doc_id")
+  }
+
+  /** Heuristic quality score: length, stopword ratio, mean word length. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = langMarkers.values.flatten.map(m => s"'$m'").mkString(",")
+    docs(s, dir)
+      .withColumn("n_tok", size(split($"text", " ")).cast("double"))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), x -> x in ($stop)))").cast("double"))
+      .withColumn("awl",
+        length(regexp_replace($"text", " ", "")).cast("double") / $"n_tok")
+      .select($"doc_id", $"n_tok", $"n_stop", round($"awl", 6).as("awl"),
+        round(least($"n_tok" / lit(100.0), lit(1.0)) * lit(0.3) +
+              (lit(1.0) - $"n_stop" / $"n_tok") * lit(0.4) +
+              least($"awl" / lit(8.0), lit(1.0)) * lit(0.3), 6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Tokenizer comparison: whitespace vs BPE-ish regex pretokenizer. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("re_tokens"),
+        length($"text").as("n_chars_real"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Rolling polynomial fingerprint (Karp–Rabin family): full-text
+    * hash + min 8-char-shingle hash (winnowing's core primitive),
+    * all via higher-order folds — no UDF, stays in codegen. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 1000000007L
+    docs(s, dir)
+      .withColumn("norm", normCol)
+      .withColumn("chars", expr("filter(split(norm, ''), c -> c != '')"))
+      .withColumn("fp", expr(
+        s"aggregate(chars, 0L, (acc, c) -> (acc * 31 + ascii(c)) % $M)"))
+      .withColumn("min_sh", expr(
+        s"""array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),
+           |  i -> aggregate(filter(split(substr(norm, i, 8), ''), c -> c != ''),
+           |                 0L, (acc, c) -> (acc * 31 + ascii(c)) % $M)))""".stripMargin))
+      .select($"doc_id", $"fp", $"min_sh", length($"norm").as("n_norm"))
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram" -> (dedupNgram _),
+    "text_stats" -> (textStats _),
+    "text_tfidf" -> (textTfidf _),
+    "lang_id" -> (langId _),
+    "text_quality" -> (textQuality _),
+    "token_count" -> (tokenCount _),
+    "doc_fingerprint" -> (docFingerprint _))
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang, source,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY norm) AS n_copies
+        |  FROM n)
+        |SELECT doc_id, lang, source, n_copies FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, source, w,
+        |         unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN sz za ON doc_a = za.doc_id
+        |JOIN sz zb ON doc_b = zb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tok,
+        |  CAST(sum(length(text)) AS BIGINT) AS char_sum
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * (ln((n_total + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |WHERE doc_id < 30 ORDER BY doc_id, term""".stripMargin,
+    "lang_id" -> {
+      def h(langList: Seq[String]): String =
+        s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${langList.map(m => s"'$m'").mkString(",")}))) AS INTEGER)"
+      s"""WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ${h(langMarkers("en"))} AS h_en,
+        |    ${h(langMarkers("de"))} AS h_de,
+        |    ${h(langMarkers("fr"))} AS h_fr
+        |  FROM documents)
+        |SELECT doc_id, lang, h_en, h_de, h_fr,
+        |  CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
+        |       WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+        |       WHEN h_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS pred
+        |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" -> {
+      val stop = langMarkers.values.flatten.map(m => s"'$m'").mkString(",")
+      s"""WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE) AS n_stop,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_letters
+        |  FROM documents)
+        |SELECT doc_id, n_tok, n_stop,
+        |  round(n_letters / n_tok, 6) AS awl,
+        |  round(least(n_tok / 100.0, 1.0) * 0.3 +
+        |        (1.0 - n_stop / n_tok) * 0.4 +
+        |        least((n_letters / n_tok) / 8.0, 1.0) * 0.3, 6) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin
+    },
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS re_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_real,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(norm, ''), c -> ascii(c))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+        |  list_min(list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+        |    i -> list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(string_split(substring(norm, i, 8), ''), c -> ascii(c))),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007))) AS min_sh,
+        |  CAST(length(norm) AS INTEGER) AS n_norm
+        |FROM n ORDER BY doc_id""".stripMargin)
+}

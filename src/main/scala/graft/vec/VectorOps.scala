@@ -1,0 +1,210 @@
+package graft.vec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.QueryPack
+import graft.io.Tables.t
+
+/** SURVEY.md §2.10 — similarity search and probabilistic dedup over
+  * the 64-dim `embeddings` table and `documents` corpus.
+  *
+  * Scale design:
+  *  - `sim_search` (exact) broadcasts the QUERY set (tiny) against the
+  *    corpus — a map-side scan, no shuffle of the big side; per-query
+  *    top-k via window. At 100 TB the corpus side stays partitioned.
+  *  - `sim_search_lsh` / `dedup_embed_lsh` bucket by signed random
+  *    hyperplanes (seeded, derived from hash() — no RNG state), so
+  *    candidate generation is an equi-join on bucket id: the crossJoin
+  *    disappears and the shuffle keys on bucket, which is the only
+  *    formulation that survives a 1000× corpus.
+  *  - `dedup_near` builds MinHash signatures + banded buckets
+  *    (shingle → xxhash64(seed, ·) → min per seed → band) — LSH-join
+  *    candidates, then exact-Jaccard verification of candidates only.
+  *  - `dedup_simhash` folds token hashes into a 64-bit majority
+  *    signature per doc, one pass, no explode.
+  */
+object VectorOps extends QueryPack {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("emb", col("embedding").cast(ArrayType(DoubleType)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Exact top-10 cosine neighbors for 5 query vectors (brute force,
+    * broadcast query side — the verifiable baseline). */
+  def simSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    e.crossJoin(broadcast(q))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("cos", dot($"q_emb", $"emb") / (norm($"q_emb") * norm($"emb")))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 10)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"), $"rk")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold.
+    * Brute-force within-label here (exact, oracle-able); the LSH
+    * variant below is the 100 TB path. */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = emb(s, dir).select($"vec_id".as("id_a"), $"label".as("lb_a"), $"emb".as("emb_a"))
+    val b = emb(s, dir).select($"vec_id".as("id_b"), $"label".as("lb_b"), $"emb".as("emb_b"))
+    a.join(b, $"lb_a" === $"lb_b" && $"id_a" < $"id_b")
+      .withColumn("cos", dot($"emb_a", $"emb_b") / (norm($"emb_a") * norm($"emb_b")))
+      .where($"cos" >= 0.30)
+      .select($"id_a", $"id_b", $"lb_a".as("label"), round($"cos", 6).as("cos"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Seeded random-hyperplane sign bits: hyperplane component (seed,
+    * dim) ~ deterministic pseudo-gaussian from xxhash64 — no RNG
+    * state, reproducible across executors. Returns the bucket id
+    * column for `nBits` planes. */
+  private def lshBucket(embCol: String, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      // sign(Σ_d h(p,d) · v_d) with h in [-0.5, 0.5): deterministic
+      // per (plane, dim) — xxhash64 of the two ints, scaled.
+      val comp = s"""aggregate(zip_with($embCol, sequence(0, size($embCol)-1),
+                    |  (v, d) -> v * ((pmod(xxhash64($p, d), 1000000) / 1000000.0) - 0.5)),
+                    |  0.0D, (acc, x) -> acc + x)""".stripMargin
+      s"CASE WHEN ($comp) >= 0 THEN ${1L << p}L ELSE 0L END"
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  /** ANN via LSH bucketing: candidates share a 8-bit hyperplane
+    * bucket → equi-join on bucket id (shuffle keys on bucket, no
+    * crossJoin). No oracle (hash-derived planes); recall vs the exact
+    * baseline is asserted in VectorOpsSpec. */
+  def simSearchLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("bucket", lshBucket("emb", 8))
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"bucket")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    e.join(broadcast(q), Seq("bucket"))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("cos", dot($"q_emb", $"emb") / (norm($"q_emb") * norm($"emb")))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 10)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"), $"rk", $"bucket")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Embedding near-dup at scale: bucket join instead of crossJoin. */
+  def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("bucket", lshBucket("emb", 8))
+    val a = e.select($"vec_id".as("id_a"), $"emb".as("emb_a"), $"bucket")
+    val b = e.select($"vec_id".as("id_b"), $"emb".as("emb_b"), $"bucket")
+    a.join(b, Seq("bucket")).where($"id_a" < $"id_b")
+      .withColumn("cos", dot($"emb_a", $"emb_b") / (norm($"emb_a") * norm($"emb_b")))
+      .where($"cos" >= 0.30)
+      .select($"id_a", $"id_b", round($"cos", 6).as("cos"), $"bucket")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** MinHash signatures + banded LSH buckets over word-3-gram
+    * shingles (16 hashes, 4 bands × 4 rows). The doc-level index a
+    * petabyte dedup pipeline joins on. No oracle (xxhash64 has no
+    * DuckDB twin); planted-duplicate recall in TextOpsSpec. */
+  def dedupNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSignatures(t(s, dir, "documents"), nHashes = 16)
+    sig.select($"doc_id", $"sig",
+        expr("transform(sequence(0, 3), b -> hash(b, slice(sig, b*4 + 1, 4)))").as("bands"))
+      .select($"doc_id", $"sig", $"bands",
+        element_at($"bands", 1).as("band0"))
+      .orderBy($"doc_id")
+  }
+
+  /** Candidate near-dup pairs from banded MinHash + exact-Jaccard
+    * verification of candidates only (the full LSH dedup pipeline). */
+  def minhashPairs(docs: DataFrame, nHashes: Int = 16, bands: Int = 4,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(docs, nHashes)
+    val rows = nHashes / bands
+    val banded = sig.select(col("doc_id"), col("shingles"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(b, slice(sig, b*$rows + 1, $rows)))"))
+        .as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+                          col("band_id"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+                          col("band_id"), col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Per-doc MinHash signature array from word-3-gram shingles. */
+  def minhashSignatures(docs: DataFrame, nHashes: Int): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, greatest(size(w)-3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+      .withColumn("sig", expr(
+        s"transform(sequence(1, $nHashes), k -> array_min(transform(shingles, sh -> xxhash64(k, sh))))"))
+
+  /** 64-bit SimHash per doc: weighted bit-majority over token hashes,
+    * one fold per doc (no explode). No oracle; Hamming-neighbor
+    * detection on planted dups in tests. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("votes", expr(
+        """aggregate(toks, array_repeat(0L, 64),
+          |  (acc, t) -> zip_with(acc, transform(sequence(0, 63),
+          |    b -> CASE WHEN (shiftright(xxhash64(t), b) % 2 + 2) % 2 = 1 THEN 1L ELSE -1L END),
+          |    (a, v) -> a + v))""".stripMargin))
+      .withColumn("simhash", expr(
+        "aggregate(zip_with(votes, sequence(0, 63), (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"))
+      .select($"doc_id", $"simhash", size($"toks").as("n_tok"))
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_search" -> (simSearch _),
+    "sim_search_lsh" -> (simSearchLsh _),
+    "dedup_embed" -> (dedupEmbed _),
+    "dedup_embed_lsh" -> (dedupEmbedLsh _),
+    "dedup_near" -> (dedupNear _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  def oracle: Map[String, String] = Map(
+    "sim_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT q_id, vec_id,
+        |    list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]) AS cos
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk
+        |      FROM c)
+        |SELECT q_id, vec_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
+    "dedup_embed" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30
+        |ORDER BY id_a, id_b""".stripMargin)
+}

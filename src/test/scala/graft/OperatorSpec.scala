@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.util.Det
+
+/** Hand-computed expected results for the trickier operator semantics. */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  test("Det.sumMoney is exact and partition-order independent") {
+    val vals = Seq(0.01, 0.02, 0.03, 10.10, 99.99, 0.005, 1.004)
+    val expected = vals.map(v => math.round(v * 100)).sum.toDouble / 100
+    for (parts <- Seq(1, 3, 7)) {
+      val df = spark.createDataset(vals).repartition(parts).toDF("x")
+      val got = df.agg(Det.sumMoney($"x").as("s")).head().getDouble(0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("as-of join picks latest click at-or-before each purchase") {
+    val events = Seq(
+      // user, ts-second, type, id
+      (1L, 10L, "click", 100L),
+      (1L, 20L, "click", 101L),
+      (1L, 20L, "purchase", 200L), // tie: same-ts click wins (at-or-before)
+      (1L, 25L, "purchase", 201L), // latest click = 101
+      (2L, 5L, "purchase", 300L),  // no prior click -> null
+      (2L, 9L, "click", 102L),
+      (2L, 12L, "purchase", 301L)
+    ).toDF("user_id", "sec", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds($"sec").cast("timestamp_ntz"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    events.createOrReplaceTempView("asof_input")
+    // run the same emulation as Joins.joinAsof over this table
+    val clicks = events.where($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts", lit(0).as("kind"),
+              lit(null).cast("long").as("p_id"), $"click_id")
+    val purchases = events.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("kind"),
+              $"event_id".as("p_id"), lit(null).cast("long").as("click_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"kind".asc)
+      .rowsBetween(Long.MinValue, 0)
+    val got = clicks.unionByName(purchases)
+      .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+      .where($"kind" === 1)
+      .select($"p_id", $"last_click")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(got == Map(200L -> Some(101L), 201L -> Some(101L),
+                      300L -> None, 301L -> Some(102L)))
+  }
+
+  test("session window merges at exactly gap, splits strictly beyond") {
+    // Spark's session merge is boundary-inclusive: an event at
+    // last + gap still joins the session; only gap > 30min splits.
+    // The stream_session DuckDB oracle must use the same `>` rule.
+    val df = Seq(
+      (1L, 0L), (1L, 60L), (1L, 60L + 1800L),    // 1860 = exactly gap after 60 -> merges
+      (1L, 60L + 1800L + 1801L),                 // 1801s after 1860 -> new session
+      (2L, 0L)
+    ).toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec").cast("timestamp_ntz"))
+    val sessions = df
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    assert(sessions == List((1L, 1L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("theta band join matches filter semantics") {
+    val s = Seq((1L, 100.0), (2L, 500.0)).toDF("sk", "sb")
+    val c = Seq((10L, 120.0), (11L, 160.0), (12L, 460.0)).toDF("ck", "cb")
+    val got = c.join(s, $"cb" >= $"sb" - 50.0 && $"cb" <= $"sb" + 50.0)
+      .select($"sk", $"ck").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 12L)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stream.Streams
+
+/** True-streaming semantics (the *no-oracle* §2.9 rows): stateful
+  * results must equal their batch twins; watermarks must drop
+  * too-late data. */
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+
+  test("stream_stateful equals batch aggregation") {
+    import spark.implicits._
+    val streamed = Streams.streamStateful(spark, SparkSpec.sfDir)
+      .select($"user_id", $"n", $"val_sum")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.io.Tables.t(spark, SparkSpec.sfDir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+           (sum(round($"value" * 100).cast("long")).cast("double") / 100).as("v"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed == batch)
+  }
+
+  test("stream_watermark totals equal batch window counts") {
+    import spark.implicits._
+    val streamed = Streams.streamWatermark(spark, SparkSpec.sfDir)
+      .agg(sum($"n")).head().getLong(0)
+    val total = graft.io.Tables.t(spark, SparkSpec.sfDir, "events").count()
+    assert(streamed == total) // no duplicate event_ids, nothing late in one batch
+  }
+
+  test("watermark drops events later than threshold across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (event_id, epoch-sec)
+    val q = mem.toDF().toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w"), $"n")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 100L), (2L, 105L), (3L, 200L)) // watermark -> 190
+      q.processAllAvailable()
+      mem.addData((4L, 101L)) // event-time 101 << watermark 190: dropped
+      q.processAllAvailable()
+      mem.addData((5L, 300L)) // advance watermark so window [100,110) finalizes
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wm_test")
+      .collect().map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getLong(1))).toMap
+    // late event 4 must NOT be counted in the [100,110) window
+    assert(rows.get(100L).contains(2L), s"got $rows")
+  }
+}

