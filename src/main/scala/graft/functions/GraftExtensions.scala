@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the native vector
+  * expressions as SQL functions so `spark.sql("... cosine_sim(a, b)")`
+  * works. Enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (done by Verify/Bench/Explain and the test session).
+  *
+  * The DataFrame path (`VecFunctions`) does not require this — it binds
+  * the expressions directly — so driver-owned sessions without the
+  * config still run every query.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getCanonicalName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - inner product of two float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(a) - Euclidean norm of a float/double array"),
+      (args: Seq[Expression]) => L2Norm(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+  }
+}

@@ -26,16 +26,20 @@ object TextOps extends QueryPack {
   private def normCol: Column =
     lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
-  /** Exact dedup on normalized text; deterministic survivor = min doc_id. */
+  /** Exact dedup on normalized text; deterministic survivor = min
+    * doc_id. groupBy + min_by (not a window): aggregates partially
+    * map-side, so the shuffle carries one row per distinct norm text
+    * instead of every document — the formulation that survives 100 TB.
+    * (doc_id is unique, so min_by is deterministic.) */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"norm").orderBy($"doc_id".asc)
     docs(s, dir)
       .withColumn("norm", normCol)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy($"norm")))
-      .where($"rn" === 1)
-      .select($"doc_id", $"lang", $"source", $"n_copies")
+      .groupBy($"norm")
+      .agg(min_by(struct($"doc_id", $"lang", $"source"), $"doc_id").as("srv"),
+           count(lit(1)).as("n_copies"))
+      .select($"srv.doc_id".as("doc_id"), $"srv.lang".as("lang"),
+              $"srv.source".as("source"), $"n_copies")
       .orderBy($"doc_id")
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.QueryPack
+import graft.functions.VecFunctions.{dotProduct, l2Norm}
 import graft.io.Tables.t
 
 /** SURVEY.md §2.10 — similarity search and probabilistic dedup over
@@ -27,15 +28,16 @@ import graft.io.Tables.t
   */
 object VectorOps extends QueryPack {
 
+  // norms are precomputed per ROW (before any join) so the per-PAIR
+  // work is exactly one fused dot-product loop (native codegen'd
+  // expression — graft.functions.DotProduct), not three interpreted
+  // HOF folds.
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .withColumn("emb", col("embedding").cast(ArrayType(DoubleType)))
+      .withColumn("nrm", l2Norm(col("emb")))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
   /** Exact top-10 cosine neighbors for 5 query vectors (brute force,
     * broadcast query side — the verifiable baseline). */
@@ -43,11 +45,11 @@ object VectorOps extends QueryPack {
     import s.implicits._
     val e = emb(s, dir)
     val q = e.where($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     e.crossJoin(broadcast(q))
       .where($"vec_id" =!= $"q_id")
-      .withColumn("cos", dot($"q_emb", $"emb") / (norm($"q_emb") * norm($"emb")))
+      .withColumn("cos", dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm"))
       .withColumn("rk", row_number().over(w))
       .where($"rk" <= 10)
       .select($"q_id", $"vec_id", round($"cos", 6).as("cos"), $"rk")
@@ -59,30 +61,23 @@ object VectorOps extends QueryPack {
     * variant below is the 100 TB path. */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val a = emb(s, dir).select($"vec_id".as("id_a"), $"label".as("lb_a"), $"emb".as("emb_a"))
-    val b = emb(s, dir).select($"vec_id".as("id_b"), $"label".as("lb_b"), $"emb".as("emb_b"))
+    val a = emb(s, dir).select($"vec_id".as("id_a"), $"label".as("lb_a"),
+                               $"emb".as("emb_a"), $"nrm".as("nrm_a"))
+    val b = emb(s, dir).select($"vec_id".as("id_b"), $"label".as("lb_b"),
+                               $"emb".as("emb_b"), $"nrm".as("nrm_b"))
     a.join(b, $"lb_a" === $"lb_b" && $"id_a" < $"id_b")
-      .withColumn("cos", dot($"emb_a", $"emb_b") / (norm($"emb_a") * norm($"emb_b")))
+      .withColumn("cos", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
       .where($"cos" >= 0.30)
       .select($"id_a", $"id_b", $"lb_a".as("label"), round($"cos", 6).as("cos"))
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Seeded random-hyperplane sign bits: hyperplane component (seed,
-    * dim) ~ deterministic pseudo-gaussian from xxhash64 — no RNG
-    * state, reproducible across executors. Returns the bucket id
-    * column for `nBits` planes. */
-  private def lshBucket(embCol: String, nBits: Int): Column = {
-    val bits = (0 until nBits).map { p =>
-      // sign(Σ_d h(p,d) · v_d) with h in [-0.5, 0.5): deterministic
-      // per (plane, dim) — xxhash64 of the two ints, scaled.
-      val comp = s"""aggregate(zip_with($embCol, sequence(0, size($embCol)-1),
-                    |  (v, d) -> v * ((pmod(xxhash64($p, d), 1000000) / 1000000.0) - 0.5)),
-                    |  0.0D, (acc, x) -> acc + x)""".stripMargin
-      s"CASE WHEN ($comp) >= 0 THEN ${1L << p}L ELSE 0L END"
-    }
-    expr(bits.mkString("(", " + ", ")"))
-  }
+  /** Seeded random-hyperplane bucket id (native codegen'd expression —
+    * graft.functions.HyperplaneBucket): coefficients derived
+    * deterministically from the seed, precomputed once; per row the
+    * cost is one fused multiply-add pass over the vector. */
+  private def lshBucket(embCol: String, nBits: Int): Column =
+    graft.functions.HyperplaneBucket.bucket(col(embCol), nBits)
 
   /** ANN via LSH bucketing: candidates share a 8-bit hyperplane
     * bucket → equi-join on bucket id (shuffle keys on bucket, no
@@ -92,11 +87,11 @@ object VectorOps extends QueryPack {
     import s.implicits._
     val e = emb(s, dir).withColumn("bucket", lshBucket("emb", 8))
     val q = e.where($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"bucket")
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"bucket")
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     e.join(broadcast(q), Seq("bucket"))
       .where($"vec_id" =!= $"q_id")
-      .withColumn("cos", dot($"q_emb", $"emb") / (norm($"q_emb") * norm($"emb")))
+      .withColumn("cos", dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm"))
       .withColumn("rk", row_number().over(w))
       .where($"rk" <= 10)
       .select($"q_id", $"vec_id", round($"cos", 6).as("cos"), $"rk", $"bucket")
@@ -107,10 +102,10 @@ object VectorOps extends QueryPack {
   def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).withColumn("bucket", lshBucket("emb", 8))
-    val a = e.select($"vec_id".as("id_a"), $"emb".as("emb_a"), $"bucket")
-    val b = e.select($"vec_id".as("id_b"), $"emb".as("emb_b"), $"bucket")
+    val a = e.select($"vec_id".as("id_a"), $"emb".as("emb_a"), $"nrm".as("nrm_a"), $"bucket")
+    val b = e.select($"vec_id".as("id_b"), $"emb".as("emb_b"), $"nrm".as("nrm_b"), $"bucket")
     a.join(b, Seq("bucket")).where($"id_a" < $"id_b")
-      .withColumn("cos", dot($"emb_a", $"emb_b") / (norm($"emb_a") * norm($"emb_b")))
+      .withColumn("cos", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
       .where($"cos" >= 0.30)
       .select($"id_a", $"id_b", round($"cos", 6).as("cos"), $"bucket")
       .orderBy($"id_a", $"id_b")

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VecFunctions.{cosineSim, dotProduct, l2Norm}
+
+/** Native codegen vector expressions must agree bitwise with the
+  * higher-order-function formulation they replaced (same accumulation
+  * order), and handle the null/mismatch edge cases the same way. */
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def hofDot = expr(
+    "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+  private def hofNorm(c: String) = expr(
+    s"sqrt(aggregate($c, 0.0D, (acc, x) -> acc + x * x))")
+
+  private def pairs = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (Seq(0.1, -0.2, 0.3), Seq(-0.4, 0.5, -0.6)),
+    (Seq(1e-9, 1e9, -1e-9), Seq(1e9, 1e-9, 1e9))
+  ).toDF("a", "b")
+
+  test("dot_product matches HOF formulation bitwise") {
+    val rows = pairs
+      .select(dotProduct($"a", $"b").as("native"), hofDot.as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("l2_norm and cosine_sim match HOF formulation bitwise") {
+    val rows = pairs
+      .select(l2Norm($"a").as("nn"), hofNorm("a").as("hn"),
+        cosineSim($"a", $"b").as("nc"),
+        (hofDot / (hofNorm("a") * hofNorm("b"))).as("hc"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
+  test("float arrays: computed in double, matches cast-then-HOF") {
+    val e = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .select($"vec_id", $"embedding".as("raw"),
+        $"embedding".cast("array<double>").as("a"))
+      .limit(50)
+    val rows = e.select(
+      l2Norm($"raw").as("n_native"), hofNorm("a").as("n_hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("null array, null element, length mismatch => null") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0)))),
+      (None, Some(Seq(Some(1.0), Some(2.0)))),                  // null array
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))), // null elem
+      (Some(Seq(Some(1.0))), Some(Seq(Some(1.0), Some(2.0))))  // len mismatch
+    ).toDF("a", "b")
+    val got = df.select(dotProduct($"a", $"b")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(11.0), None, None, None))
+    val cs = df.select(cosineSim($"a", $"b")).collect().map(_.isNullAt(0))
+    assert(cs.toSeq == Seq(false, true, true, true))
+  }
+
+  test("zero-norm vector => null cosine") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(cosineSim($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("SQL registration via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "l2_norm(array(3.0D, 4.0D)) AS n, " +
+      "round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 9) AS c").head()
+    assert(got.getDouble(0) == 11.0)
+    assert(got.getDouble(1) == 5.0)
+    assert(got.getDouble(2) == 1.0)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    // force interpreted path by evaluating the expression directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = Literal.create(Array(1.0, 2.0, 3.0))
+    val b = Literal.create(Array(4.0, 5.0, 6.0))
+    val d = graft.functions.DotProduct(a, b).eval(null)
+    assert(d == 32.0)
+    val c = graft.functions.CosineSim(a, b).eval(null).asInstanceOf[Double]
+    val expect = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(c == expect)
+    assert(graft.functions.L2Norm(a).eval(null) == math.sqrt(14.0))
+  }
+}
