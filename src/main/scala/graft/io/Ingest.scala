@@ -1,0 +1,109 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.QueryPack
+import graft.util.Det._
+
+/** SURVEY.md §2.1 deferred row ("CSV/JSON ingestion … `repository/`")
+  * — now in scope. The reference's `repository/` layer was scaffolding
+  * only (SURVEY.md §0.2); this is the Spark-native data-access layer a
+  * 100 TB ETL actually needs:
+  *
+  *  - **explicit schemas, never inference** — schema inference is a
+  *    full extra pass over the data (and nondeterministic under
+  *    sampling) at scale; every reader here takes the schema from the
+  *    authoritative parquet footer of the table it mirrors.
+  *  - **CSV/JSON as ingestion formats, parquet as the storage format**
+  *    — the round-trip queries below land text data into the engine
+  *    and verify value fidelity against the parquet original via the
+  *    DuckDB oracle.
+  *  - **partitioned sinks** — `writePartitioned` lays out
+  *    `col=value/` directories so downstream scans prune entire
+  *    partitions (the `ingest_partitioned` plan shows PartitionFilters,
+  *    not PushedFilters).
+  *
+  * The round-trip queries write under /tmp (scoped per scale-factor
+  * dir) — the engine must not mutate the read-only fixture dirs.
+  */
+object Ingest extends QueryPack {
+
+  /** Deterministic scratch root per (sf dir, format). */
+  private def scratch(dir: String, fmt: String): String =
+    s"/tmp/graft_ingest/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$fmt"
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      // quote/escape defaults handle commas and quotes in comments
+      .csv(path)
+
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** parquet → CSV files → read back with the parquet schema →
+    * verified against the parquet original by the oracle. Exercises
+    * quoting (n_comment contains commas) and typed re-parse. */
+  def ingestCsv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "nation")
+    val path = scratch(dir, "csv_nation")
+    writeCsv(src, path)
+    readCsv(s, path, src.schema).orderBy($"n_nationkey")
+  }
+
+  /** parquet → JSON-lines → read back with the parquet schema.
+    * Doubles survive: Spark's JSON writer emits shortest-round-trip
+    * literals, so s_acctbal re-parses bit-identically. */
+  def ingestJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "supplier")
+    val path = scratch(dir, "json_supplier")
+    writeJsonl(src, path)
+    readJsonl(s, path, src.schema).orderBy($"s_suppkey")
+  }
+
+  /** Hive-style partitioned sink + pruned scan: write orders
+    * partitioned by o_orderstatus, read back filtering one partition —
+    * the filter resolves at file-listing time (PartitionFilters), so
+    * at 100 TB only that directory is ever listed or read. */
+  def ingestPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "orders")
+    val path = scratch(dir, "part_orders")
+    writePartitioned(src, path, "o_orderstatus")
+    s.read.parquet(path)
+      .where($"o_orderstatus" === "F")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_csv" -> (ingestCsv _),
+    "ingest_json" -> (ingestJson _),
+    "ingest_partitioned" -> (ingestPartitioned _))
+
+  // Oracles run on the ORIGINAL parquet tables: a hash match proves the
+  // text round-trip / partitioned rewrite preserved every value.
+  def oracle: Map[String, String] = Map(
+    "ingest_csv" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "ingest_json" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+    "ingest_partitioned" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+        |  ${sqlSumMoney("o_totalprice")} AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

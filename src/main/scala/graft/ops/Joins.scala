@@ -146,7 +146,31 @@ object Joins extends QueryPack {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** Skew-safe equi join: salt the fact side into S shards and
+    * replicate the dim side S times, so a hot key's rows spread over S
+    * reducers instead of one. Semantics-preserving — the oracle is the
+    * plain join. AQE's skew-join split does this adaptively for
+    * sort-merge joins at runtime; explicit salting remains the
+    * portable fix when the skew hides from AQE (e.g. behind an agg) or
+    * the join must be shuffled-hash. Cost: dim side × S — only salt
+    * when the dim is small enough to replicate but too big or too
+    * dynamic to broadcast. */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 8
+    val fact = t(s, dir, "events")
+      .withColumn("salt", pmod($"event_id", lit(S)).cast("int"))
+    val dim = t(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("d_salt", explode(sequence(lit(0), lit(S - 1))))
+    fact.join(dim, $"user_id" === $"c_custkey" && $"salt" === $"d_salt")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sumMoney($"value").as("val_sum"))
+      .orderBy($"c_mktsegment")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> (joinSkewSalted _),
     "join_broadcast" -> (joinBroadcast _),
     "join_shuffle" -> (joinShuffle _),
     "join_multiway" -> (joinMultiway _),
@@ -158,6 +182,11 @@ object Joins extends QueryPack {
     "join_asof" -> (joinAsof _))
 
   def oracle: Map[String, String] = Map(
+    "join_skew_salted" ->
+      s"""SELECT c_mktsegment, count(*) AS n_events,
+        |  ${sqlSumMoney("value")} AS val_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_broadcast" ->
       """SELECT c_custkey, c_name, n_name, r_name
         |FROM customer

@@ -1,8 +1,9 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 import graft.QueryPack
 
@@ -12,6 +13,31 @@ import graft.QueryPack
 case class UserState(n: Long, cents: Long, minTs: Long, maxTs: Long)
 case class UserSummary(user_id: Long, n: Long, val_sum: Double,
                        first_us: Long, last_us: Long)
+
+/** transformWithState processor: per-user running event count + exact
+  * value sum, kept in a typed ValueState. Updates are commutative, so
+  * results are input-order independent. */
+class UserRollupProcessor
+    extends StatefulProcessor[Long, (Long, Long), UserSummary] {
+  @transient private var st: ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserState](
+      "rollup", Encoders.product[UserState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+                               timers: TimerValues): Iterator[UserSummary] = {
+    var s = if (st.exists()) st.get()
+            else UserState(0L, 0L, Long.MaxValue, Long.MinValue)
+    rows.foreach { case (us, cents) =>
+      s = UserState(s.n + 1, s.cents + cents,
+                    math.min(s.minTs, us), math.max(s.maxTs, us))
+    }
+    st.update(s)
+    Iterator(UserSummary(uid, s.n, s.cents.toDouble / 100, s.minTs, s.maxTs))
+  }
+}
 
 /** SURVEY.md §2.9 (*no-oracle* rows) — true Structured Streaming over
   * the events fixture, driven as a file source and drained
@@ -91,9 +117,37 @@ object Streams extends QueryPack {
       .orderBy($"user_id")
   }
 
+  /** Same rollup via Spark 4.x transformWithState (the arbitrary-state
+    * successor to flatMapGroupsWithState): typed ValueState per key,
+    * RocksDB state store (the provider transformWithState requires —
+    * also the right choice at scale: state lives off-heap/on-disk with
+    * changelog checkpointing instead of full in-memory maps). */
+  def streamTws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = eventStream(s, dir)
+        .select($"user_id", unix_micros($"ts").as("us"),
+                (round($"value" * 100)).cast("long").as("cents"))
+        .as[(Long, Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .transformWithState(new UserRollupProcessor,
+          TimeMode.None(), OutputMode.Update())
+      drain(out.toDF(), "graft_stream_tws", OutputMode.Update())
+        .orderBy($"user_id")
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark" -> (streamWatermark _),
-    "stream_stateful" -> (streamStateful _))
+    "stream_stateful" -> (streamStateful _),
+    "stream_tws" -> (streamTws _))
 
   // True streaming runs have no SQL twin (watermark/state semantics);
   // verified by StreamsSpec against batch equivalents instead.

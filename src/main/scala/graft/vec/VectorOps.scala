@@ -111,6 +111,48 @@ object VectorOps extends QueryPack {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into k cells (nearest
+    * centroid by cosine; centroids here are k deterministic seed
+    * vectors — at scale they come from a separate k-means job), then
+    * probe only the nprobe best cells per query. The cell assignment
+    * is the inverted list: candidate generation is an equi-join on
+    * cell id, so the corpus side shuffles once on cell and a 1000×
+    * corpus only grows the lists, not the pair space. All dot/norm
+    * math is the native codegen'd expressions. */
+  def simSearchIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 16      // centroids
+    val nprobe = 2  // cells probed per query
+    val e = emb(s, dir)
+    val cent = e.where($"vec_id" % 100 === 0).limit(k)
+      .select($"vec_id".as("cent_id"), $"emb".as("c_emb"), $"nrm".as("c_nrm"))
+    // corpus → nearest centroid = its cell
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cent_id".asc)
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", dot($"emb", $"c_emb") / ($"nrm" * $"c_nrm"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where($"rn" === 1)
+      .select($"vec_id", $"emb", $"nrm", $"cent_id".as("cell"))
+    // queries → their nprobe closest cells
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"cent_id".asc)
+    val qCells = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos", dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where($"rn" <= nprobe)
+      .select($"q_id", $"q_emb", $"q_nrm", $"cent_id".as("cell"))
+    // probe: candidates share a cell with the query
+    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    assigned.join(broadcast(qCells), Seq("cell"))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("cos", dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm"))
+      .withColumn("rk", row_number().over(wTop))
+      .where($"rk" <= 10)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"), $"rk", $"cell")
+      .orderBy($"q_id", $"rk")
+  }
+
   /** MinHash signatures + banded LSH buckets over word-3-gram
     * shingles (16 hashes, 4 bands × 4 rows). The doc-level index a
     * petabyte dedup pipeline joins on. No oracle (xxhash64 has no
@@ -178,6 +220,7 @@ object VectorOps extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_search" -> (simSearch _),
     "sim_search_lsh" -> (simSearchLsh _),
+    "sim_search_ivf" -> (simSearchIvf _),
     "dedup_embed" -> (dedupEmbed _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_near" -> (dedupNear _),

@@ -72,6 +72,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(sessions == List((1L, 1L), (1L, 3L), (2L, 1L)))
   }
 
+  test("salted skew join equals the plain join") {
+    val salted = graft.ops.Joins.joinSkewSalted(spark, SparkSpec.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = graft.io.Tables.t(spark, SparkSpec.sfDir, "events")
+    val c = graft.io.Tables.t(spark, SparkSpec.sfDir, "customer")
+    val plain = e.join(c, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), Det.sumMoney($"value").as("val_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
   test("theta band join matches filter semantics") {
     val s = Seq((1L, 100.0), (2L, 500.0)).toDF("sk", "sb")
     val c = Seq((10L, 120.0), (11L, 160.0), (12L, 460.0)).toDF("ck", "cb")

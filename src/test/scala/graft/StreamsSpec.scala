@@ -25,6 +25,19 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream_tws (transformWithState) equals batch aggregation") {
+    import spark.implicits._
+    val streamed = Streams.streamTws(spark, SparkSpec.sfDir)
+      .select($"user_id", $"n", $"val_sum")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.io.Tables.t(spark, SparkSpec.sfDir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+           (sum(round($"value" * 100).cast("long")).cast("double") / 100).as("v"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed == batch)
+  }
+
   test("stream_watermark totals equal batch window counts") {
     import spark.implicits._
     val streamed = Streams.streamWatermark(spark, SparkSpec.sfDir)

@@ -72,6 +72,20 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF search: cos values match exact search for shared pairs") {
+    val exact = VectorOps.simSearch(spark, SparkSpec.sfDir)
+      .select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => ((q, v), c) }.toMap
+    val ivf = VectorOps.simSearchIvf(spark, SparkSpec.sfDir)
+      .select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, v, c) =>
+      exact.get((q, v)).foreach(e => assert(e == c))
+    }
+    // every query produces candidates (its own cell is probed)
+    assert(ivf.map(_._1).distinct.length == 5)
+  }
+
   test("exact sim_search returns 10 ranked neighbors per query") {
     val rows = VectorOps.simSearch(spark, SparkSpec.sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))
