@@ -1,0 +1,115 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.QueryPack
+import graft.io.Tables
+import graft.util.Det._
+
+/** Raw-SQL entry surface (reference taxonomy `src/etl/sql/` —
+  * SURVEY.md §0.2: planned but never implemented; this is its
+  * Spark-native form). Fixture tables register as temp views and the
+  * queries run through `spark.sql`, exercising the parser plus the
+  * subquery machinery the DataFrame packs don't reach:
+  *
+  *  - `sql_exists`    → RewritePredicateSubquery (EXISTS → left-semi)
+  *  - `sql_corr_scalar` → RewriteCorrelatedScalarSubquery
+  *                        (decorrelates to an aggregate + join)
+  *  - `sql_cte_window`  → CTE inlining + window over SQL
+  *
+  * Because both engines speak ANSI, each oracle is nearly the same
+  * text — the differential check validates the SQL front door, not
+  * just the relational algebra underneath.
+  */
+object SqlQueries extends QueryPack {
+
+  private def views(s: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      Tables.t(s, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** TPC-H Q4 shape: order-priority histogram of orders having at
+    * least one returned lineitem (fixture lineitem carries no
+    * commit/receipt dates, so the Q4 lateness predicate becomes a
+    * returnflag test — same EXISTS -> semi-join shape). */
+  def sqlExists(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Customers above their nation's average balance (correlated scalar
+    * subquery; Catalyst decorrelates to agg + join). The average is
+    * computed cents-exact (Det discipline) so the > comparison cannot
+    * flip between engines on float summation order. */
+  def sqlCorrScalar(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      s"""SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100/count(*)
+        |                   FROM customer WHERE c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** CTE + SQL window: each nation's top-3 customers by 1996 spend. */
+  def sqlCteWindow(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      s"""WITH spend AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    ${sqlSumMoney("o_totalprice")} AS total
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE year(o_orderdate) = 1996
+        |  GROUP BY c_custkey, c_nationkey)
+        |SELECT c_nationkey, c_custkey, total, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY c_nationkey ORDER BY total DESC, c_custkey) AS INT) AS rk
+        |  FROM spend)
+        |WHERE rk <= 3
+        |ORDER BY c_nationkey, rk""".stripMargin)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_exists" -> (sqlExists _),
+    "sql_corr_scalar" -> (sqlCorrScalar _),
+    "sql_cte_window" -> (sqlCteWindow _))
+
+  def oracle: Map[String, String] = Map(
+    "sql_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "sql_corr_scalar" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100/count(*)
+        |                   FROM customer WHERE c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "sql_cte_window" ->
+      s"""WITH spend AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    ${sqlSumMoney("o_totalprice")} AS total
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE year(o_orderdate) = 1996
+        |  GROUP BY c_custkey, c_nationkey)
+        |SELECT c_nationkey, c_custkey, total, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY c_nationkey ORDER BY total DESC, c_custkey) AS INT) AS rk
+        |  FROM spend)
+        |WHERE rk <= 3
+        |ORDER BY c_nationkey, rk""".stripMargin)
+}
