@@ -13,7 +13,8 @@ object SparkEntry {
     ops.Scans, ops.Filters, ops.Scalars, ops.Sorts, ops.SetOps,
     ops.Aggregates, ops.Joins, ops.Windows, ops.StreamingBatch,
     ops.Udfs, text.TextOps, vec.VectorOps, multimodal.Multimodal,
-    stream.Streams, io.Ingest, sql.SqlQueries, pipeline.Pipelines)
+    stream.Streams, io.Ingest, sql.SqlQueries, pipeline.Pipelines,
+    model.Schemas)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

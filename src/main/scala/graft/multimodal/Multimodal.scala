@@ -81,9 +81,31 @@ object Multimodal extends QueryPack {
     decoded.toDF().orderBy($"doc_id")
   }
 
+  /** Frame sampling: treat the payload as fixed-size frames and keep
+    * every 4th — the video-keyframe-sampling access pattern as pure
+    * Spark plumbing (binary substring → array → posexplode → filter),
+    * 1→N row generation with no UDF. Only whole 16-byte frames count;
+    * the oracle derives the same frame grid arithmetically. */
+  def multimodalFramesample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFrame(s, dir)
+      .withColumn("payload", expr("substring(media, 7, length(media) - 6)"))
+      .withColumn("nf", expr("CAST(floor(length(payload) / 16) AS INT)"))
+      .withColumn("frames", expr(
+        // sequence() counts DOWN when stop < start — guard empty payloads
+        "CASE WHEN nf <= 0 THEN array() " +
+        "ELSE transform(sequence(0, nf - 1), i -> substring(payload, i*16 + 1, 16)) END"))
+      .select($"doc_id", posexplode($"frames").as(Seq("frame_no", "frame")))
+      .where($"frame_no" % 4 === 0)
+      .select($"doc_id", $"frame_no".cast("int").as("frame_no"),
+              length($"frame").cast("int").as("f_bytes"))
+      .orderBy($"doc_id", $"frame_no")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_cols" -> (multimodalCols _),
-    "multimodal_decode" -> (multimodalDecode _))
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_framesample" -> (multimodalFramesample _))
 
   def oracle: Map[String, String] = Map(
     "multimodal_cols" ->
@@ -102,5 +124,15 @@ object Multimodal extends QueryPack {
         |  CAST((doc_id * 53) % 4096 + 16 AS INTEGER) AS height,
         |  CAST((doc_id * 37) % 4096 + 16 AS BIGINT)
         |    * CAST((doc_id * 53) % 4096 + 16 AS BIGINT) / 1e6 AS mp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_framesample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(floor(length(text) / 16) AS INT) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(unnest(generate_series(0, nf - 1)) AS INTEGER) AS frame_no
+        |  FROM f WHERE nf > 0)
+        |SELECT doc_id, frame_no, 16 AS f_bytes FROM s
+        |WHERE frame_no % 4 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin)
 }

@@ -144,12 +144,46 @@ object Streams extends QueryPack {
     }
   }
 
+  /** Stream-stream interval join: each purchase joined to clicks by the
+    * same user within the preceding 30 minutes. Both sides carry
+    * watermarks, and the time-bound condition lets Spark evict join
+    * state once the watermark passes the interval — bounded state at
+    * any scale, the canonical streaming-join pattern. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, dir)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") && $"c_ts" <= $"p_ts")
+    val agg = joined
+      .select($"p_user".as("user_id"), $"purchase_id", $"click_id")
+    drain(agg, "graft_stream_join", OutputMode.Append())
+      .orderBy($"user_id", $"purchase_id", $"click_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark" -> (streamWatermark _),
     "stream_stateful" -> (streamStateful _),
-    "stream_tws" -> (streamTws _))
+    "stream_tws" -> (streamTws _),
+    "stream_join" -> (streamJoin _))
 
-  // True streaming runs have no SQL twin (watermark/state semantics);
-  // verified by StreamsSpec against batch equivalents instead.
-  def oracle: Map[String, String] = Map()
+  // Watermark/state queries have no SQL twin and are verified by
+  // StreamsSpec against batch equivalents. The INNER interval join is
+  // the exception: draining the file in one batch emits every match
+  // (watermark eviction only drops state across batches), so its
+  // result equals the batch interval join and can be oracled.
+  def oracle: Map[String, String] = Map(
+    "stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin)
 }

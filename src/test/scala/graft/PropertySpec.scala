@@ -41,6 +41,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native vector expressions: algebraic laws on generated arrays") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.{CosineSim, DotProduct, L2Norm}
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-10.0, 10.0))
+    val pairs = (1 to 40).flatMap { i =>
+      Gen.zip(vecGen, vecGen)(Gen.Parameters.default, rng.Seed(7L + i))
+    }
+    for ((a, b) <- pairs) {
+      val (la, lb) = (Literal.create(a.toArray), Literal.create(b.toArray))
+      val dab = DotProduct(la, lb).eval(null).asInstanceOf[Double]
+      val dba = DotProduct(lb, la).eval(null).asInstanceOf[Double]
+      assert(dab == dba, "dot must be symmetric (bitwise: x*y == y*x per term)")
+      val na = L2Norm(la).eval(null).asInstanceOf[Double]
+      val nb = L2Norm(lb).eval(null).asInstanceOf[Double]
+      assert(na >= 0.0 && nb >= 0.0)
+      assert(math.abs(dab) <= na * nb * (1 + 1e-12), "Cauchy-Schwarz")
+      val cos = CosineSim(la, lb).eval(null).asInstanceOf[Double]
+      assert(cos >= -1.0 - 1e-12 && cos <= 1.0 + 1e-12)
+      assert(cos == dab / (na * nb) ||
+             math.abs(cos - dab / (na * nb)) < 1e-12)
+      val self = CosineSim(la, la).eval(null).asInstanceOf[Double]
+      assert(math.abs(self - 1.0) < 1e-12, s"cos(a,a) = $self")
+    }
+  }
+
+  test("hyperplane buckets are deterministic and seed-sensitive") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.HyperplaneBucket
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-10.0, 10.0))
+    val vecs = (1 to 30).flatMap { i =>
+      vecGen(Gen.Parameters.default, rng.Seed(99L + i))
+    }
+    val buckets = vecs.map { v =>
+      val l = Literal.create(v.toArray)
+      val b1 = HyperplaneBucket(l, 8, 64, 42L).eval(null).asInstanceOf[Long]
+      val b2 = HyperplaneBucket(l, 8, 64, 42L).eval(null).asInstanceOf[Long]
+      assert(b1 == b2, "same seed => same bucket")
+      assert(b1 >= 0L && b1 < 256L, "8 bits => [0, 256)")
+      b1
+    }
+    // different seeds should not produce identical bucketings overall
+    val other = vecs.map { v =>
+      HyperplaneBucket(Literal.create(v.toArray), 8, 64, 43L)
+        .eval(null).asInstanceOf[Long]
+    }
+    assert(buckets != other, "seed must matter")
+  }
+
   test("row_number is dense within partitions and starts at 1") {
     import spark.implicits._
     for (data <- samples(3) if data.nonEmpty) {
