@@ -139,7 +139,33 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Mergeable Apache DataSketches HLL: per-nation supplier sketches
+    * plus their UNION re-aggregated from the serialized sketches — the
+    * 100 TB distinct-count pattern (build partial sketches per
+    * partition/day once, merge them endlessly without rescanning;
+    * counters can't do that). No oracle (sketch binaries are
+    * implementation-specific); OperatorSpec bounds the estimates
+    * against exact counts. */
+  def aggHllSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perNation = t(s, dir, "supplier")
+      .groupBy($"s_nationkey")
+      .agg(expr("hll_sketch_agg(s_suppkey, 12)").as("sk"),
+           count(lit(1)).as("n_rows"))
+    val union = perNation
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      .select(lit(-1).as("s_nationkey"), $"est".cast("long").as("est_distinct"),
+              lit(null).cast("long").as("n_rows"))
+    perNation
+      .select($"s_nationkey",
+              expr("hll_sketch_estimate(sk)").cast("long").as("est_distinct"),
+              $"n_rows")
+      .unionByName(union)
+      .orderBy($"s_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_sketch" -> (aggHllSketch _),
     "agg_hash" -> (aggHash _),
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),

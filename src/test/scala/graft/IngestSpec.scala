@@ -26,6 +26,26 @@ class IngestSpec extends AnyFunSuite {
     assert(rowsOf(got) == rowsOf(src))
   }
 
+  test("bucketed tables join with zero exchanges") {
+    // ensure the bucketed tables exist (query builds them on demand)
+    Ingest.ingestBucketed(spark, SparkSpec.sfDir).count()
+    val tag = SparkSpec.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(s"graft_b_orders_$tag")
+        .join(spark.table(s"graft_b_lineitem_$tag"), $"o_orderkey" === $"l_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1200))
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      // and it computes the same rows as the unbucketed join
+      val expect = graft.io.Tables.t(spark, SparkSpec.sfDir, "orders")
+        .join(graft.io.Tables.t(spark, SparkSpec.sfDir, "lineitem"),
+              $"o_orderkey" === $"l_orderkey").count()
+      assert(j.count() == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned sink: filter becomes a PartitionFilter, not a scan filter") {
     val path = "/tmp/graft_ingest/spec_part_orders"
     Ingest.writePartitioned(

@@ -72,6 +72,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(sessions == List((1L, 1L), (1L, 3L), (2L, 1L)))
   }
 
+  test("HLL sketch estimates are exact at small cardinalities and merge correctly") {
+    val rows = graft.ops.Aggregates.aggHllSketch(spark, SparkSpec.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val exactPerNation = graft.io.Tables.t(spark, SparkSpec.sfDir, "supplier")
+      .groupBy($"s_nationkey").agg(countDistinct($"s_suppkey").as("d"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val exactTotal = graft.io.Tables.t(spark, SparkSpec.sfDir, "supplier")
+      .select($"s_suppkey").distinct().count()
+    // lgK=12 HLL is exact far beyond fixture cardinalities
+    exactPerNation.foreach { case (k, d) =>
+      assert(rows(k) == d, s"nation $k: est ${rows(k)} != exact $d")
+    }
+    assert(rows(-1) == exactTotal, "merged union estimate")
+  }
+
   test("salted skew join equals the plain join") {
     val salted = graft.ops.Joins.joinSkewSalted(spark, SparkSpec.sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
