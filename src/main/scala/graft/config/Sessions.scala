@@ -1,0 +1,28 @@
+package graft.config
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction — the `config/` layer of the reference
+  * taxonomy (SURVEY.md §0.2). One place for the settings every entry
+  * point (Verify, Bench, Explain, tests) must agree on:
+  *
+  *  - `shuffle.partitions` sized to the core count (harness runs tiny
+  *    scale; at cluster scale this becomes ~2-3× total cores, or is
+  *    left to AQE coalescing)
+  *  - UTC session timezone (timestamp determinism vs the oracle)
+  *  - GraftExtensions (SQL registration of the native expressions)
+  *  - UI off (headless harness)
+  */
+object Sessions {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -113,13 +113,17 @@ object Ingest extends QueryPack {
         if (fs.exists(p)) fs.delete(p, true)
         write
       }
+    // project at ingestion: the bucketed copies carry only the columns
+    // downstream joins/aggs read — at 100 TB you never bucket-rewrite
+    // columns nobody will ask for
     freshTable(to) {
-      Tables.t(s, dir, "orders")
+      Tables.t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
         .write.mode("overwrite").bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey").saveAsTable(to)
     }
     freshTable(tl) {
       Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
         .write.mode("overwrite").bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey").saveAsTable(tl)
     }
