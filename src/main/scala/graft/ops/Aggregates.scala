@@ -164,7 +164,37 @@ object Aggregates extends QueryPack {
       .orderBy($"s_nationkey")
   }
 
+  /** PIVOT: order counts per priority × status. Status values are
+    * declared explicitly — with an implicit value list Spark must run
+    * an extra distinct job to discover columns, and the output schema
+    * becomes data-dependent (both wrong at scale). */
+  def aggPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderpriority")
+  }
+
+  /** UNPIVOT (melt): wide per-flag money metrics back to long
+    * (metric, value) rows — the inverse reshaping op. */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(sumMoney($"l_extendedprice").as("gross"),
+           sumMoney($"l_extendedprice" * $"l_discount").as("discounted"),
+           sumMoney($"l_extendedprice" * $"l_tax").as("taxed"))
+      .unpivot(Array($"l_returnflag"),
+               Array($"gross", $"discounted", $"taxed"), "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> (aggPivot _),
+    "agg_unpivot" -> (aggUnpivot _),
     "agg_hll_sketch" -> (aggHllSketch _),
     "agg_hash" -> (aggHash _),
     "agg_distinct" -> (aggDistinct _),
@@ -181,6 +211,26 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_unpivot" ->
+      s"""WITH wide AS (
+        |  SELECT l_returnflag,
+        |    ${sqlSumMoney("l_extendedprice")} AS gross,
+        |    ${sqlSumMoney("l_extendedprice*l_discount")} AS discounted,
+        |    ${sqlSumMoney("l_extendedprice*l_tax")} AS taxed
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'gross' AS metric, gross AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'discounted', discounted FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'taxed', taxed FROM wide
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "agg_hash" -> aggHashSql,
     "agg_distinct" ->
       """SELECT l_returnflag,
