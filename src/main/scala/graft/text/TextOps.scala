@@ -48,6 +48,9 @@ object TextOps extends QueryPack {
     * probabilistic MinHash/SimHash variants live in graft.vec. */
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // per-doc shingle-set size rides along as a window count, so the
+    // expensive shingle subtree appears only twice in the plan (the
+    // two join sides) instead of four times (sides + two size joins)
     val sh = docs(s, dir)
       .withColumn("w", split($"text", " "))
       .select($"doc_id", $"source",
@@ -55,15 +58,14 @@ object TextOps extends QueryPack {
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
         )).as("sh"))
       .distinct()
-    val sizes = sh.groupBy($"doc_id".as("sz_id"))
-      .agg(count(lit(1)).as("sz"))
-    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"), $"sh")
-    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"), $"sh")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"),
+                      $"sh", $"sz".as("sz_a"))
+    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"),
+                      $"sh", $"sz".as("sz_b"))
     a.join(b, a("sh") === b("sh") && $"src_a" === $"src_b" && $"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("sz", "sz_a"), $"doc_a" === $"sz_id").drop("sz_id")
-      .join(sizes.withColumnRenamed("sz", "sz_b"), $"doc_b" === $"sz_id").drop("sz_id")
       .select($"doc_a", $"doc_b", $"inter",
               ($"inter".cast("double") /
                ($"sz_a" + $"sz_b" - $"inter").cast("double")).as("jaccard"))
@@ -175,7 +177,54 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** PII / noise scrubbing — the redaction pass every training-data
+    * pipeline runs before tokenization: mask email-shaped and
+    * URL-shaped spans, collapse runs of digits, then re-measure. Pure
+    * regexp_replace chain (codegen'd, one pass per pattern, no UDF). */
+  def textScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"text",
+              "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+            "https?://[^ ]+", "<URL>"),
+          "[0-9]{4,}", "<NUM>"))
+      .select($"doc_id",
+              length($"text").cast("int").as("len_before"),
+              length($"scrubbed").cast("int").as("len_after"),
+              ($"text" =!= $"scrubbed").as("changed"))
+      .orderBy($"doc_id")
+  }
+
+  /** End-to-end dedup survivor selection: union exact-duplicate pairs
+    * (same normalized text) with near-duplicate pairs (3-gram Jaccard
+    * ≥ 0.6 within source), orient every pair min-id → max-id, and drop
+    * each doc that loses any pairing. One anti-join against the pair
+    * set — no iteration, no driver-side loop; survivors of a 100 TB
+    * corpus fall out of one shuffle round. */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val exactPairs = d.withColumn("norm", normCol)
+      .select($"doc_id", $"norm")
+      .join(d.withColumn("norm", normCol).select($"doc_id".as("doc_b"), $"norm"),
+            Seq("norm"))
+      .where($"doc_id" < $"doc_b")
+      .select($"doc_b")
+    val nearPairs = dedupNgram(s, dir)
+      .where($"jaccard" >= 0.6)
+      .select($"doc_b")
+    d.join(exactPairs.unionByName(nearPairs).distinct(),
+           $"doc_id" === $"doc_b", "left_anti")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub" -> (textScrub _),
+    "dedup_survivors" -> (dedupSurvivors _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "text_stats" -> (textStats _),
@@ -186,6 +235,48 @@ object TextOps extends QueryPack {
     "doc_fingerprint" -> (docFingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "text_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^ ]+', '<URL>', 'g'),
+        |      '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS len_before,
+        |  CAST(length(scrubbed) AS INTEGER) AS len_after,
+        |  text <> scrubbed AS changed
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "dedup_survivors" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents),
+        |exact_b AS (
+        |  SELECT b.doc_id AS doc_b FROM n a JOIN n b
+        |    ON a.norm = b.norm AND a.doc_id < b.doc_id),
+        |w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, source, w,
+        |         unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |near_b AS (
+        |  SELECT doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sz za ON p.doc_a = za.doc_id
+        |  JOIN sz zb ON p.doc_b = zb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.6),
+        |drop_b AS (SELECT doc_b FROM exact_b UNION SELECT doc_b FROM near_b)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE NOT EXISTS (SELECT 1 FROM drop_b WHERE doc_b = doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH n AS (
         |  SELECT doc_id, lang, source,
