@@ -42,6 +42,19 @@ object Ingest extends QueryPack {
   def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).option("header", "true").csv(path)
 
+  /** Real-world ingestion is never clean: PERMISSIVE parse with the
+    * raw line captured in `_corrupt_record`, so bad rows quarantine
+    * into a side table instead of failing the 100 TB load (FAILFAST)
+    * or silently vanishing (DROPMALFORMED). */
+  def readCsvPermissive(s: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    s.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 

@@ -84,7 +84,24 @@ object Windows extends QueryPack {
       .orderBy($"c_custkey")
   }
 
+  /** Navigation functions: lead, first/last value over a running
+    * frame, and nth_value — per-customer order timelines. */
+  def winNav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+              lead($"o_orderkey", 1).over(w).as("next_order"),
+              first($"o_orderkey").over(wAll).as("first_order"),
+              last($"o_orderkey").over(wAll).as("last_order"),
+              nth_value($"o_orderkey", 2).over(wAll).as("second_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_nav" -> (winNav _),
     "win_rank" -> (winRank _),
     "win_lag" -> (winLag _),
     "win_frame_rows" -> (winFrameRows _),
@@ -92,6 +109,17 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "win_nav" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER wall AS first_order,
+        |  last_value(o_orderkey) OVER wall AS last_order,
+        |  nth_value(o_orderkey, 2) OVER wall AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_rank" ->
       """WITH r AS (
         |  SELECT p_brand, p_partkey, p_retailprice,

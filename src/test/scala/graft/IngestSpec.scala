@@ -26,6 +26,28 @@ class IngestSpec extends AnyFunSuite {
     assert(rowsOf(got) == rowsOf(src))
   }
 
+  test("PERMISSIVE CSV read quarantines malformed rows, keeps good ones") {
+    import org.apache.spark.sql.types._
+    val dir = "/tmp/graft_ingest/spec_corrupt_csv"
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.PrintWriter(s"$dir/part.csv")
+    f.println("id,qty,name")
+    f.println("1,10,alpha")
+    f.println("2,notanumber,beta") // malformed qty
+    f.println("3,30,gamma")
+    f.close()
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("qty", IntegerType),
+      StructField("name", StringType)))
+    val got = Ingest.readCsvPermissive(spark, dir, schema).cache()
+    val bad = got.where($"_corrupt_record".isNotNull)
+    val good = got.where($"_corrupt_record".isNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.head().getAs[String]("_corrupt_record").contains("notanumber"))
+    got.unpersist()
+  }
+
   test("bucketed tables join with zero exchanges") {
     // ensure the bucketed tables exist (query builds them on demand)
     Ingest.ingestBucketed(spark, SparkSpec.sfDir).count()
