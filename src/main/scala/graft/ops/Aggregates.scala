@@ -192,7 +192,36 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag", $"metric")
   }
 
+  /** Array aggregation: the set of market segments per nation.
+    * collect_set is order-nondeterministic under parallelism, so the
+    * result is always wrapped in array_sort — the only way an
+    * array-valued aggregate can be reproducible at any partitioning. */
+  def aggCollect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(array_sort(collect_set($"c_mktsegment")).as("segs"),
+           countDistinct($"c_mktsegment").cast("long").as("n_seg"),
+           count(lit(1)).as("n_cust"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Deterministic hash-free sampling: key-modulo buckets give a
+    * reproducible ~4% sample at any scale and any partitioning — the
+    * pattern for carving stable training-data subsets (TABLESAMPLE is
+    * nondeterministic and engine-specific; rand() is neither). */
+  def sampleMod(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .where(pmod($"o_orderkey", lit(25)) === 0)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_collect" -> (aggCollect _),
+    "sample_mod" -> (sampleMod _),
     "agg_pivot" -> (aggPivot _),
     "agg_unpivot" -> (aggUnpivot _),
     "agg_hll_sketch" -> (aggHllSketch _),
@@ -211,6 +240,17 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_collect" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segs,
+        |  count(DISTINCT c_mktsegment) AS n_seg,
+        |  count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "sample_mod" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+        |  ${sqlSumMoney("o_totalprice")} AS total
+        |FROM orders WHERE o_orderkey % 25 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
