@@ -128,20 +128,31 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** Heuristic quality score: length, stopword ratio, mean word length. */
+  /** Heuristic quality score: length, stopword ratio, mean word length.
+    *
+    * quality = 0.3·min(n_tok,100)/100 + 0.4·(1 − n_stop/n_tok)
+    *         + 0.3·min(awl/8, 1)
+    * computed as ONE exact integer ratio num/(4000·n_tok), so both
+    * engines divide the SAME integers → bit-identical doubles → the
+    * final round can never land on different sides of a 6-decimal
+    * boundary (summing three separately-divided doubles diverged in
+    * the last ulp at sf0.1 and flipped a rounding tie). */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stop = langMarkers.values.flatten.map(m => s"'$m'").mkString(",")
     docs(s, dir)
-      .withColumn("n_tok", size(split($"text", " ")).cast("double"))
-      .withColumn("n_stop",
-        expr(s"size(filter(split(text, ' '), x -> x in ($stop)))").cast("double"))
-      .withColumn("awl",
-        length(regexp_replace($"text", " ", "")).cast("double") / $"n_tok")
-      .select($"doc_id", $"n_tok", $"n_stop", round($"awl", 6).as("awl"),
-        round(least($"n_tok" / lit(100.0), lit(1.0)) * lit(0.3) +
-              (lit(1.0) - $"n_stop" / $"n_tok") * lit(0.4) +
-              least($"awl" / lit(8.0), lit(1.0)) * lit(0.3), 6).as("quality"))
+      .withColumn("nt", size(split($"text", " ")).cast("long"))
+      .withColumn("ns",
+        expr(s"size(filter(split(text, ' '), x -> x in ($stop)))").cast("long"))
+      .withColumn("nl", length(regexp_replace($"text", " ", "")).cast("long"))
+      .withColumn("qnum",
+        lit(12L) * least($"nt", lit(100L)) * $"nt" +
+        lit(1600L) * ($"nt" - $"ns") +
+        lit(150L) * least($"nl", lit(8L) * $"nt"))
+      .select($"doc_id", $"nt".cast("double").as("n_tok"),
+        $"ns".cast("double").as("n_stop"),
+        round($"nl".cast("double") / $"nt", 6).as("awl"),
+        round($"qnum".cast("double") / (lit(4000.0) * $"nt"), 6).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -343,15 +354,16 @@ object TextOps extends QueryPack {
       val stop = langMarkers.values.flatten.map(m => s"'$m'").mkString(",")
       s"""WITH q AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE) AS n_stop,
-        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_letters
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS BIGINT) AS ns,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nl
         |  FROM documents)
-        |SELECT doc_id, n_tok, n_stop,
-        |  round(n_letters / n_tok, 6) AS awl,
-        |  round(least(n_tok / 100.0, 1.0) * 0.3 +
-        |        (1.0 - n_stop / n_tok) * 0.4 +
-        |        least((n_letters / n_tok) / 8.0, 1.0) * 0.3, 6) AS quality
+        |SELECT doc_id,
+        |  CAST(nt AS DOUBLE) AS n_tok,
+        |  CAST(ns AS DOUBLE) AS n_stop,
+        |  round(CAST(nl AS DOUBLE) / nt, 6) AS awl,
+        |  round(CAST(12*least(nt, 100)*nt + 1600*(nt - ns)
+        |             + 150*least(nl, 8*nt) AS DOUBLE) / (4000.0 * nt), 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin
     },
     "token_count" ->
