@@ -78,6 +78,22 @@ object Scalars extends QueryPack {
       .orderBy($"c_custkey")
   }
 
+  /** Bitwise surface: and/or/xor/not, shifts, bit_count — flag-mask
+    * arithmetic for packed columns. */
+  def fnBitwise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").select(
+        $"c_custkey",
+        ($"c_custkey".bitwiseAND(255L)).as("lo8"),
+        ($"c_custkey".bitwiseOR(4096L)).as("or12"),
+        ($"c_custkey".bitwiseXOR($"c_nationkey".cast("long"))).as("xr"),
+        bitwise_not($"c_custkey").as("inv"),
+        shiftleft($"c_custkey", 3).as("shl3"),
+        shiftright($"c_custkey", 2).as("shr2"),
+        bit_count($"c_custkey").as("pop"))
+      .orderBy($"c_custkey")
+  }
+
   /** Higher-order array functions over the 64-dim embeddings. */
   def fnArray(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -141,6 +157,7 @@ object Scalars extends QueryPack {
     "fn_string" -> (fnString _),
     "fn_date" -> (fnDate _),
     "fn_math" -> (fnMath _),
+    "fn_bitwise" -> (fnBitwise _),
     "fn_array" -> (fnArray _),
     "fn_map" -> (fnMap _),
     "fn_json" -> (fnJson _),
@@ -177,6 +194,16 @@ object Scalars extends QueryPack {
         |  strftime(o_orderdate, '%Y-%m') AS ym
         |FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY o_orderkey""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT c_custkey,
+        |  c_custkey & 255 AS lo8,
+        |  c_custkey | 4096 AS or12,
+        |  xor(c_custkey, CAST(c_nationkey AS BIGINT)) AS xr,
+        |  ~c_custkey AS inv,
+        |  c_custkey << 3 AS shl3,
+        |  c_custkey >> 2 AS shr2,
+        |  CAST(bit_count(c_custkey) AS INTEGER) AS pop
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_math" ->
       """SELECT c_custkey,
         |  abs(c_acctbal) AS ab,
