@@ -1,4 +1,13 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: every SparkEntry query, count-action, one
+  * JSON line on stdout and the same JSON in a file (stdout tails get
+  * truncated by capture windows; the file is the durable copy). A
+  * query that throws is reported in "errors" — never billed as a
+  * silent timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,13 +20,30 @@ object Bench {
     // comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(e.toString.takeWhile(_ != '\n').take(160)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_err":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/tmp/graft_bench.json")), json)
     spark.stop()
   }
 }

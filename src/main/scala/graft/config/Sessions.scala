@@ -25,4 +25,21 @@ object Sessions {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` capped at `n`,
+    * restoring the previous value after.
+    *
+    * Streaming queries materialize one state-store INSTANCE per shuffle
+    * partition, each with fixed per-micro-batch overhead (snapshot,
+    * maintenance thread, commit) that is independent of data volume —
+    * at toy scale 32 instances cost ~10× the actual work. State
+    * partition count is fixed at first checkpoint, so the cap must wrap
+    * query START; on a real cluster this is sized once via config to
+    * match state volume, not core count. */
+  def withShufflePartitionsCap[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prev.toInt, n).toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

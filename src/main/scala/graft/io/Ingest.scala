@@ -115,26 +115,41 @@ object Ingest extends QueryPack {
     import s.implicits._
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val (to, tl) = (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
-    // the warehouse dir outlives the in-memory catalog across JVMs:
-    // a missing catalog entry with a leftover location must be cleared
-    // before saveAsTable or CTAS refuses the name
-    def freshTable(name: String)(write: => Unit): Unit =
+    // The warehouse dir outlives the in-memory catalog across JVMs. A
+    // completed bucketed layout on disk (_SUCCESS present) is
+    // RE-REGISTERED as an external bucketed table — never rewritten: a
+    // 100 TB bucket rewrite per session would defeat the whole point of
+    // bucketing once at ingestion. Spark derives each file's bucket id
+    // from its `_0000N` filename suffix, so registration restores the
+    // zero-Exchange join property intact. Only an absent or partial
+    // (no _SUCCESS) layout is cleared and written fresh.
+    def ensureBucketed(name: String, ddlCols: String, key: String)
+                      (write: => Unit): Unit =
       if (!s.catalog.tableExists(name)) {
         val p = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        write
+        if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+          s.sql(
+            s"""CREATE TABLE $name ($ddlCols) USING parquet
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+               |LOCATION '${p.toString}'""".stripMargin)
+        } else {
+          if (fs.exists(p)) fs.delete(p, true)
+          write
+        }
       }
     // project at ingestion: the bucketed copies carry only the columns
     // downstream joins/aggs read — at 100 TB you never bucket-rewrite
     // columns nobody will ask for
-    freshTable(to) {
+    ensureBucketed(to, "o_orderkey BIGINT, o_orderstatus STRING", "o_orderkey") {
       Tables.t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
         .write.mode("overwrite").bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey").saveAsTable(to)
     }
-    freshTable(tl) {
+    ensureBucketed(tl,
+      "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+      "l_orderkey") {
       Tables.t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_extendedprice", $"l_discount")
         .write.mode("overwrite").bucketBy(8, "l_orderkey")

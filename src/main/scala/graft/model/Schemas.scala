@@ -32,6 +32,14 @@ case class Lineitem(l_orderkey: Long, l_partkey: Long, l_suppkey: Long,
 
 case class RevenueLine(flag: String, status: String, cents: Long)
 
+/** Narrow typed view for the revenue pipeline: only the columns the
+  * typed lambda reads. The typed map is opaque to Catalyst, so column
+  * pruning must happen BEFORE `.as[T]` — deserializing the full
+  * 11-column Lineitem (timestamps included) for a 4-field computation
+  * costs ~10× the math itself. */
+case class PricedLine(l_returnflag: String, l_linestatus: String,
+                      l_extendedprice: Double, l_discount: Double)
+
 object Schemas extends QueryPack {
 
   def lineitems(s: SparkSession, dir: String): Dataset[Lineitem] = {
@@ -40,11 +48,16 @@ object Schemas extends QueryPack {
   }
 
   /** Typed pipeline: Column predicate first (reaches the scan), then a
-    * typed map into a domain record, then relational agg on top. */
+    * Column projection down to the 4 columns the lambda reads (the
+    * typed map blocks pruning, so pruning precedes it), then a typed
+    * map into a domain record, then relational agg on top. */
   def typedFilterAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    lineitems(s, dir)
+    t(s, dir, "lineitem")
       .where($"l_quantity" > 30.0) // Column form: pushed to parquet
+      .select($"l_returnflag", $"l_linestatus",
+              $"l_extendedprice", $"l_discount")
+      .as[PricedLine]
       .map { li => // typed domain logic: exact cents of discounted price
         RevenueLine(li.l_returnflag, li.l_linestatus,
           math.round(li.l_extendedprice * (1.0 - li.l_discount) * 100))

@@ -6,6 +6,13 @@ import org.apache.spark.sql.types._
 import graft.QueryPack
 import graft.io.Tables.t
 
+/** Decoded media features. Top-level (not nested in the object):
+  * nested encoder targets make generated deserializer code resolve
+  * members against the wrong constructor shape — Spark 4.1.2 then
+  * falls back to interpreted (non-codegen) execution per batch. */
+case class Decoded(doc_id: Long, lang: String, n_bytes: Int,
+                   width: Int, height: Int, mp: Double)
+
 /** North-star multimodal-column operators: opaque binary payloads +
   * typed metadata, decoded per-partition.
   *
@@ -52,9 +59,6 @@ object Multimodal extends QueryPack {
         encode($"text", "UTF-8")))
       .select($"doc_id", $"lang", $"media")
   }
-
-  private case class Decoded(doc_id: Long, lang: String, n_bytes: Int,
-                             width: Int, height: Int, mp: Double)
 
   /** STUB decoder — stands in for a real image codec (none in this
     * container). Parses the deterministic fake header; a production

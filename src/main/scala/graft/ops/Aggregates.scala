@@ -195,12 +195,15 @@ object Aggregates extends QueryPack {
   /** Array aggregation: the set of market segments per nation.
     * collect_set is order-nondeterministic under parallelism, so the
     * result is always wrapped in array_sort — the only way an
-    * array-valued aggregate can be reproducible at any partitioning. */
+    * array-valued aggregate can be reproducible at any partitioning.
+    * The final projection serializes the array (array_join) so the
+    * result is a flat comparable row: nested cells don't sort/hash
+    * portably across engines. */
   def aggCollect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "customer")
       .groupBy($"c_nationkey")
-      .agg(array_sort(collect_set($"c_mktsegment")).as("segs"),
+      .agg(array_join(array_sort(collect_set($"c_mktsegment")), ",").as("segs"),
            countDistinct($"c_mktsegment").cast("long").as("n_seg"),
            count(lit(1)).as("n_cust"))
       .orderBy($"c_nationkey")
@@ -242,7 +245,7 @@ object Aggregates extends QueryPack {
   def oracle: Map[String, String] = Map(
     "agg_collect" ->
       """SELECT c_nationkey,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segs,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,
         |  count(DISTINCT c_mktsegment) AS n_seg,
         |  count(*) AS n_cust
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,

@@ -30,7 +30,9 @@ object Scalars extends QueryPack {
         concat_ws("|", $"p_brand", $"p_type").as("cw"),
         regexp_extract($"p_name", "^([a-z]+) ", 1).as("color"),
         regexp_replace($"p_name", " ", "_").as("snake"),
-        split($"p_name", " ").as("words"),
+        // split result serialized: nested cells don't sort/hash
+        // portably across engines, so arrays leave the query joined
+        array_join(split($"p_name", " "), ",").as("words"),
         trim(lit("  pad  ")).as("trimmed"),
         lpad($"p_brand", 10, "0").as("padded"),
         instr($"p_name", "e").cast("long").as("pos_e"),
@@ -105,12 +107,18 @@ object Scalars extends QueryPack {
         element_at($"embedding", 1).as("first"),
         array_max($"embedding").as("mx"),
         array_min($"embedding").as("mn"),
-        slice(sort_array($"embedding", asc = false), 1, 3).as("top3"),
+        // top-3 as scalar columns, not an array: floats stay compared
+        // as floats (stringifying doubles is engine-divergent)
+        element_at(sort_array($"embedding", asc = false), 1).as("top1"),
+        element_at(sort_array($"embedding", asc = false), 2).as("top2"),
+        element_at(sort_array($"embedding", asc = false), 3).as("top3"),
         size(filter($"emb", x => x > 0.5)).as("n_gt_half"),
         round(aggregate($"emb", lit(0.0), (acc, x) => acc + x * x), 4).as("sumsq"),
         round(aggregate(zip_with($"emb", $"emb", (a, b) => a * b),
                         lit(0.0), (acc, x) => acc + x), 4).as("self_dot"),
-        transform($"emb", x => floor(x * 10).cast("long")).as("buckets"))
+        // long buckets serialize losslessly — integer text is identical
+        // in both engines
+        array_join(transform($"emb", x => floor(x * 10).cast("long")), ",").as("buckets"))
       .where($"vec_id" < 100)
       .orderBy($"vec_id")
   }
@@ -124,7 +132,7 @@ object Scalars extends QueryPack {
         $"event_id",
         element_at($"m", "k").as("k_val"),
         element_at($"m", "twice").as("k2_val"),
-        map_keys($"m").as("keys"),
+        array_join(map_keys($"m"), ",").as("keys"),
         size($"m").as("n_entries"))
       .where($"event_id" < 1000)
       .orderBy($"event_id")
@@ -172,7 +180,7 @@ object Scalars extends QueryPack {
         |  concat_ws('|', p_brand, p_type) AS cw,
         |  regexp_extract(p_name, '^([a-z]+) ', 1) AS color,
         |  regexp_replace(p_name, ' ', '_', 'g') AS snake,
-        |  string_split(p_name, ' ') AS words,
+        |  array_to_string(string_split(p_name, ' '), ',') AS words,
         |  trim('  pad  ') AS trimmed,
         |  lpad(p_brand, 10, '0') AS padded,
         |  CAST(instr(p_name, 'e') AS BIGINT) AS pos_e,
@@ -224,18 +232,20 @@ object Scalars extends QueryPack {
         |  embedding[1] AS first,
         |  list_max(embedding) AS mx,
         |  list_min(embedding) AS mn,
-        |  (list_sort(embedding, 'DESC'))[1:3] AS top3,
+        |  (list_sort(embedding, 'DESC'))[1] AS top1,
+        |  (list_sort(embedding, 'DESC'))[2] AS top2,
+        |  (list_sort(embedding, 'DESC'))[3] AS top3,
         |  CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.5)) AS INTEGER) AS n_gt_half,
         |  round(list_reduce(list_prepend(0.0::DOUBLE, embedding::DOUBLE[]), (acc, x) -> acc + x*x), 4) AS sumsq,
         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> x*x)), (acc, x) -> acc + x), 4) AS self_dot,
-        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x*10) AS BIGINT)) AS buckets
+        |  array_to_string(list_transform(embedding::DOUBLE[], x -> CAST(floor(x*10) AS BIGINT)), ',') AS buckets
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
     "fn_map" ->
       """WITH e AS (
         |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |  FROM events)
         |SELECT event_id, k AS k_val, k*2 AS k2_val,
-        |  ['k','twice'] AS keys, 2 AS n_entries
+        |  'k,twice' AS keys, 2 AS n_entries
         |FROM e WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
     "fn_json" ->
       """SELECT event_id,

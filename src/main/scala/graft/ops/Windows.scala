@@ -60,27 +60,83 @@ object Windows extends QueryPack {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
-  /** Running revenue by order date (RANGE frame: ties all included). */
+  /** Running revenue by order date (RANGE frame: ties all included).
+    *
+    * A bare `Window.orderBy` plans a SINGLE-partition window — every
+    * row through one task, a scale-killer. Instead: two-pass prefix
+    * sum. Pass 1 windows WITHIN a coarse partition (month — dates
+    * never straddle it); pass 2 adds each month's running offset,
+    * computed by a global window over the 12-row month AGGREGATE
+    * (bounded by the calendar, not the data) and broadcast back.
+    * Cents are integers, so partition sum + offset is bit-identical
+    * to the global sum. */
   def winFrameRange(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"o_orderdate")
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "orders")
+    val base = t(s, dir, "orders")
       .where(year($"o_orderdate") === 1997)
+      .withColumn("mo", month($"o_orderdate"))
+      .withColumn("c", cents($"o_totalprice"))
+    val offs = base.groupBy($"mo")
+      .agg(sum($"c").as("mtot"))
+      .withColumn("off",
+        coalesce(sum($"mtot").over(
+          Window.orderBy($"mo")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"mo", $"off")
+    val wIn = Window.partitionBy($"mo").orderBy($"o_orderdate")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("in_sum", sum($"c").over(wIn))
+      .join(broadcast(offs), "mo")
       .select($"o_orderkey", $"o_orderdate",
-              (sum(cents($"o_totalprice")).over(w).cast("double") / 100).as("run_sum"))
+              (($"in_sum" + $"off").cast("double") / 100).as("run_sum"))
       .orderBy($"o_orderdate", $"o_orderkey")
   }
 
-  /** Quartiles + cumulative distribution of customer balances. */
+  /** Quartiles + cumulative distribution of customer balances.
+    *
+    * Same single-partition-window hazard as winFrameRange, same cure:
+    * the ORDER BY carries a unique tie-break, so every rank function
+    * here is a pure function of the global row number and N —
+    * cume_dist = rn/N, percent_rank = (rn-1)/(N-1), ntile(4) =
+    * bucket-of(rn, N). The global rn comes from a two-pass prefix
+    * count: row_number within a coarse balance range, plus the
+    * broadcast count of all lower ranges. The range-bucket aggregate
+    * (bounded by the value domain, not the data) is the only global
+    * window. Both engines then divide the SAME integers → identical
+    * doubles. */
   def winNtileCumdist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
-    t(s, dir, "customer")
+    val base = t(s, dir, "customer")
+      .withColumn("bkt", floor($"c_acctbal" / 1000.0))
+    val counts = base.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+    val offs = counts
+      .withColumn("off",
+        coalesce(sum($"cnt").over(
+          Window.orderBy($"bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"off")
+    val total = counts.agg(sum($"cnt").as("n_total"))
+    val wIn = Window.partitionBy($"bkt")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    base
+      .withColumn("rn_in", row_number().over(wIn).cast("long"))
+      .join(broadcast(offs), "bkt")
+      .crossJoin(broadcast(total))
+      .withColumn("rn", $"rn_in" + $"off")
+      // ntile(4): first N%4 buckets hold N div 4 + 1 rows, the rest
+      // N div 4 — the standard SQL ntile definition, reproduced from
+      // (rn, N) with integer `div` (Column `/` is double division)
+      .withColumn("q_small", expr("n_total div 4"))
+      .withColumn("q_rem", $"n_total" % 4)
+      .withColumn("q_cut", $"q_rem" * ($"q_small" + 1))
       .select($"c_custkey", $"c_acctbal",
-              ntile(4).over(w).as("quartile"),
-              cume_dist().over(w).as("cd"),
-              percent_rank().over(w).as("pr"))
+              when($"rn" <= $"q_cut",
+                   expr("(rn - 1) div (q_small + 1) + 1"))
+                .otherwise(expr("q_rem + (rn - q_cut - 1) div q_small + 1"))
+                .cast("int").as("quartile"),
+              ($"rn".cast("double") / $"n_total").as("cd"),
+              (($"rn" - 1).cast("double") / ($"n_total" - 1)).as("pr"))
       .orderBy($"c_custkey")
   }
 

@@ -80,22 +80,24 @@ object Streams extends QueryPack {
   /** Watermarked tumbling windows + in-watermark dedup: late data
     * beyond 10 min is dropped, duplicate event_ids inside the
     * watermark are deduped before aggregation. */
-  def streamWatermark(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val agg = eventStream(s, dir)
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
-      .groupBy(window($"ts", "15 minutes"), $"event_type")
-      .agg(count(lit(1)).as("n"))
-      .select($"window.start".as("w_start"), $"event_type", $"n")
-    drain(agg, "graft_stream_watermark", OutputMode.Update())
-      .orderBy($"w_start", $"event_type")
-  }
+  def streamWatermark(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
+      import s.implicits._
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window($"ts", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("w_start"), $"event_type", $"n")
+      drain(agg, "graft_stream_watermark", OutputMode.Update())
+        .orderBy($"w_start", $"event_type")
+    }
 
   /** Custom per-key state via flatMapGroupsWithState: running count /
     * exact sum / first / last per user. State updates are commutative
     * + associative, so results are identical under any input order. */
-  def streamStateful(s: SparkSession, dir: String): DataFrame = {
+  def streamStateful(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
     import s.implicits._
     val typed = eventStream(s, dir)
       .select($"user_id", unix_micros($"ts").as("us"),
@@ -115,14 +117,15 @@ object Streams extends QueryPack {
       }
     drain(out.toDF(), "graft_stream_stateful", OutputMode.Update())
       .orderBy($"user_id")
-  }
+    }
 
   /** Same rollup via Spark 4.x transformWithState (the arbitrary-state
     * successor to flatMapGroupsWithState): typed ValueState per key,
     * RocksDB state store (the provider transformWithState requires —
     * also the right choice at scale: state lives off-heap/on-disk with
     * changelog checkpointing instead of full in-memory maps). */
-  def streamTws(s: SparkSession, dir: String): DataFrame = {
+  def streamTws(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
     import s.implicits._
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -142,14 +145,15 @@ object Streams extends QueryPack {
       case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
-  }
+    }
 
   /** Stream-stream interval join: each purchase joined to clicks by the
     * same user within the preceding 30 minutes. Both sides carry
     * watermarks, and the time-bound condition lets Spark evict join
     * state once the watermark passes the interval — bounded state at
     * any scale, the canonical streaming-join pattern. */
-  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamJoin(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
     import s.implicits._
     val ev = eventStream(s, dir)
     val clicks = ev.where($"event_type" === "click")
@@ -165,20 +169,66 @@ object Streams extends QueryPack {
       .select($"p_user".as("user_id"), $"purchase_id", $"click_id")
     drain(agg, "graft_stream_join", OutputMode.Append())
       .orderBy($"user_id", $"purchase_id", $"click_id")
-  }
+    }
+
+  /** Per-user session windows (30-min inactivity gap) under TRUE
+    * readStream — the batch twin lives in StreamingBatch. Session
+    * aggregation streams in APPEND mode only: a session is emitted
+    * (and its state evicted) once the watermark passes its close, so
+    * state stays bounded at any scale. After the one-file drain the
+    * watermark rests at max(ts) − 10 min, so sessions still open
+    * against that watermark are intentionally absent — the oracle
+    * mirrors the same emission predicate. */
+  def streamSessionRs(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
+      import s.implicits._
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"),
+             graft.util.Det.sumMoney($"value").as("val_sum"))
+        .select($"user_id", $"session_window.start".as("sess_start"),
+                $"n", $"val_sum")
+      drain(agg, "graft_stream_session_rs", OutputMode.Append())
+        .orderBy($"user_id", $"sess_start")
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark" -> (streamWatermark _),
     "stream_stateful" -> (streamStateful _),
     "stream_tws" -> (streamTws _),
+    "stream_session_rs" -> (streamSessionRs _),
     "stream_join" -> (streamJoin _))
 
   // Watermark/state queries have no SQL twin and are verified by
-  // StreamsSpec against batch equivalents. The INNER interval join is
-  // the exception: draining the file in one batch emits every match
-  // (watermark eviction only drops state across batches), so its
-  // result equals the batch interval join and can be oracled.
+  // StreamsSpec against batch equivalents. Two exceptions can be
+  // oracled because a single-file drain runs as ONE micro-batch
+  // (watermark eviction only drops state across batches): the INNER
+  // interval join emits every match, and the session aggregation
+  // emits every fully-merged session — both equal their batch twins.
   def oracle: Map[String, String] = Map(
+    // The trailing WHERE mirrors append-mode emission: only sessions
+    // closed against the final watermark (max ts − 10 min) have been
+    // emitted; later sessions are still open state.
+    "stream_session_rs" ->
+      s"""WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS n,
+        |  ${graft.util.Det.sqlSumMoney("value")} AS val_sum
+        |FROM s, wm GROUP BY user_id, sid, wm.w
+        |HAVING max(ts) + INTERVAL '30 minutes' < wm.w
+        |ORDER BY user_id, sess_start""".stripMargin,
     "stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
         |FROM events p JOIN events c

@@ -43,14 +43,29 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Hot-shingle document-frequency cap for the n-gram self-join: a
+    * "stop shingle" shared by k docs makes a k² join group — at 100 TB
+    * one boilerplate phrase in 1% of docs is a quadratic blowup. Any
+    * shingle in more than this many docs (per source) is dropped from
+    * CANDIDATE GENERATION (set sizes stay exact), bounding every join
+    * group at CAP². Mirrored verbatim in the DuckDB oracles, so the
+    * semantics are checked, not just asserted. */
+  val hotShingleCap = 50
+
   /** Word-3-gram Jaccard near-dup pairs within the same source.
     * Exact set semantics (distinct shingles), SQL-oracle-able; the
-    * probabilistic MinHash/SimHash variants live in graft.vec. */
+    * probabilistic MinHash/SimHash variants live in graft.vec.
+    * Shingles hotter than [[hotShingleCap]] are excluded from the
+    * self-join (skew bound); intersection counts therefore exclude
+    * them while set sizes don't — a pair must share enough RARE
+    * shingles to surface, the standard stop-shingle trade. */
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // per-doc shingle-set size rides along as a window count, so the
-    // expensive shingle subtree appears only twice in the plan (the
-    // two join sides) instead of four times (sides + two size joins)
+    // per-doc shingle-set size and per-shingle doc frequency ride
+    // along as window counts, so the expensive shingle subtree appears
+    // only twice in the plan (the two join sides) instead of six times
+    // (sides + two size joins + two df joins); the (source, sh) window
+    // partitioning matches the join keys, so its exchange is reused
     val sh = docs(s, dir)
       .withColumn("w", split($"text", " "))
       .select($"doc_id", $"source",
@@ -59,6 +74,8 @@ object TextOps extends QueryPack {
         )).as("sh"))
       .distinct()
       .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"sh")))
+      .where($"df" <= hotShingleCap)
     val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"),
                       $"sh", $"sz".as("sz_a"))
     val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"),
@@ -262,9 +279,9 @@ object TextOps extends QueryPack {
         |  text <> scrubbed AS changed
         |FROM s ORDER BY doc_id""".stripMargin,
     "dedup_survivors" ->
-      """WITH n AS (
+      s"""WITH n AS (
         |  SELECT doc_id, source,
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
         |  FROM documents),
         |exact_b AS (
         |  SELECT b.doc_id AS doc_b FROM n a JOIN n b
@@ -275,10 +292,13 @@ object TextOps extends QueryPack {
         |sh AS (SELECT DISTINCT doc_id, source,
         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
+        |shc AS (SELECT s.doc_id, s.source, s.sh FROM sh s
+        |        JOIN df USING (source, sh) WHERE df <= $hotShingleCap),
         |near_b AS (
         |  SELECT doc_b FROM (
         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |    FROM sh a JOIN sh b
+        |    FROM shc a JOIN shc b
         |      ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
         |    GROUP BY 1, 2) p
         |  JOIN sz za ON p.doc_a = za.doc_id
@@ -301,15 +321,18 @@ object TextOps extends QueryPack {
         |SELECT doc_id, lang, source, n_copies FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         |ix AS (SELECT doc_id, source, w,
         |         unnest(generate_series(1, len(w) - 2)) AS i FROM w),
         |sh AS (SELECT DISTINCT doc_id, source,
         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
+        |shc AS (SELECT s.doc_id, s.source, s.sh FROM sh s
+        |        JOIN df USING (source, sh) WHERE df <= $hotShingleCap),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b
+        |  FROM shc a JOIN shc b
         |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, inter,

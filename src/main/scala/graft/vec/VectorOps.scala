@@ -160,9 +160,13 @@ object VectorOps extends QueryPack {
   def dedupNear(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sig = minhashSignatures(t(s, dir, "documents"), nHashes = 16)
+    // signature/bands serialized in the final projection (integer text
+    // is lossless); nested cells don't sort/hash portably downstream
     sig.select($"doc_id", $"sig",
         expr("transform(sequence(0, 3), b -> hash(b, slice(sig, b*4 + 1, 4)))").as("bands"))
-      .select($"doc_id", $"sig", $"bands",
+      .select($"doc_id",
+        expr("array_join(transform(sig, x -> cast(x as string)), ',')").as("sig"),
+        expr("array_join(transform(bands, x -> cast(x as string)), ',')").as("bands_joined"),
         element_at($"bands", 1).as("band0"))
       .orderBy($"doc_id")
   }

@@ -45,4 +45,28 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("join_theta")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
+
+  // A Window with an empty partition spec plans a SinglePartition
+  // exchange — every row through one task. Allowed only above an
+  // Aggregate (input bounded by the group-key domain, not the data).
+  private def assertNoGlobalWindowOverRawData(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, SparkSpec.sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    val plan = df.queryExecution.optimizedPlan
+    def hasAggBelow(p: LogicalPlan): Boolean =
+      p.isInstanceOf[Aggregate] || p.children.exists(hasAggBelow)
+    val offenders = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+    }
+    assert(offenders.isEmpty,
+      s"$name has a global window over unaggregated data:\n${offenders.mkString("\n")}")
+  }
+
+  test("win_frame_range never windows the raw data in a single partition") {
+    assertNoGlobalWindowOverRawData("win_frame_range")
+  }
+
+  test("win_ntile_cumdist never windows the raw data in a single partition") {
+    assertNoGlobalWindowOverRawData("win_ntile_cumdist")
+  }
 }
