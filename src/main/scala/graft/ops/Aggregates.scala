@@ -222,7 +222,26 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderstatus")
   }
 
+  /** Exact quartiles of order value per priority. Computed over CENTS
+    * (integers): the quartile fractions 0.25/0.5/0.75 are exact binary
+    * doubles, so linear interpolation between two integers is the
+    * SAME double in any engine and any evaluation order — exact
+    * percentile stays deterministic at any partitioning. (Exact
+    * percentile holds a per-group value buffer — fine for bounded
+    * groups like these; unbounded groups get approx_percentile.) */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pct(p: String): Column =
+      expr(s"percentile(CAST(round(o_totalprice*100) AS BIGINT), $p)") / 100
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(pct("0.25").as("p25"), pct("0.5").as("p50"),
+           pct("0.75").as("p75"), count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentile" -> (aggPercentile _),
     "agg_collect" -> (aggCollect _),
     "sample_mod" -> (sampleMod _),
     "agg_pivot" -> (aggPivot _),
@@ -243,6 +262,13 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25)/100 AS p25,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5)/100 AS p50,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75)/100 AS p75,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_collect" ->
       """SELECT c_nationkey,
         |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,

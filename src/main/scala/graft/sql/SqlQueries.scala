@@ -77,12 +77,60 @@ object SqlQueries extends QueryPack {
         |ORDER BY c_nationkey, rk""".stripMargin)
   }
 
+  /** TPC-H Q3 shape (shipping-priority top-N): 3-way join, grouped
+    * cents-exact revenue, deterministic top-10 (revenue ties broken by
+    * date then key, so LIMIT is stable across engines). Spark plans
+    * TakeOrderedAndProject — no global sort at any scale. */
+  private val q3Sql =
+    s"""SELECT l_orderkey,
+      |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-03-15'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  def sqlTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q3Sql)
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): IN over a grouped HAVING
+    * subquery (RewritePredicateSubquery → left-semi on the aggregate).
+    * l_quantity values are integral doubles, so sum() is exact and
+    * order-independent — the HAVING threshold cannot flip between
+    * engines. */
+  private val q18Sql =
+    """SELECT c_custkey, o_orderkey, sum(l_quantity) AS qty_sum
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+      |GROUP BY c_custkey, o_orderkey
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
+  def sqlInHaving(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q18Sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists" -> (sqlExists _),
     "sql_corr_scalar" -> (sqlCorrScalar _),
+    "sql_tpch_q3" -> (sqlTpchQ3 _),
+    "sql_in_having" -> (sqlInHaving _),
     "sql_cte_window" -> (sqlCteWindow _))
 
   def oracle: Map[String, String] = Map(
+    // both engines speak the same text for the TPC-H shapes
+    "sql_tpch_q3" -> q3Sql,
+    "sql_in_having" -> q18Sql,
     "sql_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

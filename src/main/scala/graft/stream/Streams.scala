@@ -81,7 +81,7 @@ object Streams extends QueryPack {
     * beyond 10 min is dropped, duplicate event_ids inside the
     * watermark are deduped before aggregation. */
   def streamWatermark(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
       import s.implicits._
       val agg = eventStream(s, dir)
         .withWatermark("ts", "10 minutes")
@@ -97,7 +97,7 @@ object Streams extends QueryPack {
     * exact sum / first / last per user. State updates are commutative
     * + associative, so results are identical under any input order. */
   def streamStateful(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
     import s.implicits._
     val typed = eventStream(s, dir)
       .select($"user_id", unix_micros($"ts").as("us"),
@@ -125,7 +125,7 @@ object Streams extends QueryPack {
     * also the right choice at scale: state lives off-heap/on-disk with
     * changelog checkpointing instead of full in-memory maps). */
   def streamTws(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
     import s.implicits._
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -153,7 +153,7 @@ object Streams extends QueryPack {
     * state once the watermark passes the interval — bounded state at
     * any scale, the canonical streaming-join pattern. */
   def streamJoin(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
     import s.implicits._
     val ev = eventStream(s, dir)
     val clicks = ev.where($"event_type" === "click")
@@ -180,7 +180,7 @@ object Streams extends QueryPack {
     * against that watermark are intentionally absent — the oracle
     * mirrors the same emission predicate. */
   def streamSessionRs(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(s, 8) {
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
       import s.implicits._
       val agg = eventStream(s, dir)
         .withWatermark("ts", "10 minutes")
@@ -193,11 +193,31 @@ object Streams extends QueryPack {
         .orderBy($"user_id", $"sess_start")
     }
 
+  /** 10-minute windows sliding by 5 under TRUE readStream (batch twin
+    * in StreamingBatch). Sliding windows are stateless bucket
+    * assignment + stateful agg; UPDATE mode emits every window version,
+    * and a one-file drain is a single micro-batch, so the drained
+    * table holds each window's final counts — the batch oracle applies
+    * verbatim. */
+  def streamSlideRs(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+             graft.util.Det.sumMoney($"value").as("val_sum"))
+        .select($"window.start".as("w_start"), $"event_type", $"n", $"val_sum")
+      drain(agg, "graft_stream_slide_rs", OutputMode.Update())
+        .orderBy($"w_start", $"event_type")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark" -> (streamWatermark _),
     "stream_stateful" -> (streamStateful _),
     "stream_tws" -> (streamTws _),
     "stream_session_rs" -> (streamSessionRs _),
+    "stream_slide_rs" -> (streamSlideRs _),
     "stream_join" -> (streamJoin _))
 
   // Watermark/state queries have no SQL twin and are verified by
@@ -207,6 +227,15 @@ object Streams extends QueryPack {
   // interval join emits every match, and the session aggregation
   // emits every fully-merged session — both equal their batch twins.
   def oracle: Map[String, String] = Map(
+    "stream_slide_rs" ->
+      s"""WITH shifted AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS w_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+        |SELECT w_start, event_type, count(*) AS n,
+        |  ${graft.util.Det.sqlSumMoney("value")} AS val_sum
+        |FROM shifted GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     // The trailing WHERE mirrors append-mode emission: only sessions
     // closed against the final watermark (max ts − 10 min) have been
     // emitted; later sessions are still open state.

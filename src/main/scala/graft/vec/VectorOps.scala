@@ -111,9 +111,56 @@ object VectorOps extends QueryPack {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Assign every vector to its nearest centroid by cosine (broadcast
+    * centroids, fused codegen'd dot per pair, argmax via window over
+    * the k-row group). */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    e.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+              col("cent_id").as("cell"))
+  }
+
+  /** Lloyd's k-means over the embedding corpus, pure DataFrame ops —
+    * the centroid-training job that feeds IVF. Per iteration: one
+    * corpus scan for assignment (broadcast centroids — the corpus
+    * never shuffles), then a per-dimension mean via posexplode +
+    * two-level agg whose output is k×dim rows (model-sized, not
+    * data-sized). Seeds are fixed vec_ids, so the run is reproducible.
+    * The result is localCheckpoint'd: k×dim doubles are model state,
+    * and truncating the lineage keeps downstream plans from replaying
+    * every training pass. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    // train on a deterministic ~10% key-modulo sample: centroid
+    // QUALITY needs a representative sample, not the full corpus —
+    // the standard coarse-quantizer trade, and the only affordable
+    // one when the corpus is 100 TB
+    val train = e.where(pmod(col("vec_id"), lit(10)) === 0)
+    var cent = e.where(col("vec_id") % 100 === 0 && col("vec_id") < k * 100)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"),
+              col("nrm").as("c_nrm"))
+    for (_ <- 1 to iters) {
+      val byDim = assignCells(train, cent)
+        .select(col("cell"), posexplode(col("emb")).as(Seq("d", "v")))
+        .groupBy(col("cell"), col("d"))
+        .agg(avg(col("v")).as("mv"))
+      cent = byDim
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("pairs"))
+        .select(col("cell").as("cent_id"),
+                expr("transform(pairs, p -> p.mv)").as("c_emb"))
+        .withColumn("c_nrm", l2Norm(col("c_emb")))
+    }
+    cent.localCheckpoint(true)
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into k cells (nearest
-    * centroid by cosine; centroids here are k deterministic seed
-    * vectors — at scale they come from a separate k-means job), then
+    * centroid by cosine; centroids from the k-means job above), then
     * probe only the nprobe best cells per query. The cell assignment
     * is the inverted list: candidate generation is an equi-join on
     * cell id, so the corpus side shuffles once on cell and a 1000×
@@ -124,15 +171,9 @@ object VectorOps extends QueryPack {
     val k = 16      // centroids
     val nprobe = 2  // cells probed per query
     val e = emb(s, dir)
-    val cent = e.where($"vec_id" % 100 === 0).limit(k)
-      .select($"vec_id".as("cent_id"), $"emb".as("c_emb"), $"nrm".as("c_nrm"))
-    // corpus → nearest centroid = its cell
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"cent_id".asc)
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("c_cos", dot($"emb", $"c_emb") / ($"nrm" * $"c_nrm"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where($"rn" === 1)
-      .select($"vec_id", $"emb", $"nrm", $"cent_id".as("cell"))
+    val cent = kmeansCentroids(e, k, iters = 2)
+    // corpus → nearest centroid = its cell (the inverted list)
+    val assigned = assignCells(e, cent)
     // queries → their nprobe closest cells
     val q = e.where($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
