@@ -146,6 +146,36 @@ object Joins extends QueryPack {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** Range (band) self-join AT SCALE: pairs of events by the same user
+    * within 5 minutes of each other. The naive formulation is a
+    * non-equi join → BNLJ → quadratic; the scale-safe one quantizes
+    * time into band-width buckets and EQUI-joins on (user, bucket):
+    * the probe side explodes to its bucket and the next (any pair
+    * within W spans at most one boundary when ordered by time), and a
+    * residual predicate keeps exact semantics. Shuffle keys on
+    * (user_id, bucket) — high-cardinality, skew-free, linear in the
+    * pair count instead of |A|×|B|. Each unordered pair is counted
+    * exactly once (time order, id tie-break), so no distinct needed. */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 5L * 60 * 1000000 // 5-minute band in µs
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_id",
+              unix_micros($"ts".cast("timestamp")).as("us"))
+    val a = ev.select($"user_id", $"event_id".as("id_first"), $"us".as("us_a"))
+      .withColumn("bkt", explode(array(expr(s"us_a div $W"),
+                                       expr(s"us_a div $W + 1"))))
+    val b = ev.select($"user_id", $"event_id".as("id_second"), $"us".as("us_b"))
+      .withColumn("bkt", expr(s"us_b div $W"))
+    a.join(b, Seq("user_id", "bkt"))
+      .where($"us_b" - $"us_a" <= W &&
+             ($"us_a" < $"us_b" ||
+              ($"us_a" === $"us_b" && $"id_first" < $"id_second")))
+      .select($"user_id", $"id_first", $"id_second",
+              ($"us_b" - $"us_a").as("gap_us"))
+      .orderBy($"user_id", $"id_first", $"id_second")
+  }
+
   /** Skew-safe equi join: salt the fact side into S shards and
     * replicate the dim side S times, so a hot key's rows spread over S
     * reducers instead of one. Semantics-preserving — the oracle is the
@@ -170,6 +200,7 @@ object Joins extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range" -> (joinRange _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_broadcast" -> (joinBroadcast _),
     "join_shuffle" -> (joinShuffle _),
@@ -182,6 +213,16 @@ object Joins extends QueryPack {
     "join_asof" -> (joinAsof _))
 
   def oracle: Map[String, String] = Map(
+    // the oracle states the SEMANTICS (plain band join); the Spark
+    // side must reproduce it from the bucketed formulation exactly
+    "join_range" ->
+      """SELECT a.user_id, a.event_id AS id_first, b.event_id AS id_second,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
+        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        |ORDER BY a.user_id, id_first, id_second""".stripMargin,
     "join_skew_salted" ->
       s"""SELECT c_mktsegment, count(*) AS n_events,
         |  ${sqlSumMoney("value")} AS val_sum

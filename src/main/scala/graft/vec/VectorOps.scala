@@ -247,10 +247,9 @@ object VectorOps extends QueryPack {
   /** 64-bit SimHash per doc: weighted bit-majority over token hashes,
     * one fold per doc (no explode). No oracle; Hamming-neighbor
     * detection on planted dups in tests. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents")
-      .withColumn("toks", split($"text", " "))
+  def simhashOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
       .withColumn("votes", expr(
         """aggregate(toks, array_repeat(0L, 64),
           |  (acc, t) -> zip_with(acc, transform(sequence(0, 63),
