@@ -214,14 +214,19 @@ object Joins extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     // the oracle states the SEMANTICS (plain band join); the Spark
-    // side must reproduce it from the bucketed formulation exactly
+    // side must reproduce it from the bucketed formulation exactly.
+    // Comparisons run on epoch_us values, NOT raw ts: DuckDB reads
+    // events.ts at ns precision while Spark truncates to µs, so a
+    // ns-level `a.ts < b.ts` tie-break would diverge for pairs inside
+    // the same microsecond.
     "join_range" ->
-      """SELECT a.user_id, a.event_id AS id_first, b.event_id AS id_second,
-        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
-        |FROM events a JOIN events b
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS id_first, b.event_id AS id_second,
+        |  b.us - a.us AS gap_us
+        |FROM e a JOIN e b
         |  ON a.user_id = b.user_id
-        | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
-        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        | AND b.us - a.us BETWEEN 0 AND 300000000
+        | AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
         |ORDER BY a.user_id, id_first, id_second""".stripMargin,
     "join_skew_salted" ->
       s"""SELECT c_mktsegment, count(*) AS n_events,

@@ -226,21 +226,22 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** End-to-end dedup survivor selection: union exact-duplicate pairs
-    * (same normalized text) with near-duplicate pairs (3-gram Jaccard
-    * ≥ 0.6 within source), orient every pair min-id → max-id, and drop
-    * each doc that loses any pairing. One anti-join against the pair
-    * set — no iteration, no driver-side loop; survivors of a 100 TB
-    * corpus fall out of one shuffle round. */
+  /** End-to-end dedup survivor selection: union exact-duplicate losers
+    * (every doc that is not the min-id of its normalized-text group)
+    * with near-duplicate losers (3-gram Jaccard ≥ 0.6 within source),
+    * and drop each doc that loses either way. The exact stage is
+    * min-per-group — NOT a self-join on norm: a k-copy group costs k
+    * window rows instead of k² join pairs, so one boilerplate page
+    * duplicated 10⁶ times at 100 TB stays a 10⁶-row group, not a
+    * 10¹²-row join. One anti-join, no iteration, no driver loop. */
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir)
     val exactPairs = d.withColumn("norm", normCol)
       .select($"doc_id", $"norm")
-      .join(d.withColumn("norm", normCol).select($"doc_id".as("doc_b"), $"norm"),
-            Seq("norm"))
-      .where($"doc_id" < $"doc_b")
-      .select($"doc_b")
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"norm")))
+      .where($"doc_id" =!= $"keep_id")
+      .select($"doc_id".as("doc_b"))
     val nearPairs = dedupNgram(s, dir)
       .where($"jaccard" >= 0.6)
       .select($"doc_b")

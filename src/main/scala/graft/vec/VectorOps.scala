@@ -257,9 +257,11 @@ object VectorOps extends QueryPack {
           |    (a, v) -> a + v))""".stripMargin))
       .withColumn("simhash", expr(
         "aggregate(zip_with(votes, sequence(0, 63), (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"))
-      .select($"doc_id", $"simhash", size($"toks").as("n_tok"))
-      .orderBy($"doc_id")
-  }
+      .select(col("doc_id"), col("simhash"), size(col("toks")).as("n_tok"))
+      .orderBy(col("doc_id"))
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashOf(t(s, dir, "documents"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_search" -> (simSearch _),
