@@ -35,11 +35,18 @@ object Sessions {
     * at toy scale 32 instances cost ~10× the actual work. State
     * partition count is fixed at first checkpoint, so the cap must wrap
     * query START; on a real cluster this is sized once via config to
-    * match state volume, not core count. */
-  def withShufflePartitionsCap[T](s: SparkSession, n: Int)(f: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.min(prev.toInt, n).toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+    * match state volume, not core count.
+    *
+    * Mutates shared session conf: the set/restore pair is synchronized
+    * on the session so concurrent callers can't interleave restores,
+    * but `f` itself runs the query-start single-threaded by design
+    * (Verify/Bench/tests all drive queries sequentially). */
+  def withShufflePartitionsCap[T](s: SparkSession, n: Int)(f: => T): T =
+    s.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val prevN = scala.util.Try(prev.toInt).getOrElse(n)
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevN, n).toString)
+      try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 }

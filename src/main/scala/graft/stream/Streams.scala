@@ -256,7 +256,7 @@ object Streams extends QueryPack {
         |SELECT user_id, min(ts) AS sess_start, count(*) AS n,
         |  ${graft.util.Det.sqlSumMoney("value")} AS val_sum
         |FROM s, wm GROUP BY user_id, sid, wm.w
-        |HAVING max(ts) + INTERVAL '30 minutes' < wm.w
+        |HAVING max(ts) + INTERVAL '30 minutes' <= wm.w
         |ORDER BY user_id, sess_start""".stripMargin,
     "stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id

@@ -141,7 +141,13 @@ object VectorOps extends QueryPack {
     // the standard coarse-quantizer trade, and the only affordable
     // one when the corpus is 100 TB
     val train = e.where(pmod(col("vec_id"), lit(10)) === 0)
-    var cent = e.where(col("vec_id") % 100 === 0 && col("vec_id") < k * 100)
+    // exactly k seeds regardless of corpus size: prefer ids spread
+    // 100 apart (vec_id ≡ 0 mod 100), then fill from the next strata.
+    // orderBy+limit(k) plans as TakeOrderedAndProject — per-partition
+    // top-k then a k-row driver merge, never a global sort.
+    var cent = e
+      .orderBy(pmod(col("vec_id"), lit(100)), col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"),
               col("nrm").as("c_nrm"))
     for (_ <- 1 to iters) {

@@ -69,4 +69,49 @@ class PlanSpec extends AnyFunSuite {
   test("win_ntile_cumdist never windows the raw data in a single partition") {
     assertNoGlobalWindowOverRawData("win_ntile_cumdist")
   }
+
+  // join_skew_salted sells explicit salting as the portable skew fix;
+  // this is the other half of the 100 TB story: AQE detecting the hot
+  // key at runtime and splitting the skewed partition itself. Thresholds
+  // are lowered to make a local-scale hot key visible to the detector;
+  // on a cluster the defaults (256 MB / 5× median) play the same role.
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 0 carries half the left side → one shuffle partition
+      // ~30× the median. The payload is xxhash64 noise so lz4 can't
+      // compress the hot partition back under the detector threshold.
+      val left = spark.range(0, 200000)
+        .select(when($"id" < 100000, 0L).otherwise($"id").as("k"),
+                xxhash64($"id").as("v"))
+      val right = spark.range(0, 200000)
+        .select($"id".as("k"), xxhash64($"id", $"id").as("w"))
+      // the agg consumes the payload columns so pruning can't shrink
+      // the shuffle below the detector's byte threshold (max, not sum:
+      // ANSI mode overflows summing xxhash64 longs)
+      val joined = left.join(right, "k")
+        .groupBy().agg(count(lit(1)).as("n"), max($"v").as("mv"), max($"w").as("mw"))
+      // collect() (not head(), which plans a separate limited execution)
+      // so the adaptive plan below is the one that actually ran
+      assert(joined.collect()(0).getLong(0) == 200000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not mark the skewed join:\n${finalPlan.take(1500)}")
+      assert(finalPlan.contains("AQEShuffleRead skewed"),
+        s"AQE did not split the skewed partition:\n${finalPlan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -71,4 +71,36 @@ class StreamsSpec extends AnyFunSuite {
     // late event 4 must NOT be counted in the [100,110) window
     assert(rows.get(100L).contains(2L), s"got $rows")
   }
+
+  /** Pins the append-mode eviction predicate for session windows:
+    * Spark emits a session when `session.end <= watermark` (boundary
+    * INCLUSIVE) — the stream_session_rs oracle's HAVING mirrors this
+    * exactly. If this spec ever fails on a Spark upgrade, flip the
+    * oracle comparison with it. */
+  test("session window ending exactly at the watermark is emitted (end <= wm)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, epoch-sec)
+    val q = mem.toDF().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window($"ts", "30 seconds"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.end".as("sess_end"), $"n")
+      .writeStream.format("memory").queryName("sess_boundary_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 session = [100, 130); max ts 140 → watermark becomes 130,
+      // exactly the session end. user 2's session [120, 150) stays open.
+      mem.addData((1L, 100L), (2L, 120L), (3L, 140L))
+      q.processAllAvailable()
+      mem.addData((4L, 141L)) // second batch: evict against wm=130
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("sess_boundary_test")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.getEpochSecond)).toSet
+    assert(emitted.contains((1L, 130L)),
+      s"session ending at watermark 130 not emitted; got $emitted")
+    assert(!emitted.exists(_._1 == 2L), s"open session emitted: $emitted")
+  }
 }

@@ -92,6 +92,10 @@ class VectorOpsSpec extends AnyFunSuite {
     val e = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
       .withColumn("emb", $"embedding".cast(ArrayType(DoubleType)))
       .withColumn("nrm", l2Norm($"emb"))
+    // seed selection honors k exactly even when the corpus has fewer
+    // than 100*k rows (iters=0 returns the raw seeds)
+    val seeds = VectorOps.kmeansCentroids(e, k = 16, iters = 0).collect()
+    assert(seeds.length == 16, s"got ${seeds.length} seeds, want 16")
     val cent = VectorOps.kmeansCentroids(e, k = 16, iters = 2)
     val rows = cent.collect()
     // Lloyd iterations drop emptied cells (random-ish embeddings
