@@ -240,8 +240,28 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** Sketch twin of agg_percentile for UNBOUNDED groups:
+    * `approx_percentile` (Greenwald-Khanna) holds an ε-bounded summary
+    * per group instead of a full value buffer, so a group with 10⁹
+    * rows at 100 TB costs O(1/ε log εN) memory and merges map-side
+    * like any partial aggregate. accuracy=10000 ⇒ rank error ≤ 1e-4.
+    * No oracle (sketch internals are engine-specific); OperatorSpec
+    * bounds each estimate against the exact quartiles by rank. */
+  def aggPercentileApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pct(p: String): Column =
+      expr(s"approx_percentile(CAST(round(o_totalprice*100) AS BIGINT), $p, 10000)")
+        .cast("double") / 100
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(pct("0.25").as("p25"), pct("0.5").as("p50"),
+           pct("0.75").as("p75"), count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_percentile" -> (aggPercentile _),
+    "agg_percentile_approx" -> (aggPercentileApprox _),
     "agg_collect" -> (aggCollect _),
     "sample_mod" -> (sampleMod _),
     "agg_pivot" -> (aggPivot _),

@@ -120,16 +120,70 @@ object SqlQueries extends QueryPack {
     s.sql(q18Sql)
   }
 
+  /** TPC-H Q5 shape (local-supplier volume): 6-table star join with
+    * the customer-and-supplier-same-nation constraint, grouped
+    * cents-exact revenue per nation. Exercises SQL-side join reorder
+    * across the full dim chain (the DataFrame twin is join_multiway);
+    * nation/region broadcast, fact-fact shuffles key on the join keys.
+    * Ties broken by n_name so DESC order is engine-stable. */
+  private val q5Sql =
+    s"""SELECT n_name,
+      |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  def sqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q5Sql)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to
+    * returns per customer over one quarter, top-20. Deterministic
+    * LIMIT (revenue DESC, then c_custkey) plans as
+    * TakeOrderedAndProject — per-partition top-20, no global sort. */
+  private val q10Sql =
+    s"""SELECT c_custkey, c_name, n_name,
+      |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue,
+      |  round(c_acctbal, 2) AS bal
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def sqlTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q10Sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists" -> (sqlExists _),
     "sql_corr_scalar" -> (sqlCorrScalar _),
     "sql_tpch_q3" -> (sqlTpchQ3 _),
+    "sql_tpch_q5" -> (sqlTpchQ5 _),
+    "sql_tpch_q10" -> (sqlTpchQ10 _),
     "sql_in_having" -> (sqlInHaving _),
     "sql_cte_window" -> (sqlCteWindow _))
 
   def oracle: Map[String, String] = Map(
     // both engines speak the same text for the TPC-H shapes
     "sql_tpch_q3" -> q3Sql,
+    "sql_tpch_q5" -> q5Sql,
+    "sql_tpch_q10" -> q10Sql,
     "sql_in_having" -> q18Sql,
     "sql_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders

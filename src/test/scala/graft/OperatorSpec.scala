@@ -106,4 +106,24 @@ class OperatorSpec extends AnyFunSuite {
       .select($"sk", $"ck").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L), (2L, 12L)))
   }
+
+  test("approx_percentile estimates respect the rank-error bound vs exact") {
+    val rows = graft.ops.Aggregates.aggPercentileApprox(spark, SparkSpec.sfDir).collect()
+    val byPrio = graft.io.Tables.t(spark, SparkSpec.sfDir, "orders")
+      .select($"o_orderpriority", round($"o_totalprice" * 100).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (r <- rows; (p, idx) <- Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3)) {
+      val prio = r.getString(0)
+      val estCents = math.round(r.getDouble(idx) * 100)
+      val sorted = byPrio(prio)
+      val n = sorted.length
+      // GK sketch with accuracy=10000 ⇒ rank error ε ≤ 1e-4 of n,
+      // plus one position of slack for the discrete rank itself
+      val lo = math.max(0, math.ceil((p - 1e-4) * n).toInt - 1)
+      val hi = math.min(n - 1, math.floor((p + 1e-4) * n).toInt + 1)
+      assert(estCents >= sorted(lo) && estCents <= sorted(hi),
+        s"$prio p=$p: $estCents outside [${sorted(lo)}, ${sorted(hi)}] (n=$n)")
+    }
+  }
 }
