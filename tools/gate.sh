@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate: EVERYTHING the driver will check, one command.
+# Run from /root/repo before ANY end-of-round (or milestone) commit:
+#
+#   bash tools/gate.sh            # full: compile + tests + verify + check + bench smoke
+#   bash tools/gate.sh --fast     # skip the test suite (verify+check only)
+#
+# A round must never end on a commit that hasn't passed this script
+# (round 2 shipped a non-compiling HEAD; this is the fix for the
+# process, not just the brace).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+FAST=${1:-}
+
+echo "== gate: compile (main + test) =="
+sbt -batch Test/compile > /tmp/gate_compile.log 2>&1 \
+  || { tail -30 /tmp/gate_compile.log; echo "GATE FAIL: compile"; exit 1; }
+
+if [[ "$FAST" != "--fast" ]]; then
+  echo "== gate: scalatest =="
+  sbt -batch test > /tmp/gate_test.log 2>&1 \
+    || { grep -E "\*\*\*|FAILED" /tmp/gate_test.log | head -20; echo "GATE FAIL: tests"; exit 1; }
+  grep -E "^\[info\] Tests:" /tmp/gate_test.log | tail -1
+fi
+
+echo "== gate: Verify @ sf0.01 + DuckDB differential =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_vout" > /tmp/gate_verify.log 2>&1 \
+  || { tail -30 /tmp/gate_verify.log; echo "GATE FAIL: Verify run"; exit 1; }
+python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_vout | tail -3
+python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_vout | tail -1 | grep -q " 0 fail" \
+  || { echo "GATE FAIL: oracle mismatch"; exit 1; }
+
+echo "== gate: Bench contract smoke @ sf0.001 =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_FILE=/tmp/gate_bench.json \
+  sbt -batch "runMain graft.Bench" > /tmp/gate_bench.log 2>&1 \
+  || { tail -30 /tmp/gate_bench.log; echo "GATE FAIL: Bench run"; exit 1; }
+python3 - <<'EOF'
+import json
+b = json.load(open("/tmp/gate_bench.json"))
+assert b["n_err"] == 0, f"Bench errors: {b['errors']}"
+print(f"bench ok: total={b['value']}s, {len(b['queries'])} queries, 0 errors")
+EOF
+
+echo "GATE PASS"
