@@ -251,9 +251,73 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Connected components over the duplicate-pair graph: exact pairs
+    * (same normalized text, star edges to the group min) unioned with
+    * near pairs (3-gram Jaccard ≥ 0.6), then min-label propagation to
+    * a fixed point — every doc gets cluster_id = the smallest doc_id
+    * reachable through any chain of duplicate relations. Survivor
+    * selection keeps one doc per PAIR; cluster assignment is what a
+    * real dedup pipeline ships (pick one per transitive class, audit
+    * cluster sizes).
+    *
+    * Scale shape: each iteration is one equi-join (labels ⋈ edges, keyed
+    * on vertex) + one min-aggregate — all shuffles key on doc_id, no
+    * driver-side data. Iterations = graph diameter; dup clusters are
+    * near-cliques hanging off a hub, so the fixed point lands in 2-3
+    * passes (a long-chain adversary would call for large-star/small-star
+    * contraction at O(log n) — same join shape, more bookkeeping).
+    * Labels are localCheckpoint'd each pass: the state is one row per
+    * doc, and truncating lineage keeps pass k from replaying passes
+    * 1..k-1. The convergence count is a driver-side scalar per pass (an
+    * aggregate, not a collect); a cluster job would fold it into an
+    * accumulator on the same pass. */
+  /** Min-label propagation to a fixed point. `vertices`: one column
+    * `v`; `edges`: columns `a`,`b` (undirected, any orientation).
+    * Returns (v, lbl) where lbl = min vertex id in v's component. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxPasses: Int = 15): DataFrame = {
+    import org.apache.spark.sql.functions.{col, min}
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = vertices.select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var pass = 0
+    while (changed > 0 && pass < maxPasses) {
+      val viaNbr = sym.join(labels, col("a") === col("v"))
+        .select(col("b").as("v"), col("lbl"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "v")
+        .where(col("lbl") =!= col("prev")).count()
+      labels = next
+      pass += 1
+    }
+    labels
+  }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val exactE = d.withColumn("norm", normCol)
+      .select($"doc_id", $"norm")
+      .withColumn("m", min($"doc_id").over(Window.partitionBy($"norm")))
+      .where($"doc_id" =!= $"m")
+      .select($"m".as("a"), $"doc_id".as("b"))
+    val nearE = dedupNgram(s, dir).where($"jaccard" >= 0.6)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    connectedComponents(d.select($"doc_id".as("v")),
+                        exactE.unionByName(nearE))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy($"lbl")))
+      .select($"v".as("doc_id"), $"lbl".as("cluster_id"), $"csize")
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub" -> (textScrub _),
     "dedup_survivors" -> (dedupSurvivors _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "text_stats" -> (textStats _),
@@ -309,6 +373,51 @@ object TextOps extends QueryPack {
         |SELECT doc_id, lang, source FROM documents
         |WHERE NOT EXISTS (SELECT 1 FROM drop_b WHERE doc_b = doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // transitive closure via recursive CTE states the SEMANTICS
+    // (cluster = all docs reachable over dup edges); the Spark side
+    // must converge its label propagation to the same fixed point.
+    // Exact edges here are all same-norm pairs (a<b) — same components
+    // as the engine's star edges to the group min.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+        |n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+        |  FROM documents),
+        |exact_e AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b FROM n a JOIN n b
+        |    ON a.norm = b.norm AND a.doc_id < b.doc_id),
+        |w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, source, w,
+        |         unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
+        |shc AS (SELECT s.doc_id, s.source, s.sh FROM sh s
+        |        JOIN df USING (source, sh) WHERE df <= $hotShingleCap),
+        |near_e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |    FROM shc a JOIN shc b
+        |      ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sz za ON p.doc_a = za.doc_id
+        |  JOIN sz zb ON p.doc_b = zb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.6),
+        |edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT a AS src, b AS dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a),
+        |lbl AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS csize
+        |FROM lbl ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH n AS (
         |  SELECT doc_id, lang, source,

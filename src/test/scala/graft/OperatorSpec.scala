@@ -107,6 +107,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("connected components: chains converge to min label, singletons stay put") {
+    // component {1..5} as a chain (diameter 4 → multi-pass), {10,11}
+    // as one edge, {20} isolated
+    val verts = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L)).toDF("v")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val got = graft.text.TextOps.connectedComponents(verts, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+                      10L -> 10L, 11L -> 10L, 20L -> 20L), s"got $got")
+  }
+
   test("approx_percentile estimates respect the rank-error bound vs exact") {
     val rows = graft.ops.Aggregates.aggPercentileApprox(spark, SparkSpec.sfDir).collect()
     val byPrio = graft.io.Tables.t(spark, SparkSpec.sfDir, "orders")
