@@ -166,9 +166,29 @@ object Ingest extends QueryPack {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** parquet → ORC → filtered read-back: the second columnar storage
+    * format (warehouses migrating to/from Hive stacks carry ORC), with
+    * the same pushdown guarantees as parquet — the segment predicate
+    * reaches the ORC reader as a search argument (PushedFilters in the
+    * scan; IngestSpec asserts it), so row groups that can't match are
+    * skipped at 100 TB exactly like parquet row groups. */
+  def ingestOrc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "customer")
+    val path = scratch(dir, "orc_customer")
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      src.write.mode("overwrite").orc(path)
+    s.read.schema(src.schema).orc(path)
+      .where($"c_mktsegment" === "BUILDING")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), sumMoney($"c_acctbal").as("bal_sum"))
+      .orderBy($"c_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_csv" -> (ingestCsv _),
     "ingest_json" -> (ingestJson _),
+    "ingest_orc" -> (ingestOrc _),
     "ingest_partitioned" -> (ingestPartitioned _),
     "ingest_bucketed" -> (ingestBucketed _))
 
@@ -179,6 +199,11 @@ object Ingest extends QueryPack {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "ingest_json" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    "ingest_orc" ->
+      s"""SELECT c_nationkey, count(*) AS n,
+        |  ${sqlSumMoney("c_acctbal")} AS bal_sum
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "ingest_partitioned" ->
       s"""SELECT o_orderpriority, count(*) AS n,
         |  ${sqlSumMoney("o_totalprice")} AS total

@@ -84,4 +84,15 @@ class IngestSpec extends AnyFunSuite {
       .where($"o_orderstatus" === "F").count()
     assert(q.count() == expect)
   }
+
+  test("ORC read-back pushes the segment predicate into the scan") {
+    val df = Ingest.ingestOrc(spark, SparkSpec.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), " +
+      "EqualTo(c_mktsegment,BUILDING)]"), plan.take(800))
+    // correctness: matches the same agg on the parquet original
+    val expect = Tables.t(spark, SparkSpec.sfDir, "customer")
+      .where($"c_mktsegment" === "BUILDING").count()
+    assert(df.agg(sum($"n")).head().getLong(0) == expect)
+  }
 }
