@@ -77,6 +77,47 @@ object Streams extends QueryPack {
     spark.table(name)
   }
 
+  /** foreachBatch upsert sink: merge each micro-batch into a parquet
+    * "warehouse" path, last-writer-wins per key. Streaming's built-in
+    * file sink is APPEND-only; upserting an Update-mode aggregate into
+    * a queryable table is THE production hand-off pattern, and
+    * foreachBatch is its API: the micro-batch is a plain DataFrame, so
+    * any batch writer works, with `batchId` as the idempotence token
+    * (a replayed batch overwrites to the same state, not double-counts).
+    * Here the merge is read-current + anti-join + union + rewrite;
+    * at warehouse scale the same closure calls MERGE INTO on a
+    * Delta/Iceberg table (row-level upsert), which Spark core's plain
+    * parquet cannot do in place — the pattern, not the rewrite, is the
+    * point. Tested multi-batch in StreamsSpec. */
+  def upsertForeachBatch(df: DataFrame, keyCol: String, path: String,
+                         checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cur =
+          try s.read.schema(batch.schema).parquet(path)
+          catch { case _: Throwable => s.emptyDataFrame }
+        val merged =
+          if (cur.isEmpty) batch
+          else cur.join(batch.select(keyCol), Seq(keyCol), "left_anti")
+            .unionByName(batch)
+        // rewrite via a staging dir: the sink must never destroy the
+        // current table before the replacement is fully materialized
+        val stage = path + s"_stage_$batchId"
+        merged.write.mode("overwrite").parquet(stage)
+        val conf = s.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+        fs.rename(new org.apache.hadoop.fs.Path(stage), p)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Watermarked tumbling windows + in-watermark dedup: late data
     * beyond 10 min is dropped, duplicate event_ids inside the
     * watermark are deduped before aggregation. */

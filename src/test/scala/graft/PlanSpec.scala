@@ -70,6 +70,19 @@ class PlanSpec extends AnyFunSuite {
     assertNoGlobalWindowOverRawData("win_ntile_cumdist")
   }
 
+  test("join_range plans as an equi-join on (user, bucket), never a nested loop") {
+    val p = plan("join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band join fell back to a quadratic strategy:\n" + p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("sql_tpch_q10 top-20 plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("sql_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   // join_skew_salted sells explicit salting as the portable skew fix;
   // this is the other half of the 100 TB story: AQE detecting the hot
   // key at runtime and splitting the skewed partition itself. Thresholds

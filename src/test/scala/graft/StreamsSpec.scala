@@ -72,6 +72,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.get(100L).contains(2L), s"got $rows")
   }
 
+  test("foreachBatch upsert sink: last-writer-wins per key across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val (path, ckpt) = (s"$root/table", s"$root/ckpt")
+    val mem = MemoryStream[(Long, Long)] // (user_id, cents)
+    val agg = mem.toDF().toDF("user_id", "cents")
+      .groupBy($"user_id").agg(sum($"cents").as("total"))
+    // two separate upsert runs against the SAME warehouse path: user 1's
+    // total must be replaced (15), not appended (10 and 15), user 2's
+    // row must survive untouched
+    mem.addData((1L, 10L), (2L, 20L))
+    Streams.upsertForeachBatch(agg, "user_id", path, ckpt)
+    mem.addData((1L, 5L), (3L, 7L))
+    Streams.upsertForeachBatch(agg, "user_id", path, ckpt)
+    val got = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 15L, 2L -> 20L, 3L -> 7L), s"got $got")
+  }
+
   /** Pins the append-mode eviction predicate for session windows:
     * Spark emits a session when `session.end <= watermark` (boundary
     * INCLUSIVE) — the stream_session_rs oracle's HAVING mirrors this
