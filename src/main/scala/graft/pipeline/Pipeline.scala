@@ -64,10 +64,85 @@ object Pipelines extends QueryPack {
     pipe(t(s, dir, "events")).orderBy($"c_mktsegment", $"day")
   }
 
+  /** The full training-data curation funnel over `documents`, declared
+    * as five named stages, executed as ONE plan: PII scrub → integer
+    * quality measurement → threshold filter → exact-dedup survivor →
+    * projection. The quality gate compares INTEGERS (qnum ≥ 2600·nt ⇔
+    * quality ≥ 0.65, ≈ the corpus p25) so no float threshold can flip between engines.
+    * Catalyst fuses everything before the dedup window into the scan
+    * projection — five stages, one shuffle (the norm window). */
+  def docsCurate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stop = graft.text.TextOps.stopList.map(m => s"'$m'").mkString(",")
+    val pipe = Pipeline(
+      "scrub" -> (_.withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"text",
+              "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+            "https?://[^ ]+", "<URL>"),
+          "[0-9]{4,}", "<NUM>"))),
+      "measure" -> (_
+        .withColumn("nt", size(split($"scrubbed", " ")).cast("long"))
+        .withColumn("ns", expr(
+          s"size(filter(split(scrubbed, ' '), x -> x in ($stop)))").cast("long"))
+        .withColumn("nl", length(regexp_replace($"scrubbed", " ", "")).cast("long"))
+        .withColumn("qnum",
+          lit(12L) * least($"nt", lit(100L)) * $"nt" +
+          lit(1600L) * ($"nt" - $"ns") +
+          lit(150L) * least($"nl", lit(8L) * $"nt"))),
+      "filter" -> (_.where($"nt" >= 10L && $"qnum" >= lit(2600L) * $"nt")),
+      "dedup" -> { df =>
+        val norm = lower(trim(regexp_replace($"scrubbed", "\\s+", " ")))
+        df.withColumn("keep", min($"doc_id").over(Window.partitionBy(norm)))
+          .where($"doc_id" === $"keep")
+      },
+      "project" -> (_.select($"doc_id", $"lang", $"source",
+        $"nt".as("n_tok"),
+        round($"qnum".cast("double") / (lit(4000.0) * $"nt"), 6).as("quality"))))
+    pipe(t(s, dir, "documents")).orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_events_enrich" -> (eventsEnrich _))
+    "pipeline_events_enrich" -> (eventsEnrich _),
+    "pipeline_docs_curate" -> (docsCurate _))
+
+  private val stopSql =
+    graft.text.TextOps.stopList.map(m => s"'$m'").mkString(",")
 
   def oracle: Map[String, String] = Map(
+    "pipeline_docs_curate" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^ ]+', '<URL>', 'g'),
+        |      '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+        |  FROM documents),
+        |m AS (
+        |  SELECT *,
+        |    CAST(len(string_split(scrubbed, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(scrubbed, ' '),
+        |                         x -> x IN ($stopSql))) AS BIGINT) AS ns,
+        |    CAST(length(replace(scrubbed, ' ', '')) AS BIGINT) AS nl
+        |  FROM s),
+        |q AS (
+        |  SELECT *,
+        |    12 * least(nt, 100) * nt + 1600 * (nt - ns)
+        |      + 150 * least(nl, 8 * nt) AS qnum
+        |  FROM m),
+        |f AS (SELECT * FROM q WHERE nt >= 10 AND qnum >= 2600 * nt),
+        |d AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lower(trim(regexp_replace(scrubbed, '\\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rn
+        |  FROM f)
+        |SELECT doc_id, lang, source, nt AS n_tok,
+        |  round(CAST(qnum AS DOUBLE) / (4000.0 * nt), 6) AS quality
+        |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "pipeline_events_enrich" ->
       s"""WITH parsed AS (
         |  SELECT *, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k

@@ -126,6 +126,10 @@ object TextOps extends QueryPack {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "les", "et", "des", "un"))
 
+  /** Flattened marker list — shared with the quality score here and
+    * the curation pipeline (graft.pipeline.Pipelines.docsCurate). */
+  val stopList: Seq[String] = langMarkers.values.flatten.toSeq
+
   /** Marker-token language ID (n-gram-heuristic family): count hits
     * from per-language stopword lists, argmax with fixed tie order. */
   def langId(s: SparkSession, dir: String): DataFrame = {
