@@ -46,6 +46,28 @@ object Windows extends QueryPack {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** SCD2 interval-ization of the event log: per user, collapse
+    * consecutive same-state events into validity intervals
+    * [valid_from, valid_to) with the open interval marked current —
+    * the gaps-and-islands + lead() shape every warehouse dimension
+    * load runs. Two windows, both partitioned on user_id, so the
+    * second reuses the first's exchange; timestamps surface as epoch
+    * µs (engine-neutral — DuckDB reads events.ts at ns precision). */
+  def winScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    val starts = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type".as("state"),
+              unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("prev", lag($"state", 1).over(w))
+      .where($"prev".isNull || $"prev" =!= $"state")
+    starts
+      .withColumn("valid_to_us", lead($"us", 1).over(w))
+      .select($"user_id", $"state", $"us".as("valid_from_us"),
+              $"valid_to_us", $"valid_to_us".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from_us", $"state")
+  }
+
   /** 7-row moving sum/avg of order totals per customer (ROWS frame). */
   def winFrameRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -158,6 +180,7 @@ object Windows extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_nav" -> (winNav _),
+    "win_scd2" -> (winScd2 _),
     "win_rank" -> (winRank _),
     "win_lag" -> (winLag _),
     "win_frame_rows" -> (winFrameRows _),
@@ -165,6 +188,23 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "win_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us
+        |  FROM events),
+        |i AS (
+        |  SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, event_id, state, us
+        |  FROM i WHERE prev IS NULL OR prev <> state),
+        |o AS (
+        |  SELECT user_id, state, us AS valid_from_us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        |  FROM s)
+        |SELECT user_id, state, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM o ORDER BY user_id, valid_from_us, state""".stripMargin,
     "win_nav" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  lead(o_orderkey, 1) OVER w AS next_order,
