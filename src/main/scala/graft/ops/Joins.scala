@@ -176,6 +176,31 @@ object Joins extends QueryPack {
       .orderBy($"user_id", $"id_first", $"id_second")
   }
 
+  /** The NAIVE formulation of [[joinRange]] — equi key + band residual,
+    * no manual bucketing in the query text. Correct in any session; in
+    * sessions with GraftExtensions registered, graft.plans.BandJoinRule
+    * injects the bucket equi-keys into the logical plan automatically
+    * (BandJoinRuleSpec + PlanSpec assert the rewrite), so the naive
+    * text gets joinRange's bounded formulation without the author
+    * knowing the trick. Declared as its own query so the driver
+    * verifies the REWRITTEN plan against the same oracle. */
+  def joinRangeAuto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 5L * 60 * 1000000 // 5-minute band in µs
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_id",
+              unix_micros($"ts".cast("timestamp")).as("us"))
+    val a = ev.select($"user_id", $"event_id".as("id_first"), $"us".as("us_a"))
+    val b = ev.select($"user_id".as("u2"), $"event_id".as("id_second"),
+                      $"us".as("us_b"))
+    a.join(b, $"user_id" === $"u2" &&
+        $"us_b" - $"us_a" >= 0L && $"us_b" - $"us_a" <= W &&
+        ($"us_a" < $"us_b" || ($"us_a" === $"us_b" && $"id_first" < $"id_second")))
+      .select($"user_id", $"id_first", $"id_second",
+              ($"us_b" - $"us_a").as("gap_us"))
+      .orderBy($"user_id", $"id_first", $"id_second")
+  }
+
   /** Skew-safe equi join: salt the fact side into S shards and
     * replicate the dim side S times, so a hot key's rows spread over S
     * reducers instead of one. Semantics-preserving — the oracle is the
@@ -201,6 +226,7 @@ object Joins extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_range" -> (joinRange _),
+    "join_range_auto" -> (joinRangeAuto _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_broadcast" -> (joinBroadcast _),
     "join_shuffle" -> (joinShuffle _),
@@ -220,6 +246,17 @@ object Joins extends QueryPack {
     // ns-level `a.ts < b.ts` tie-break would diverge for pairs inside
     // the same microsecond.
     "join_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS id_first, b.event_id AS id_second,
+        |  b.us - a.us AS gap_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.us - a.us BETWEEN 0 AND 300000000
+        | AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |ORDER BY a.user_id, id_first, id_second""".stripMargin,
+    // identical semantics to join_range: the oracle checks that the
+    // BandJoinRule-rewritten naive plan loses/duplicates nothing
+    "join_range_auto" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
         |SELECT a.user_id, a.event_id AS id_first, b.event_id AS id_second,
         |  b.us - a.us AS gap_us

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BandJoinRule: a naive band join (equi key + time-band residual)
+  * must get bucket keys injected automatically, with identical
+  * results and no row duplication, and the rewrite must be
+  * idempotent under the optimizer's fixed-point batch. */
+class BandJoinRuleSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // (user, t, id): user 1 dense around the bucket boundary, user 2
+  // sparse, plus same-t rows to exercise the residual's tie handling
+  private lazy val rows: Seq[(Long, Long, Long)] = {
+    val dense = (0L until 40L).map(i => (1L, 95L + i * 3, 100L + i))
+    val sparse = Seq((2L, 10L, 900L), (2L, 300L, 901L), (2L, 311L, 902L))
+    val ties = Seq((3L, 50L, 950L), (3L, 50L, 951L), (3L, 60L, 952L))
+    dense ++ sparse ++ ties
+  }
+
+  private def naiveJoin() = {
+    val df = rows.toDF("user_id", "t", "id")
+    val a = df.select($"user_id", $"t".as("t_a"), $"id".as("id_a"))
+    val b = df.select($"user_id".as("u2"), $"t".as("t_b"), $"id".as("id_b"))
+    a.join(b, $"user_id" === $"u2" &&
+      $"t_b" - $"t_a" >= 0L && $"t_b" - $"t_a" <= 30L && $"id_a" < $"id_b")
+      .select($"user_id", $"id_a", $"id_b", ($"t_b" - $"t_a").as("gap"))
+  }
+
+  test("rule injects bucket keys into a naive band join") {
+    val p = naiveJoin().queryExecution.optimizedPlan.toString
+    assert(p.contains("__graft_band_bucket"),
+      "rule did not fire on the naive band join:\n" + p.take(1200))
+    // idempotence: exactly one probe/build pair despite fixed-point runs
+    assert("__graft_band_bucket_probe#\\d+".r.findAllIn(p).toSeq.map(_.toString)
+      .distinct.size == 1, p.take(1200))
+  }
+
+  test("rewritten band join returns exactly the naive result set") {
+    val got = naiveJoin().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ground truth computed directly from the generating sequence
+    val expect = for {
+      (u1, t1, i1) <- rows; (u2, t2, i2) <- rows
+      if u1 == u2 && t2 - t1 >= 0 && t2 - t1 <= 30 && i1 < i2
+    } yield (u1, i1, i2, t2 - t1)
+    assert(got.length == expect.length,
+      s"row count ${got.length} != ${expect.length} (duplicate or lost pairs)")
+    assert(got.sorted.toSeq == expect.sorted.toSeq)
+  }
+
+  test("rule leaves pure-band joins (no equi key) alone") {
+    val df = rows.toDF("user_id", "t", "id")
+    val a = df.select($"t".as("t_a"), $"id".as("id_a"))
+    val b = df.select($"t".as("t_b"), $"id".as("id_b"))
+    val pure = a.join(b, $"t_b" - $"t_a" >= 0L && $"t_b" - $"t_a" <= 30L)
+    val p = pure.queryExecution.optimizedPlan.toString
+    assert(!p.contains("__graft_band_bucket"), p.take(800))
+  }
+}

@@ -78,6 +78,13 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("join_range_auto: BandJoinRule injects bucket keys into the naive text") {
+    val df = SparkEntry.queries("join_range_auto")(spark, SparkSpec.sfDir)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("__graft_band_bucket"),
+      "BandJoinRule did not fire on join_range_auto:\n" + p.take(1200))
+  }
+
   test("sql_tpch_q10 top-20 plans TakeOrderedAndProject, not a global sort") {
     val p = plan("sql_tpch_q10")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
