@@ -277,28 +277,45 @@ object TextOps extends QueryPack {
     * accumulator on the same pass. */
   /** Min-label propagation to a fixed point. `vertices`: one column
     * `v`; `edges`: columns `a`,`b` (undirected, any orientation).
-    * Returns (v, lbl) where lbl = min vertex id in v's component. */
+    * Returns (v, lbl) where lbl = min vertex id in v's component.
+    *
+    * Only edge-touched vertices iterate: a vertex with no edges can
+    * never change its label, and in a dedup graph the touched set is a
+    * tiny fraction of the corpus — so each pass joins over the pair
+    * subgraph, not the whole vertex table. Untouched vertices come
+    * back as their own singleton components via one final anti-join. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxPasses: Int = 15): DataFrame = {
     import org.apache.spark.sql.functions.{col, min}
+    // edge generation runs at full parallelism (corpus-scale work)...
     val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-    var labels = vertices.select(col("v"), col("v").as("lbl"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var pass = 0
-    while (changed > 0 && pass < maxPasses) {
-      val viaNbr = sym.join(labels, col("a") === col("v"))
-        .select(col("b").as("v"), col("lbl"))
-      val next = labels.unionByName(viaNbr)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+    // ...but the iteration shuffles tables sized by the PAIR set, so
+    // its partition count follows that size, not the corpus default —
+    // locally a cap (the same lever the streaming queries use); on a
+    // cluster this is one conf sized to the dup-pair volume.
+    graft.config.Sessions.withShufflePartitionsCap(e.sparkSession, 8) {
+      var labels = sym.select(col("a").as("v")).distinct()
+        .withColumn("lbl", col("v"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "v")
-        .where(col("lbl") =!= col("prev")).count()
-      labels = next
-      pass += 1
+      var changed = 1L
+      var pass = 0
+      while (changed > 0 && pass < maxPasses) {
+        val viaNbr = sym.join(labels, col("a") === col("v"))
+          .select(col("b").as("v"), col("lbl"))
+        val next = labels.unionByName(viaNbr)
+          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("lbl", "prev"), "v")
+          .where(col("lbl") =!= col("prev")).count()
+        labels = next
+        pass += 1
+      }
+      val singletons = vertices.select(col("v"))
+        .join(labels.select(col("v")), Seq("v"), "left_anti")
+        .withColumn("lbl", col("v"))
+      labels.unionByName(singletons)
     }
-    labels
   }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
