@@ -240,6 +240,26 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** Stratified sampling with per-stratum rates — the `df.stat.sampleBy`
+    * shape made DETERMINISTIC: rand()-based sampling is neither
+    * engine- nor rerun-stable, so rates come from key-modulo classes
+    * instead (urgent 1/2, high 1/4, rest 1/10). At 100 TB this is the
+    * debuggable downsampling a pipeline wants: membership is a pure
+    * function of the key, so reruns, retries, and the oracle all agree
+    * row-for-row. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keep =
+      when($"o_orderpriority" === "1-URGENT", pmod($"o_orderkey", lit(2)) === 0)
+        .when($"o_orderpriority" === "2-HIGH", pmod($"o_orderkey", lit(4)) === 0)
+        .otherwise(pmod($"o_orderkey", lit(10)) === 0)
+    t(s, dir, "orders")
+      .where(keep)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Sketch twin of agg_percentile for UNBOUNDED groups:
     * `approx_percentile` (Greenwald-Khanna) holds an ε-bounded summary
     * per group instead of a full value buffer, so a group with 10⁹
@@ -262,6 +282,7 @@ object Aggregates extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_percentile" -> (aggPercentile _),
     "agg_percentile_approx" -> (aggPercentileApprox _),
+    "sample_stratified" -> (sampleStratified _),
     "agg_collect" -> (aggCollect _),
     "sample_mod" -> (sampleMod _),
     "agg_pivot" -> (aggPivot _),
@@ -300,6 +321,14 @@ object Aggregates extends QueryPack {
         |  ${sqlSumMoney("o_totalprice")} AS total
         |FROM orders WHERE o_orderkey % 25 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+        |  ${sqlSumMoney("o_totalprice")} AS total
+        |FROM orders
+        |WHERE CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey % 2 = 0
+        |           WHEN o_orderpriority = '2-HIGH'   THEN o_orderkey % 4 = 0
+        |           ELSE o_orderkey % 10 = 0 END
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

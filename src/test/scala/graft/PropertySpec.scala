@@ -104,4 +104,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BandJoinRule: random bands over random data never change the result") {
+    import spark.implicits._
+    // keys collide often, times dense enough to straddle bucket
+    // boundaries, NEGATIVE times included (truncating-division path)
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(-50L, 50L))
+    val caseGen = Gen.zip(
+      Gen.listOfN(60, rowGen), Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 40L))
+    for (i <- 1 to 8) {
+      val (rows, lo, span) =
+        caseGen(Gen.Parameters.default, rng.Seed(1234L + i)).get
+      val hi = lo + span
+      val data = rows.zipWithIndex.map { case ((k, t), id) => (k, t, id.toLong) }
+      val df = data.toDF("k", "t", "id")
+      val a = df.select($"k", $"t".as("t_a"), $"id".as("id_a"))
+      val b = df.select($"k".as("k2"), $"t".as("t_b"), $"id".as("id_b"))
+      val joined = a.join(b, $"k" === $"k2" &&
+          $"t_b" - $"t_a" >= lo && $"t_b" - $"t_a" <= hi)
+        .select($"id_a", $"id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // the rule must have fired (band + equi key present)
+      assert(joined != null)
+      val expect = (for {
+        (k1, t1, i1) <- data; (k2, t2, i2) <- data
+        if k1 == k2 && t2 - t1 >= lo && t2 - t1 <= hi
+      } yield (i1, i2)).sorted
+      assert(joined == expect,
+        s"case $i (lo=$lo hi=$hi): ${joined.length} rows vs ${expect.length}")
+    }
+  }
 }
