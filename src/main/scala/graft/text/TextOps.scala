@@ -89,6 +89,31 @@ object TextOps extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Edit-distance near-dup pairs with PREFIX BLOCKING — the third
+    * candidate-generation pattern in the dedup family (next to LSH
+    * band buckets and df-capped shingles): docs pair only within the
+    * same (source, 4-char-prefix) block, then a bounded levenshtein
+    * over the 40-char head verifies. The blocking key is the whole
+    * trick at 100 TB — the O(n·m) edit distance runs on candidate
+    * pairs (equi-join groups), never all pairs, and on fixed-length
+    * heads, never full documents. */
+  def dedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = docs(s, dir)
+      .withColumn("norm", normCol)
+      .select($"doc_id", $"source",
+              substring($"norm", 1, 40).as("head"),
+              substring($"norm", 1, 4).as("blk"))
+    val a = h.select($"doc_id".as("doc_a"), $"source", $"blk", $"head".as("head_a"))
+    val b = h.select($"doc_id".as("doc_b"), $"source", $"blk", $"head".as("head_b"))
+    a.join(b, Seq("source", "blk"))
+      .where($"doc_a" < $"doc_b")
+      .withColumn("lev", levenshtein($"head_a", $"head_b"))
+      .where($"lev" <= 20)
+      .select($"doc_a", $"doc_b", $"lev")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Corpus stats per (lang, source): docs, tokens, chars. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -341,6 +366,7 @@ object TextOps extends QueryPack {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_fuzzy" -> (dedupFuzzy _),
     "text_stats" -> (textStats _),
     "text_tfidf" -> (textTfidf _),
     "lang_id" -> (langId _),
@@ -439,6 +465,19 @@ object TextOps extends QueryPack {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS csize
         |FROM lbl ORDER BY doc_id""".stripMargin,
+    "dedup_fuzzy" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents),
+        |h AS (SELECT doc_id, source, substr(norm, 1, 40) AS head,
+        |        substr(norm, 1, 4) AS blk FROM n)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS lev
+        |FROM h a JOIN h b ON a.source = b.source AND a.blk = b.blk
+        | AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """WITH n AS (
         |  SELECT doc_id, lang, source,
