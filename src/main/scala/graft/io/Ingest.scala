@@ -185,11 +185,39 @@ object Ingest extends QueryPack {
       .orderBy($"c_nationkey")
   }
 
+  /** Small-files compaction — the maintenance job every streaming or
+    * partitioned sink eventually needs: a landing zone fragmented into
+    * many tiny files (here events sprayed across 64) is rewritten as a
+    * few large, per-file-sorted files. At 100 TB the fragmented layout
+    * is the #1 silent killer (per-file open/footer cost dominates the
+    * scan and the driver's file index bloats); the fix is exactly this
+    * `repartition(N) + sortWithinPartitions(key)` rewrite on a
+    * schedule. The read-back aggregate hash-matches the original
+    * table, proving compaction lost nothing. */
+  def ingestCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frag = scratch(dir, "frag_events")
+    val compact = scratch(dir, "compact_events")
+    val src = Tables.t(s, dir, "events")
+    if (!new java.io.File(frag + "/_SUCCESS").exists())
+      src.repartition(64).write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag)
+      .repartition(4, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .write.mode("overwrite").parquet(compact)
+    s.read.parquet(compact)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("val_sum"),
+           countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_csv" -> (ingestCsv _),
     "ingest_json" -> (ingestJson _),
     "ingest_orc" -> (ingestOrc _),
     "ingest_partitioned" -> (ingestPartitioned _),
+    "ingest_compact" -> (ingestCompact _),
     "ingest_bucketed" -> (ingestBucketed _))
 
   // Oracles run on the ORIGINAL parquet tables: a hash match proves the
@@ -209,6 +237,11 @@ object Ingest extends QueryPack {
         |  ${sqlSumMoney("o_totalprice")} AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "ingest_compact" ->
+      s"""SELECT event_type, count(*) AS n,
+        |  ${sqlSumMoney("value")} AS val_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ingest_bucketed" ->
       s"""SELECT o_orderstatus, count(*) AS n,
         |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue

@@ -85,6 +85,16 @@ class IngestSpec extends AnyFunSuite {
     assert(q.count() == expect)
   }
 
+  test("compaction rewrites the fragmented landing zone into few files") {
+    Ingest.ingestCompact(spark, SparkSpec.sfDir).collect()
+    def parquetFiles(tag: String) = new java.io.File(
+      s"/tmp/graft_ingest/${SparkSpec.sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles("frag_events") == 64)
+    assert(parquetFiles("compact_events") == 4,
+      s"expected 4 compacted files, got ${parquetFiles("compact_events")}")
+  }
+
   test("ORC read-back pushes the segment predicate into the scan") {
     val df = Ingest.ingestOrc(spark, SparkSpec.sfDir)
     val plan = df.queryExecution.executedPlan.toString
