@@ -21,8 +21,16 @@ object SparkEntry {
     ops.Aggregates.aggHash(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    val m = all.toMap
+    // toMap silently keeps the LAST entry on key collision — a pack
+    // accidentally reusing a name would shadow another pack's query
+    // and the driver would verify the wrong plan under the right name
+    require(m.size == all.size, "duplicate query names across packs: " +
+      all.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
+    m
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -78,6 +78,12 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("dedup_fuzzy joins on the blocking key, never a nested loop") {
+    val p = plan("dedup_fuzzy")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "fuzzy dedup fell back to all-pairs:\n" + p.take(800))
+  }
+
   test("join_range_auto: BandJoinRule injects bucket keys into the naive text") {
     val df = SparkEntry.queries("join_range_auto")(spark, SparkSpec.sfDir)
     val p = df.queryExecution.optimizedPlan.toString
