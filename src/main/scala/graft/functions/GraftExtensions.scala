@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_freq"),
+      info("topk_freq", "topk_freq(expr, k) - Misra-Gries heavy hitters per group"),
+      (args: Seq[Expression]) => TopKFreq(args(0),
+        args(1).eval().asInstanceOf[Int])))
   }
 }

@@ -114,6 +114,26 @@ object TextOps extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Heavy-hitter tokens per source via the custom Misra-Gries
+    * aggregate ([[graft.functions.TopKFreq]]): O(k) state per group
+    * regardless of token volume, map-side partial aggregation like any
+    * sum — the hot-token / boilerplate-phrase detector that feeds
+    * dedup_ngram's stop-shingle cap at 100 TB. No oracle: MG counts
+    * are partition-order-dependent lower bounds; the spec verifies the
+    * frequency GUARANTEE (freq > n/(k+1) ⇒ present) instead. */
+  def textHotTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopKFreq.topkFreq
+    docs(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source")
+      .agg(topkFreq($"tok", 8).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", $"pos".cast("int").as("rk"),
+              $"col.item".as("item"), $"col.est_count".as("est_count"))
+      .orderBy($"source", $"rk")
+  }
+
   /** Corpus stats per (lang, source): docs, tokens, chars. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -367,6 +387,7 @@ object TextOps extends QueryPack {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_fuzzy" -> (dedupFuzzy _),
+    "text_hot_tokens" -> (textHotTokens _),
     "text_stats" -> (textStats _),
     "text_tfidf" -> (textTfidf _),
     "lang_id" -> (langId _),

@@ -119,6 +119,30 @@ class OperatorSpec extends AnyFunSuite {
                       10L -> 10L, 11L -> 10L, 20L -> 20L), s"got $got")
   }
 
+  test("TopKFreq honors the Misra-Gries frequency guarantee under any partitioning") {
+    import graft.functions.TopKFreq.topkFreq
+    val k = 8
+    // 2000 noise tokens (200 distinct) + a planted hitter at freq 400
+    // > n/(k+1) = 2400/9 ≈ 267 → MUST surface regardless of partitioning
+    val toks = (1 to 2000).map(i => s"noise${i % 200}") ++
+      Seq.fill(400)("HITTER")
+    for (parts <- Seq(1, 3, 13)) {
+      val got = toks.toDF("tok").repartition(parts)
+        .agg(topkFreq($"tok", k).as("top"))
+        .select(explode($"top").as("e")).select($"e.item", $"e.est_count")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got.contains("HITTER"), s"parts=$parts: hitter lost, got $got")
+      // reported count is a lower bound on the true frequency
+      assert(got("HITTER") <= 400)
+    }
+    // with distinct items <= k the counts are exact
+    val small = Seq("a", "a", "a", "b", "b", "c").toDF("tok").repartition(3)
+      .agg(topkFreq($"tok", k).as("top"))
+      .select(explode($"top").as("e")).select($"e.item", $"e.est_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(small == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("approx_percentile estimates respect the rank-error bound vs exact") {
     val rows = graft.ops.Aggregates.aggPercentileApprox(spark, SparkSpec.sfDir).collect()
     val byPrio = graft.io.Tables.t(spark, SparkSpec.sfDir, "orders")
