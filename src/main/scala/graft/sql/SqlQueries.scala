@@ -170,11 +170,73 @@ object SqlQueries extends QueryPack {
     s.sql(q10Sql)
   }
 
+  /** TPC-H Q7 shape (volume shipping): bidirectional nation-pair
+    * revenue by ship year — the double-role dimension pattern (nation
+    * joined twice under aliases n1/n2 with a symmetric OR pair
+    * predicate). Both nation sides broadcast; the fact chain shuffles
+    * on its join keys only. */
+  private val q7Sql =
+    s"""SELECT supp_nation, cust_nation, l_year,
+      |  ${sqlSumMoney("volume")} AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def sqlTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q7Sql)
+  }
+
+  /** TPC-H Q8 shape (market share): one nation's share of regional
+    * revenue per year — the conditional-aggregate ratio pattern. Both
+    * sums run over exact integer cents, so the division divides the
+    * SAME integers in both engines and the 6-decimal round can never
+    * land on different sides of a tie. */
+  private val q8Sql =
+    """SELECT o_year,
+      |  round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_cents ELSE 0 END) AS DOUBLE)
+      |        / CAST(sum(vol_cents) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year, n2.n_name AS nation,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS vol_cents
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01') all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  def sqlTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q8Sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists" -> (sqlExists _),
     "sql_corr_scalar" -> (sqlCorrScalar _),
     "sql_tpch_q3" -> (sqlTpchQ3 _),
     "sql_tpch_q5" -> (sqlTpchQ5 _),
+    "sql_tpch_q7" -> (sqlTpchQ7 _),
+    "sql_tpch_q8" -> (sqlTpchQ8 _),
     "sql_tpch_q10" -> (sqlTpchQ10 _),
     "sql_in_having" -> (sqlInHaving _),
     "sql_cte_window" -> (sqlCteWindow _))
@@ -183,6 +245,8 @@ object SqlQueries extends QueryPack {
     // both engines speak the same text for the TPC-H shapes
     "sql_tpch_q3" -> q3Sql,
     "sql_tpch_q5" -> q5Sql,
+    "sql_tpch_q7" -> q7Sql,
+    "sql_tpch_q8" -> q8Sql,
     "sql_tpch_q10" -> q10Sql,
     "sql_in_having" -> q18Sql,
     "sql_exists" ->
