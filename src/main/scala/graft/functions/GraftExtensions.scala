@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      info("cms_estimate", "cms_estimate(sketch, item) - estimated count of item in a count_min_sketch binary"),
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("topk_freq"),
       info("topk_freq", "topk_freq(expr, k) - Misra-Gries heavy hitters per group"),
       (args: Seq[Expression]) => TopKFreq(args(0),

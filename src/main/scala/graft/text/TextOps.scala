@@ -134,6 +134,28 @@ object TextOps extends QueryPack {
       .orderBy($"source", $"rk")
   }
 
+  /** Point-frequency estimates from a per-source count-min sketch:
+    * build the model-sized CMS once per group (built-in
+    * `count_min_sketch` aggregate), then probe a fixed marker-token
+    * set DISTRIBUTED via the custom [[graft.functions.CmsEstimate]]
+    * expression — sketches never collect to the driver. Completes the
+    * sketch family: HLL (distinct), Misra-Gries (heavy hitters), GK
+    * (percentile), CMS (point frequency). No oracle (sketch layout is
+    * engine-specific); OperatorSpec verifies the one-sided error bound
+    * estimate ∈ [true, true + ε·n]. */
+  def textCmsTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.CmsEstimate.cmsEstimate
+    val sketches = docs(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source")
+      .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"))
+    val probes = stopList.toDF("probe")
+    sketches.join(broadcast(probes))
+      .select($"source", $"probe", cmsEstimate($"cms", $"probe").as("est"))
+      .orderBy($"source", $"probe")
+  }
+
   /** Corpus stats per (lang, source): docs, tokens, chars. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -388,6 +410,7 @@ object TextOps extends QueryPack {
     "dedup_ngram" -> (dedupNgram _),
     "dedup_fuzzy" -> (dedupFuzzy _),
     "text_hot_tokens" -> (textHotTokens _),
+    "text_cms_tokens" -> (textCmsTokens _),
     "text_stats" -> (textStats _),
     "text_tfidf" -> (textTfidf _),
     "lang_id" -> (langId _),

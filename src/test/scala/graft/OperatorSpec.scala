@@ -143,6 +143,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(small == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("CmsEstimate respects the one-sided CMS error bound vs exact counts") {
+    val rows = graft.text.TextOps.textCmsTokens(spark, SparkSpec.sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val toks = graft.io.Tables.t(spark, SparkSpec.sfDir, "documents")
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .as[(String, String)].collect()
+    val nBySource = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case ((src, probe), est) =>
+      val truth = exact.getOrElse((src, probe), 0L)
+      // CMS errs only upward: true ≤ est ≤ true + ε·n (ε=0.001; at
+      // 0.99 confidence — allow the full bound, fixture n is small)
+      assert(est >= truth, s"($src,$probe): est $est < true $truth")
+      val bound = truth + math.ceil(0.001 * nBySource(src)).toLong + 1
+      assert(est <= bound, s"($src,$probe): est $est > bound $bound")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("approx_percentile estimates respect the rank-error bound vs exact") {
     val rows = graft.ops.Aggregates.aggPercentileApprox(spark, SparkSpec.sfDir).collect()
     val byPrio = graft.io.Tables.t(spark, SparkSpec.sfDir, "orders")
