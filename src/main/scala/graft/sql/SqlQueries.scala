@@ -230,6 +230,29 @@ object SqlQueries extends QueryPack {
     s.sql(q8Sql)
   }
 
+  /** TPC-H Q19 shape (discounted revenue over bracketed disjunctions):
+    * an OR of three (brand, size-range, quantity-range) conjunct
+    * brackets — the predicate shape that exercises Catalyst's CNF
+    * conversion: the common `p_partkey = l_partkey` join survives, the
+    * per-bracket part predicates push to the part scan, and the
+    * residual disjunction evaluates post-join. Single-row output,
+    * cents-exact. */
+  private val q19Sql =
+    s"""SELECT ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |        AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  def sqlTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q19Sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists" -> (sqlExists _),
     "sql_corr_scalar" -> (sqlCorrScalar _),
@@ -238,6 +261,7 @@ object SqlQueries extends QueryPack {
     "sql_tpch_q7" -> (sqlTpchQ7 _),
     "sql_tpch_q8" -> (sqlTpchQ8 _),
     "sql_tpch_q10" -> (sqlTpchQ10 _),
+    "sql_tpch_q19" -> (sqlTpchQ19 _),
     "sql_in_having" -> (sqlInHaving _),
     "sql_cte_window" -> (sqlCteWindow _))
 
@@ -248,6 +272,7 @@ object SqlQueries extends QueryPack {
     "sql_tpch_q7" -> q7Sql,
     "sql_tpch_q8" -> q8Sql,
     "sql_tpch_q10" -> q10Sql,
+    "sql_tpch_q19" -> q19Sql,
     "sql_in_having" -> q18Sql,
     "sql_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders
