@@ -53,7 +53,12 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_err":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    // Streaming-only asymmetry, declared in-band: true-readStream
+    // queries are timed as the min of two drains and ONLY the faster
+    // drain lands in `value`; batch queries are single-shot. See
+    // BASELINE.md for the rationale (non-reusable per-start state-store
+    // costs carry ±30% noise unrelated to the plan).
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_policy":"readStream queries: min of 2 drains, second drain excluded from total; batch queries: single run","queries":$qs,"errors":$errs,"n_err":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/tmp/graft_bench.json")), json)

@@ -18,10 +18,13 @@ import org.apache.spark.util.sketch.CountMinSketch
   * collect()ing sketches to the driver.
   *
   * The deserialized sketch is cached per expression instance keyed on
-  * the byte array's reference: in the intended shape (tiny probe set ×
-  * per-group sketch join) consecutive rows carry the same sketch
-  * object, so deserialization happens once per group per partition,
-  * not once per row. CodegenFallback is deliberate — this sits on the
+  * the byte CONTENT (length gate + Arrays.equals): UnsafeRow returns a
+  * fresh array per field access, so a reference key would never hit.
+  * The equality scan is linear in sketch size but far cheaper than
+  * readFrom (which allocates the d×w counter matrix); in the intended
+  * shape (tiny probe set × per-group sketch join) consecutive rows
+  * carry equal bytes, so deserialization happens once per group per
+  * partition. CodegenFallback is deliberate — this sits on the
   * model-probe path (rows ≈ probes × groups), never on the data path.
   *
   * Items are estimated as their UTF-8 bytes, mirroring how the
@@ -34,17 +37,23 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes() =
-    if (left.dataType == BinaryType)
+    if (left.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("cms_estimate needs a binary sketch as first arg, got " +
+          left.dataType.sql)
+    else if (right.dataType != org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("cms_estimate probes items as their UTF-8 bytes; " +
+          "second arg must be STRING (cast it), got " + right.dataType.sql)
+    else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      .TypeCheckFailure("cms_estimate needs a binary sketch as first arg")
 
   @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedSketch: CountMinSketch = _
 
   override protected def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if ((cachedBytes ne bytes) || cachedSketch == null) {
+    if (cachedSketch == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
       cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
       cachedBytes = bytes
     }

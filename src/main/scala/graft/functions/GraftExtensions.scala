@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions so `spark.sql("... cosine_sim(a, b)")`
@@ -17,6 +18,29 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[DotProduct].getCanonicalName, null, name, usage, "")
+
+  /** `k` must resolve to an integral literal at registration time (the
+    * aggregate's buffer is sized by it). Accept every integral literal
+    * width — SQL integer literals parse as INT but a user writing
+    * `topk_freq(x, 5L)` or a CAST-folded BIGINT is equally valid — and
+    * reject everything else with a message naming the actual problem
+    * instead of a bare ClassCastException. */
+  private def literalK(e: Expression): Int = e match {
+    case Literal(v: Byte, ByteType)     => v.toInt
+    case Literal(v: Short, ShortType)   => v.toInt
+    case Literal(v: Int, IntegerType)   => v
+    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+    case Literal(v: Long, LongType) =>
+      throw new IllegalArgumentException(
+        s"topk_freq: k=$v exceeds Int range")
+    case other if other.foldable =>
+      throw new IllegalArgumentException(
+        "topk_freq: k must be an integral literal, got type " +
+          other.dataType.sql)
+    case other =>
+      throw new IllegalArgumentException(
+        "topk_freq: k must be a literal (foldable), got " + other.sql)
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseCosineRule)
@@ -40,7 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("topk_freq"),
       info("topk_freq", "topk_freq(expr, k) - Misra-Gries heavy hitters per group"),
-      (args: Seq[Expression]) => TopKFreq(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => TopKFreq(args(0), literalK(args(1)))))
   }
 }

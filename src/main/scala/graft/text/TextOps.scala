@@ -378,6 +378,13 @@ object TextOps extends QueryPack {
         labels = next
         pass += 1
       }
+      // Partial labels are WRONG labels — a caller can't tell a
+      // converged component from one still mid-propagation, so a
+      // non-converged exit must be loud, not silent.
+      require(changed == 0,
+        s"connectedComponents did not converge within $maxPasses passes " +
+          s"($changed labels still changing); raise maxPasses — passes needed " +
+          "grow with the graph diameter, which for dedup graphs stays small")
       val singletons = vertices.select(col("v"))
         .join(labels.select(col("v")), Seq("v"), "left_anti")
         .withColumn("lbl", col("v"))

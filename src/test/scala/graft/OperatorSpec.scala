@@ -143,6 +143,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(small == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("SQL builders: topk_freq widens integral literal k, rejects bad k loudly") {
+    // BIGINT literal k (5L) must work — not just INT
+    val viaLong = spark.sql(
+      "SELECT topk_freq(tok, 5L) AS top FROM VALUES ('a'),('a'),('b') AS t(tok)")
+      .select(explode($"top").as("e")).select($"e.item", $"e.est_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaLong == Map("a" -> 2L, "b" -> 1L))
+    // non-literal k → message names the problem, not a ClassCastException
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT topk_freq(tok, length(tok)) FROM VALUES ('aa') AS t(tok)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("must be a literal"), e1.getMessage)
+    // non-integral literal k
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT topk_freq(tok, 'five') FROM VALUES ('aa') AS t(tok)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+  }
+
+  test("cms_estimate type-checks its item argument at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT cms_estimate(sk, 1) FROM
+          |  (SELECT count_min_sketch(tok, 0.01d, 0.99d, 42) AS sk
+          |   FROM VALUES ('a'),('b') AS t(tok))""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("STRING"), e.getMessage)
+  }
+
   test("CmsEstimate respects the one-sided CMS error bound vs exact counts") {
     val rows = graft.text.TextOps.textCmsTokens(spark, SparkSpec.sfDir)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
