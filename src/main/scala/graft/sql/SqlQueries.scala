@@ -253,9 +253,151 @@ object SqlQueries extends QueryPack {
     s.sql(q19Sql)
   }
 
+  /** TPC-H Q1 (pricing summary report): the canonical full-scan
+    * aggregate — one wide pass over lineitem, 4 money sums + 3 means +
+    * 2 counts per (returnflag, linestatus). Every mean is emitted as a
+    * ratio of order-independent integer sums (quantities are integral
+    * doubles; discounts sum as basis points), so no float fold order
+    * can flip either engine. At scale this is pure map-side partial
+    * aggregation into a 6-group reduce — the cheapest possible shape
+    * per byte scanned. */
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  ${sqlSumMoney("l_extendedprice")} AS sum_base_price,
+      |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+      |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")} AS sum_charge,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  ${sqlAvgMoney("l_extendedprice")} AS avg_price,
+      |  CAST(sum(CAST(round(l_discount*10000) AS BIGINT)) AS DOUBLE)/10000/count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def sqlTpchQ1(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q1Sql)
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): scan + 3 selective
+    * predicates + scalar aggregate, no join, no group — the query
+    * whose entire cost is how many bytes the scan reads. All three
+    * predicates push to the parquet reader (PushedFilters), and only
+    * 4 of 11 columns survive pruning. Double literals (0.05/0.07)
+    * compare against the same stored doubles in both engines. */
+  private val q6Sql =
+    s"""SELECT ${sqlSumMoney("l_extendedprice*l_discount")} AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  def sqlTpchQ6(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q6Sql)
+  }
+
+  /** TPC-H Q14 (promotion effect): conditional-aggregate ratio over a
+    * one-month fact slice joined to part — same integer-cents ratio
+    * discipline as Q8 (both engines divide the SAME integers). The
+    * date predicate prunes the fact side before the join; part joins
+    * broadcast. */
+  private val q14Sql =
+    """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE)
+      |        / CAST(sum(cents) AS DOUBLE), 6) AS promo_revenue
+      |FROM (
+      |  SELECT p_type, CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |    AND l_shipdate < TIMESTAMP '1996-10-01') promo""".stripMargin
+
+  def sqlTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q14Sql)
+  }
+
+  /** TPC-H Q15 (top supplier): a CTE referenced twice — once as the
+    * join input, once inside an uncorrelated scalar-subquery max. The
+    * "which supplier hit the quarterly max" tie is decided on exact
+    * integer cents, so equality cannot be a float comparison in either
+    * engine. At scale: the CTE is one grouped pass over the fact slice;
+    * the max is an aggregate of that model-sized result, broadcast
+    * back as a scalar — no second fact scan is required (Spark reuses
+    * the subquery result; the CTE itself is cheap either way). */
+  private val q15Sql =
+    s"""WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(${sqlCents("l_extendedprice*(1.0-l_discount)")}) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_cents AS DOUBLE)/100 AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def sqlTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q15Sql)
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): correlated AVG subquery
+    * against the same fact table — the decorrelation stress test
+    * (Catalyst rewrites to a per-partkey aggregate joined back;
+    * DuckDB does its own decorrelation — the differential proves both
+    * got it right). Quantities are integral doubles, so avg is a ratio
+    * of exact sums and `l_quantity < 0.2*avg` compares identical
+    * doubles in both engines. Output is total/700 (cents → dollars,
+    * per-week): one division of identical integers — no round() that
+    * could tie-break differently. */
+  private val q17Sql =
+    s"""SELECT CAST(sum(${sqlCents("l_extendedprice")}) AS DOUBLE)/700 AS avg_weekly_revenue,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  def sqlTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q17Sql)
+  }
+
+  /** TPC-H Q22 (global sales opportunity): uncorrelated scalar
+    * subquery (cents-exact positive-balance mean) + NOT EXISTS
+    * anti-join against orders, grouped per nation. Exercises the
+    * anti-join rewrite the other subquery shapes don't. The scalar
+    * mean is computed once and broadcast; the anti-join shuffles on
+    * custkey only. */
+  private val q22Sql =
+    s"""SELECT c_nationkey, count(*) AS numcust,
+      |  ${sqlSumMoney("c_acctbal")} AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT ${sqlAvgMoney("c_acctbal")}
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  def sqlTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q22Sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists" -> (sqlExists _),
     "sql_corr_scalar" -> (sqlCorrScalar _),
+    "sql_tpch_q1" -> (sqlTpchQ1 _),
+    "sql_tpch_q6" -> (sqlTpchQ6 _),
+    "sql_tpch_q14" -> (sqlTpchQ14 _),
+    "sql_tpch_q15" -> (sqlTpchQ15 _),
+    "sql_tpch_q17" -> (sqlTpchQ17 _),
+    "sql_tpch_q22" -> (sqlTpchQ22 _),
     "sql_tpch_q3" -> (sqlTpchQ3 _),
     "sql_tpch_q5" -> (sqlTpchQ5 _),
     "sql_tpch_q7" -> (sqlTpchQ7 _),
@@ -267,6 +409,12 @@ object SqlQueries extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     // both engines speak the same text for the TPC-H shapes
+    "sql_tpch_q1" -> q1Sql,
+    "sql_tpch_q6" -> q6Sql,
+    "sql_tpch_q14" -> q14Sql,
+    "sql_tpch_q15" -> q15Sql,
+    "sql_tpch_q17" -> q17Sql,
+    "sql_tpch_q22" -> q22Sql,
     "sql_tpch_q3" -> q3Sql,
     "sql_tpch_q5" -> q5Sql,
     "sql_tpch_q7" -> q7Sql,
