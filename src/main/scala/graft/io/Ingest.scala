@@ -212,7 +212,38 @@ object Ingest extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** Range-clustered layout — the single-dimension form of the
+    * z-order/liquid-clustering lever: lineitem rewritten with
+    * `repartitionByRange(l_shipdate) + sortWithinPartitions`, so every
+    * output file covers a DISJOINT shipdate band and, inside each
+    * file, every parquet row group covers a narrow sub-band. The
+    * row-group min/max stats then act as a zone map: a time-range scan
+    * pushes its bounds to the reader (PushedFilters) and skips every
+    * row group whose band misses the range — at 100 TB a 3-month scan
+    * of a 7-year table reads ~3.5% of the bytes instead of all of
+    * them, with NO partition directories to manage and no high-
+    * cardinality partition explosion (the failure mode of
+    * partitionBy(date) at daily grain × many tenants). IngestSpec
+    * asserts the bands are disjoint and the predicate reaches the
+    * reader. */
+  def ingestSorted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "lineitem")
+    val path = scratch(dir, "sorted_lineitem")
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      src.repartitionByRange(8, $"l_shipdate")
+        .sortWithinPartitions($"l_shipdate")
+        .write.mode("overwrite").parquet(path)
+    s.read.schema(src.schema).parquet(path)
+      .where($"l_shipdate" >= lit("1996-06-01").cast("timestamp") &&
+             $"l_shipdate" < lit("1996-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sumMoney($"l_extendedprice").as("price_sum"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_sorted" -> (ingestSorted _),
     "ingest_csv" -> (ingestCsv _),
     "ingest_json" -> (ingestJson _),
     "ingest_orc" -> (ingestOrc _),
@@ -223,6 +254,13 @@ object Ingest extends QueryPack {
   // Oracles run on the ORIGINAL parquet tables: a hash match proves the
   // text round-trip / partitioned rewrite preserved every value.
   def oracle: Map[String, String] = Map(
+    "ingest_sorted" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+        |  ${sqlSumMoney("l_extendedprice")} AS price_sum
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+        |  AND l_shipdate < TIMESTAMP '1996-09-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "ingest_csv" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "ingest_json" ->

@@ -39,6 +39,34 @@ class UserRollupProcessor
   }
 }
 
+/** Per-key running count whose state EXPIRES after a processing-time
+  * TTL of inactivity — the knob that keeps an unbounded key space
+  * (user ids, session tokens) from growing state forever once keys go
+  * quiet. Without a TTL, a 100 TB stream with churning keys leaks
+  * state linearly in distinct-keys-ever-seen; with it, state size
+  * tracks distinct-keys-per-TTL-window. Expiry is enforced by the
+  * state store itself (RocksDB TTL compaction filter territory), not
+  * by per-key timers the job must schedule. Spec-verified: a key that
+  * goes idle past the TTL restarts its count from zero. */
+class CountWithTtlProcessor(ttlMs: Long)
+    extends StatefulProcessor[Long, Long, (Long, Long)] {
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long](
+      "cnt", Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofMillis(ttlMs)))
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+                               timers: TimerValues): Iterator[(Long, Long)] = {
+    val prev = if (st.exists()) st.get() else 0L
+    val n = prev + rows.size
+    st.update(n)
+    Iterator((key, n))
+  }
+}
+
 /** SURVEY.md §2.9 (*no-oracle* rows) — true Structured Streaming over
   * the events fixture, driven as a file source and drained
   * synchronously into a memory sink so the driver contract still gets

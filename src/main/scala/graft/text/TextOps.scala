@@ -339,9 +339,11 @@ object TextOps extends QueryPack {
     * contraction at O(log n) — same join shape, more bookkeeping).
     * Labels are localCheckpoint'd each pass: the state is one row per
     * doc, and truncating lineage keeps pass k from replaying passes
-    * 1..k-1. The convergence count is a driver-side scalar per pass (an
-    * aggregate, not a collect); a cluster job would fold it into an
-    * accumulator on the same pass. */
+    * 1..k-1. Change detection rides the SAME aggregate that computes
+    * the new labels: the self-row carries the previous label as a
+    * side column, so `changed` is a count over the already-checkpointed
+    * pass output — no second join, no extra shuffle, one action per
+    * pass. */
   /** Min-label propagation to a fixed point. `vertices`: one column
     * `v`; `edges`: columns `a`,`b` (undirected, any orientation).
     * Returns (v, lbl) where lbl = min vertex id in v's component.
@@ -353,7 +355,7 @@ object TextOps extends QueryPack {
     * back as their own singleton components via one final anti-join. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxPasses: Int = 15): DataFrame = {
-    import org.apache.spark.sql.functions.{col, min}
+    import org.apache.spark.sql.functions.{col, lit, min}
     // edge generation runs at full parallelism (corpus-scale work)...
     val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
@@ -368,14 +370,21 @@ object TextOps extends QueryPack {
       var changed = 1L
       var pass = 0
       while (changed > 0 && pass < maxPasses) {
+        // every viaNbr target is already in `labels` (initialized from
+        // the symmetric edge set), so max(prev) recovers each vertex's
+        // previous label and min-propagation only ever lowers lbl —
+        // changed = lbl < prev, read off the pass output itself
         val viaNbr = sym.join(labels, col("a") === col("v"))
-          .select(col("b").as("v"), col("lbl"))
-        val next = labels.unionByName(viaNbr)
-          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+          .select(col("b").as("v"), col("lbl"),
+                  lit(null).cast("long").as("prev"))
+        val next = labels.withColumn("prev", col("lbl"))
+          .unionByName(viaNbr)
+          .groupBy(col("v"))
+          .agg(min(col("lbl")).as("lbl"),
+               org.apache.spark.sql.functions.max(col("prev")).as("prev"))
           .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("lbl", "prev"), "v")
-          .where(col("lbl") =!= col("prev")).count()
-        labels = next
+        changed = next.where(col("lbl") < col("prev")).count()
+        labels = next.select(col("v"), col("lbl"))
         pass += 1
       }
       // Partial labels are WRONG labels — a caller can't tell a

@@ -95,6 +95,36 @@ class IngestSpec extends AnyFunSuite {
       s"expected 4 compacted files, got ${parquetFiles("compact_events")}")
   }
 
+  test("range-clustered layout: disjoint file bands + pushed range predicate") {
+    val df = Ingest.ingestSorted(spark, SparkSpec.sfDir)
+    df.collect() // ensure the layout exists
+    // the time-range predicate must reach the parquet reader, where
+    // row-group min/max stats can skip whole groups
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"), plan.take(1200))
+    // repartitionByRange gives each file a disjoint shipdate band —
+    // the property that turns row-group stats into a zone map
+    val root = s"/tmp/graft_ingest/${SparkSpec.sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/sorted_lineitem"
+    val files = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1)
+    // ISO timestamp strings sort chronologically, sidestepping the
+    // TIMESTAMP_NTZ-vs-epoch cast restriction
+    val bands = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"l_shipdate").cast("string"), max($"l_shipdate").cast("string"))
+        .head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    bands.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping bands: $bands")
+      case _ =>
+    }
+  }
+
   test("ORC read-back pushes the segment predicate into the scan") {
     val df = Ingest.ingestOrc(spark, SparkSpec.sfDir)
     val plan = df.queryExecution.executedPlan.toString

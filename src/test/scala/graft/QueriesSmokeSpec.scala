@@ -19,10 +19,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
   // SURVEY.md §2's count line is the binding inventory; this fails the
   // build when code and survey drift (round-2 verdict item: code had a
   // query SURVEY didn't declare). Update BOTH when adding a query.
-  test("declared inventory matches SURVEY §2 count (112 queries, 99 oracled)") {
-    assert(SparkEntry.queries.size == 112,
+  test("declared inventory matches SURVEY §2 count (113 queries, 100 oracled)") {
+    assert(SparkEntry.queries.size == 113,
       s"queries.size=${SparkEntry.queries.size} — update SURVEY §2 count + this spec")
-    assert(SparkEntry.oracleSql.size == 99,
+    assert(SparkEntry.oracleSql.size == 100,
       s"oracleSql.size=${SparkEntry.oracleSql.size} — update SURVEY §2 count + this spec")
   }
 

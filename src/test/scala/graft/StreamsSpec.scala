@@ -38,6 +38,85 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("state TTL: a key idle past the TTL restarts its count from zero") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 4.1's checkpoint file-checksum writer deadlocks closing the
+    // RocksDB zip when TTL secondary-index files multiply the
+    // checkpoint file count (tasks park forever in
+    // ChecksumCancellableFSDataOutputStream.close); the feature is
+    // orthogonal to what this test verifies, so switch it off here
+    val prevCk = spark.conf.getOption(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try graft.config.Sessions.withShufflePartitionsCap(spark, 2) {
+      implicit val sqlCtx = spark.sqlContext
+      // ProcessingTime mode keeps scheduling eviction micro-batches
+      // forever (even under AvailableNow — observed 100+ empty batches
+      // at one checkpoint), so neither processAllAvailable nor
+      // AvailableNow ever quiesces with a TTL state. Trigger.Once runs
+      // EXACTLY one batch and stops; the shared checkpoint carries the
+      // TTL-stamped state across restarts — also the honest shape:
+      // incremental runs of a periodic job. memory sink can't resume
+      // from a checkpoint; foreachBatch can.
+      @annotation.nowarn("cat=deprecation")
+      def onceTrigger = org.apache.spark.sql.streaming.Trigger.Once()
+      def mkRunner(ttlMs: Long): (MemoryStream[Long], () => Seq[Long]) = {
+        val mem = MemoryStream[Long]
+        val out = mem.toDS().groupByKey(identity)
+          .transformWithState(
+            new graft.stream.CountWithTtlProcessor(ttlMs),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            OutputMode.Update())
+          .toDF("k", "n")
+        val ck = java.nio.file.Files
+          .createTempDirectory("graft_ttl_ck").toString
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val run = () => {
+          got.clear()
+          val q = out.writeStream
+            .option("checkpointLocation", ck)
+            .outputMode(OutputMode.Update())
+            .trigger(onceTrigger)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.collect().foreach(r => got.add(r.getLong(1))); ()
+            }
+            .start()
+          try q.awaitTermination(120000L) finally q.stop()
+          scala.jdk.CollectionConverters.CollectionHasAsScala(got).asScala.toSeq
+        }
+        (mem, run)
+      }
+      // Half 1 — state SURVIVES a restart while the TTL hasn't lapsed.
+      // Only needs the inter-run gap < 300 s, which always holds.
+      val (memLong, runLong) = mkRunner(300000L)
+      memLong.addData(1L, 1L)
+      assert(runLong() == Seq(2L), "long-TTL batch 1: two events, count 2")
+      memLong.addData(1L)
+      assert(runLong() == Seq(3L), "long-TTL batch 2: count continues to 3")
+      // Half 2 — state EXPIRES once idle past the TTL. Only needs the
+      // gap > 3 s, which the sleep guarantees regardless of load.
+      val (memShort, runShort) = mkRunner(3000L)
+      memShort.addData(1L, 1L)
+      assert(runShort() == Seq(2L), "short-TTL batch 1: count 2")
+      Thread.sleep(6000L)
+      memShort.addData(1L)
+      assert(runShort() == Seq(1L),
+        "short-TTL batch 2: state expired, count restarts at 1")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCk match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
   test("stream_watermark totals equal batch window counts") {
     import spark.implicits._
     val streamed = Streams.streamWatermark(spark, SparkSpec.sfDir)
