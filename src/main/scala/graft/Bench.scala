@@ -3,14 +3,74 @@ package graft
 import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark: every SparkEntry query, count-action, one
-  * JSON line on stdout and the same JSON in a file (stdout tails get
-  * truncated by capture windows; the file is the durable copy). A
-  * query that throws is reported in "errors" — never billed as a
-  * silent timing.
+  * JSON line on stdout and the FULL per-query JSON in a durable file.
+  *
+  * The stdout line is deliberately size-capped: the driver captures
+  * only the tail of the run's output (observed: last 2000 chars, with
+  * sbt's `[success]` line consuming part of it), and rounds 1-3 all
+  * produced an unparseable BENCH_r{N}.json because the full 100+-query
+  * map overflowed that window. The line therefore carries the totals
+  * plus the SLOWEST queries that fit a fixed character budget, and
+  * points at `BENCH_FULL.json` (repo-local, judge-readable) for the
+  * complete map. A query that throws is reported in "errors" — never
+  * billed as a silent timing.
   */
 object Bench {
+  /** stdout-line budget: driver tail window (2000) minus sbt's
+    * trailing `[success] Total time: ...` line and slack. */
+  val StdoutBudget = 1750
+
+  def fmt(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Renders (stdoutLine, fullJson). Pure so the size cap is
+    * unit-testable without a Spark session. */
+  def render(results: Seq[(String, Double, Option[String])], sfDir: String,
+             fullPath: String): (String, String) = {
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def errJson(maxEntries: Int): String =
+      results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
+        .take(maxEntries).mkString("{", ",", "}")
+    val nErr = results.count(_._3.isDefined)
+    def entry(kv: (String, Double, Option[String])): String =
+      "\"" + kv._1 + "\":" + fmt(kv._2)
+    // Streaming-only asymmetry, declared in-band: true-readStream
+    // queries are timed as the min of two drains and ONLY the faster
+    // drain lands in `value`; batch queries are single-shot. See
+    // BASELINE.md for the rationale (non-reusable per-start state-store
+    // costs carry ±30% noise unrelated to the plan).
+    def head(qs: String, omitted: Int, errs: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""streaming_policy":"readStream: min of 2 drains, 2nd excluded","queries":$qs,""" +
+      s""""queries_omitted":$omitted,"full":"$fullPath","errors":$errs,"n_err":$nErr,"sf":"$sfDir"}"""
+    val full = head(results.sortBy(_._1).map(entry).mkString("{", ",", "}"), 0, errJson(Int.MaxValue))
+    // stdout: slowest-first, greedily packed under the budget; the fast
+    // tail (sub-second queries) is what gets omitted, and the count of
+    // omissions is declared in-band. Errors are capped at 3 on stdout
+    // (full file keeps all) so a mass failure can't overflow the line.
+    val stdoutErrs = errJson(3)
+    val bySlow = results.sortBy(-_._2)
+    var used = head("{}", results.size, stdoutErrs).length
+    val kept = bySlow.takeWhile { kv =>
+      val len = entry(kv).length + 1
+      if (used + len <= StdoutBudget) { used += len; true } else false
+    }
+    val line = head(kept.sortBy(_._1).map(entry).mkString("{", ",", "}"),
+      results.size - kept.size, stdoutErrs)
+    (line, full)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH_FULL.json")
     val spark = graft.config.Sessions.local()
     // absorb one-time session costs (context init, FileSourceScan
     // machinery, codegen bootstrap) so they don't bill to whichever
@@ -39,29 +99,9 @@ object Bench {
         else (t1, e1)
       (name, t, err)
     }
-    def fmt(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def esc(s: String): String =
-      s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Streaming-only asymmetry, declared in-band: true-readStream
-    // queries are timed as the min of two drains and ONLY the faster
-    // drain lands in `value`; batch queries are single-shot. See
-    // BASELINE.md for the rationale (non-reusable per-start state-store
-    // costs carry ±30% noise unrelated to the plan).
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_policy":"readStream queries: min of 2 drains, second drain excluded from total; batch queries: single run","queries":$qs,"errors":$errs,"n_err":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
-    println(json)
-    Files.writeString(Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/tmp/graft_bench.json")), json)
+    val (line, full) = render(results, sfDir, fullPath)
+    Files.writeString(Paths.get(fullPath), full)
+    println(line)
     spark.stop()
   }
 }
