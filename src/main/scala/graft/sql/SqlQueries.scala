@@ -389,6 +389,197 @@ object SqlQueries extends QueryPack {
     s.sql(q22Sql)
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): correlated scalar-min
+    * subquery whose inner query is itself a 4-table join — the
+    * heaviest decorrelation in the suite (Catalyst rewrites to a
+    * per-partkey min aggregate over the joined region slice, joined
+    * back on both partkey and price). The fixture has no partsupp
+    * table, so lineitem's (partkey, suppkey, extendedprice) plays the
+    * part-supplier cost bridge; the equality compares STORED doubles
+    * (min of a set — no arithmetic), so it cannot flip engines. */
+  private val q2Sql =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  l_extendedprice AS min_price
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  def sqlTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q2Sql)
+  }
+
+  /** TPC-H Q9 shape (product-type profit): 5-table join filtered by a
+    * substring match on part name, profit grouped by (nation, year).
+    * Without partsupp, cost = retail price × quantity; profit is an
+    * integer-cents difference (quantities are integral doubles), so
+    * the sum is order-independent in both engines. The LIKE pushes to
+    * the part scan; nation broadcasts; the fact chain shuffles on its
+    * join keys only. */
+  private val q9Sql =
+    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+      |        - CAST(round(p_retailprice*100) AS BIGINT)*CAST(l_quantity AS BIGINT)) AS DOUBLE)/100 AS sum_profit
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def sqlTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q9Sql)
+  }
+
+  /** TPC-H Q11 shape (important stock): grouped value per part with a
+    * HAVING threshold that is a FRACTION of the same aggregate over
+    * the whole slice — the CTE-reused-as-scalar pattern (like Q15 but
+    * with a fraction, not a max). The comparison multiplies exact
+    * integer cents (cents·1000 > total) instead of dividing, so both
+    * engines compare the SAME integers; the multiply stays inside
+    * Long range until per-slice revenue passes ~9·10¹⁵ cents. */
+  private val q11Sql =
+    """WITH val AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |    sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS cents
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY l_partkey)
+      |SELECT ps_partkey, CAST(cents AS DOUBLE)/100 AS value
+      |FROM val WHERE cents * 1000 > (SELECT sum(cents) FROM val)
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  def sqlTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q11Sql)
+  }
+
+  /** TPC-H Q12 shape (shipping-mode priority): conditional counts via
+    * the ANSI FILTER clause, keyed on the fact attribute (linestatus
+    * stands in for shipmode, returnflag for the lateness predicate —
+    * the fixture carries no commit/receipt dates). FILTER (not a CASE
+    * sum) keeps both engines' count type BIGINT. */
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS high_line_count,
+      |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag = 'R'
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  def sqlTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q12Sql)
+  }
+
+  /** TPC-H Q13 shape (customer order distribution): LEFT OUTER join
+    * with an extra predicate INSIDE the join condition (not the WHERE
+    * — moving it would drop customers with zero matching orders),
+    * then a double aggregation: count per customer, histogram of the
+    * counts. Customers with no orders land in the c_count=0 bucket. */
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def sqlTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q13Sql)
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT)
+    * over a derived part-supplier bridge (DISTINCT pairs from
+    * lineitem — the fixture has no partsupp), with a NOT IN subquery
+    * that Catalyst plans as a null-aware anti-join — the one subquery
+    * rewrite the other SQL shapes don't reach. */
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |      FROM lineitem) partsupp
+      |JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  def sqlTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q16Sql)
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): nested IN chains —
+    * suppliers IN (grouped-HAVING over lineitems whose partkey is IN
+    * a LIKE-filtered part set). Both INs rewrite to semi-joins; the
+    * HAVING threshold compares integral-double quantity sums, exact
+    * in both engines. */
+  private val q20Sql =
+    """SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(l_quantity) > 30.0)
+      |ORDER BY s_name""".stripMargin
+
+  def sqlTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q20Sql)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS and
+    * NOT EXISTS both correlated to the SAME outer fact row — the
+    * only-this-supplier-failed pattern (returnflag stands in for the
+    * late-receipt predicate). Catalyst plans one semi- and one
+    * anti-join against the re-scanned fact, both keyed on orderkey. */
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  def sqlTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q21Sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists" -> (sqlExists _),
     "sql_corr_scalar" -> (sqlCorrScalar _),
@@ -404,6 +595,14 @@ object SqlQueries extends QueryPack {
     "sql_tpch_q8" -> (sqlTpchQ8 _),
     "sql_tpch_q10" -> (sqlTpchQ10 _),
     "sql_tpch_q19" -> (sqlTpchQ19 _),
+    "sql_tpch_q2" -> (sqlTpchQ2 _),
+    "sql_tpch_q9" -> (sqlTpchQ9 _),
+    "sql_tpch_q11" -> (sqlTpchQ11 _),
+    "sql_tpch_q12" -> (sqlTpchQ12 _),
+    "sql_tpch_q13" -> (sqlTpchQ13 _),
+    "sql_tpch_q16" -> (sqlTpchQ16 _),
+    "sql_tpch_q20" -> (sqlTpchQ20 _),
+    "sql_tpch_q21" -> (sqlTpchQ21 _),
     "sql_in_having" -> (sqlInHaving _),
     "sql_cte_window" -> (sqlCteWindow _))
 
@@ -421,6 +620,14 @@ object SqlQueries extends QueryPack {
     "sql_tpch_q8" -> q8Sql,
     "sql_tpch_q10" -> q10Sql,
     "sql_tpch_q19" -> q19Sql,
+    "sql_tpch_q2" -> q2Sql,
+    "sql_tpch_q9" -> q9Sql,
+    "sql_tpch_q11" -> q11Sql,
+    "sql_tpch_q12" -> q12Sql,
+    "sql_tpch_q13" -> q13Sql,
+    "sql_tpch_q16" -> q16Sql,
+    "sql_tpch_q20" -> q20Sql,
+    "sql_tpch_q21" -> q21Sql,
     "sql_in_having" -> q18Sql,
     "sql_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders

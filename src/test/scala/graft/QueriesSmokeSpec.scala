@@ -20,9 +20,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
   // build when code and survey drift (round-2 verdict item: code had a
   // query SURVEY didn't declare). Update BOTH when adding a query.
   test("declared inventory matches SURVEY §2 count (113 queries, 100 oracled)") {
-    assert(SparkEntry.queries.size == 113,
+    assert(SparkEntry.queries.size == 121,
       s"queries.size=${SparkEntry.queries.size} — update SURVEY §2 count + this spec")
-    assert(SparkEntry.oracleSql.size == 100,
+    assert(SparkEntry.oracleSql.size == 108,
       s"oracleSql.size=${SparkEntry.oracleSql.size} — update SURVEY §2 count + this spec")
   }
 
