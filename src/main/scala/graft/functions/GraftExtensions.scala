@@ -42,7 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         integral(v).getOrElse(
           throw new IllegalArgumentException("topk_freq: k must not be NULL"))
       case other if other.foldable =>
-        integral(other.eval()).getOrElse(
+        // eval() can itself throw under ANSI (e.g. `1 div 0` is
+        // foldable); surface that as the same descriptive error class
+        // instead of a raw Spark exception escaping registration
+        val v =
+          try other.eval()
+          catch {
+            case scala.util.control.NonFatal(err) =>
+              throw new IllegalArgumentException(
+                "topk_freq: k failed to evaluate: " + err.getMessage, err)
+          }
+        if (v == null)
+          throw new IllegalArgumentException("topk_freq: k must not be NULL")
+        integral(v).getOrElse(
           throw new IllegalArgumentException(
             "topk_freq: k must fold to an integral value, got type " +
               other.dataType.sql))

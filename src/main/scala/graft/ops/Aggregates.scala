@@ -279,7 +279,53 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** Equi-width histogram of order value: bucket = exact cents div
+    * 5,000,000 ($50k bins). Bucketing on the per-row INTEGER cents
+    * (Det discipline) keeps the bin edge engine-exact — a double
+    * `floor(x/500)` could land boundary values in different bins per
+    * engine. One partial+final hash agg on ≤ ~10 groups; at 100 TB the
+    * shuffle is |bins|×|partitions| rows, i.e. nothing. */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_totalprice", cents($"o_totalprice").as("cts"))
+      .withColumn("bucket", expr("cts div 5000000"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+           sumMoney($"o_totalprice").as("spend"))
+      .orderBy($"bucket")
+  }
+
+  /** Ordered conversion funnel over the event log: users who signed
+    * up, then clicked strictly AFTER their first signup, then
+    * purchased strictly after that first qualifying click. Each stage
+    * is a keyed agg (min per user) joined to the previous stage on
+    * user_id — three shuffles all partitioned on the SAME key, so the
+    * exchanges line up and stages 2/3 reuse stage 1's partitioning.
+    * Stage outputs shrink monotonically (funnel ⊆ previous stage);
+    * the final counts are three scalar aggregates cross-joined into
+    * one row. Timestamps compare as epoch µs (engine-neutral). */
+  def aggFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select($"user_id", $"event_type",
+              unix_micros($"ts".cast("timestamp")).as("us"))
+    val s1 = e.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("us_signup"))
+    val s2 = e.where($"event_type" === "click")
+      .join(s1, "user_id").where($"us" > $"us_signup")
+      .groupBy($"user_id").agg(min($"us").as("us_click"))
+    val s3 = e.where($"event_type" === "purchase")
+      .join(s2, "user_id").where($"us" > $"us_click")
+      .groupBy($"user_id").agg(min($"us").as("us_purchase"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_signup_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram" -> (aggHistogram _),
+    "agg_funnel" -> (aggFunnel _),
     "agg_percentile" -> (aggPercentile _),
     "agg_percentile_approx" -> (aggPercentileApprox _),
     "sample_stratified" -> (sampleStratified _),
@@ -303,6 +349,22 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      s"""SELECT CAST(round(o_totalprice*100) AS BIGINT) // 5000000 AS bucket,
+        |  count(*) AS n_orders,
+        |  ${sqlSumMoney("o_totalprice")} AS spend
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "agg_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS us_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(us) AS us_click FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > us_signup GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(us) AS us_purchase FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > us_click GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_signup_click,
+        |       (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderpriority,
         |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25)/100 AS p25,

@@ -224,7 +224,41 @@ object Joins extends QueryPack {
       .orderBy($"c_mktsegment")
   }
 
+  /** Bloom semi-join reduction: when the build side's ROWS exceed the
+    * broadcast threshold but its KEY SET fits a few MB of bloom bits,
+    * build a [[graft.functions.BloomAgg]] over the keys (map-side
+    * mergeable, one-row result), broadcast THAT, and pre-filter the
+    * probe side BEFORE its shuffle. The exact join afterwards clears
+    * the ≤fpp false positives, so results are identical to the plain
+    * join (the oracle) while the probe shuffle moves only ~matching
+    * rows. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~1/segment-count slice that
+    * joins; Catalyst's runtime bloom injection does this invisibly
+    * for some shapes — this query is the explicit, always-available
+    * surface. */
+  def joinBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.BloomFilters.{bloomAgg, bloomMightContain}
+    val build = t(s, dir, "customer")
+      .where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name")
+    // 1M expected keys @1% fpp ≈ 1.2 MB of bits — broadcastable at any
+    // SF where the SEGMENT key set stays ~1M; size generously, the
+    // filter degrades to higher fpp (more probe rows, same answer)
+    val bf = build.agg(bloomAgg($"c_custkey", 1000000L, 0.01).as("bf"))
+    val probe = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .crossJoin(broadcast(bf))
+      .where(bloomMightContain($"bf", $"o_custkey"))
+      .drop("bf")
+    probe.join(build, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("spend"))
+      .orderBy($"c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_range" -> (joinRange _),
     "join_range_auto" -> (joinRangeAuto _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -239,6 +273,15 @@ object Joins extends QueryPack {
     "join_asof" -> (joinAsof _))
 
   def oracle: Map[String, String] = Map(
+    // the bloom prefilter is semantics-preserving: the oracle is the
+    // PLAIN join — any lost or phantom row is a correctness failure
+    "join_bloom_prefilter" ->
+      s"""SELECT c_custkey, c_name, count(*) AS n_orders,
+        |  ${sqlSumMoney("o_totalprice")} AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
     // the oracle states the SEMANTICS (plain band join); the Spark
     // side must reproduce it from the bucketed formulation exactly.
     // Comparisons run on epoch_us values, NOT raw ts: DuckDB reads

@@ -150,18 +150,31 @@ class OperatorSpec extends AnyFunSuite {
       .select(explode($"top").as("e")).select($"e.item", $"e.est_count")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(viaLong == Map("a" -> 2L, "b" -> 1L))
-    // non-literal k → message names the problem, not a ClassCastException
+    // foldable constant arithmetic works (builders run before
+    // ConstantFolding, so literalK must eval() it)
+    val viaFold = spark.sql(
+      "SELECT topk_freq(tok, CAST(2+3 AS BIGINT)) AS top FROM VALUES ('a'),('a'),('b') AS t(tok)")
+      .select(explode($"top").as("e")).select($"e.item", $"e.est_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaFold == Map("a" -> 2L, "b" -> 1L))
+    // non-constant k → message names the problem, not a ClassCastException
     val e1 = intercept[Exception] {
       spark.sql("SELECT topk_freq(tok, length(tok)) FROM VALUES ('aa') AS t(tok)")
         .collect()
     }
-    assert(e1.getMessage.contains("must be a literal"), e1.getMessage)
+    assert(e1.getMessage.contains("must be a constant"), e1.getMessage)
     // non-integral literal k
     val e2 = intercept[Exception] {
       spark.sql("SELECT topk_freq(tok, 'five') FROM VALUES ('aa') AS t(tok)")
         .collect()
     }
     assert(e2.getMessage.contains("integral"), e2.getMessage)
+    // NULL k is reported as NULL, not as a type problem (r5 advice)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT topk_freq(tok, CAST(NULL AS BIGINT)) FROM VALUES ('aa') AS t(tok)")
+        .collect()
+    }
+    assert(e3.getMessage.contains("must not be NULL"), e3.getMessage)
   }
 
   test("cms_estimate type-checks its item argument at analysis time") {
