@@ -118,7 +118,12 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override protected def nullSafeEval(bf: Any, key: Any): Any = {
     val bytes = bf.asInstanceOf[Array[Byte]]
-    if (cachedFilter == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
+    // reference check first: the intended shape feeds the SAME array
+    // object every row (a plan-constant Literal), and a content
+    // compare of megabytes of filter bits per probe row would cost
+    // more than the shuffle the filter saves
+    if (cachedFilter == null ||
+        ((cachedBytes ne bytes) && !java.util.Arrays.equals(cachedBytes, bytes))) {
       cachedFilter = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
       cachedBytes = bytes
     }

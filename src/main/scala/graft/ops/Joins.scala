@@ -235,22 +235,31 @@ object Joins extends QueryPack {
     * whole fact table and shuffling the ~1/segment-count slice that
     * joins; Catalyst's runtime bloom injection does this invisibly
     * for some shapes — this query is the explicit, always-available
-    * surface. */
+    * surface.
+    *
+    * The filter is evaluated ONCE (a model-sized aggregate job, like
+    * Catalyst's own runtime-filter subquery) and embedded as a plan
+    * constant, NOT carried as a join column: a per-row binary column
+    * copies O(probeRows × filterBytes) through the join — megabytes
+    * per row — which costs more than the shuffle it saves. As a
+    * Literal, every probe row sees the same array object and
+    * [[graft.functions.BloomMightContain]]'s reference-equality cache
+    * deserializes once per task. */
   def joinBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.BloomFilters.{bloomAgg, bloomMightContain}
     val build = t(s, dir, "customer")
       .where($"c_mktsegment" === "BUILDING")
       .select($"c_custkey", $"c_name")
-    // 1M expected keys @1% fpp ≈ 1.2 MB of bits — broadcastable at any
-    // SF where the SEGMENT key set stays ~1M; size generously, the
-    // filter degrades to higher fpp (more probe rows, same answer)
-    val bf = build.agg(bloomAgg($"c_custkey", 1000000L, 0.01).as("bf"))
+    // 1M expected keys @1% fpp ≈ 1.2 MB of bits — shippable at any SF
+    // where the SEGMENT key set stays ~1M; size generously, the filter
+    // degrades to higher fpp (more probe rows, same answer)
+    val bfBytes: Array[Byte] = build
+      .agg(bloomAgg($"c_custkey", 1000000L, 0.01).as("bf"))
+      .head().getAs[Array[Byte]](0)
     val probe = t(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-      .crossJoin(broadcast(bf))
-      .where(bloomMightContain($"bf", $"o_custkey"))
-      .drop("bf")
+      .where(bloomMightContain(lit(bfBytes), $"o_custkey"))
     probe.join(build, $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
       .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("spend"))
