@@ -96,6 +96,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
 
+  // the bloom prefilter's whole value is WHERE it filters: the probe
+  // must shrink BEFORE any join/exchange, with the filter a plan
+  // constant — if the filter ever rides a join column again (the
+  // O(rows × filterBytes) formulation), a nested-loop join appears
+  test("join_bloom_prefilter probes before the join, filter as plan constant") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    val qe = SparkEntry.queries("join_bloom_prefilter")(spark, SparkSpec.sfDir)
+      .queryExecution
+    // logical plan: the executed plan hides inside AdaptiveSparkPlanExec
+    // (a leaf to collect()), and the property is structural anyway
+    def hasJoinBelow(p: LogicalPlan): Boolean =
+      p.isInstanceOf[Join] || p.children.exists(hasJoinBelow)
+    val probeFilters = qe.optimizedPlan.collect {
+      case f: Filter if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(probeFilters.nonEmpty, "probe filter missing from plan:\n" +
+      qe.optimizedPlan.toString.take(800))
+    // the filter must sit on the bare scan side — shrinking the probe
+    // AFTER a join would defeat the reduction
+    probeFilters.foreach(f => assert(!hasJoinBelow(f.child), f.toString))
+    assert(!qe.optimizedPlan.toString.contains("Cross"),
+      "filter is riding a join column again")
+  }
+
   // join_skew_salted sells explicit salting as the portable skew fix;
   // this is the other half of the 100 TB story: AQE detecting the hot
   // key at runtime and splitting the skewed partition itself. Thresholds
