@@ -125,6 +125,36 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered layout clusters BOTH dimensions per file") {
+    Ingest.ingestZorder(spark, SparkSpec.sfDir).collect() // ensure written
+    val root = s"/tmp/graft_ingest/${SparkSpec.sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/zorder_lineitem"
+    val files = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1)
+    val global = spark.read.parquet(files: _*)
+      .agg(min($"l_orderkey"), max($"l_orderkey"),
+           min($"l_partkey"), max($"l_partkey"))
+      .head()
+    val (gSpanO, gSpanP) =
+      ((global.getLong(1) - global.getLong(0)).toDouble.max(1),
+       (global.getLong(3) - global.getLong(2)).toDouble.max(1))
+    // a z-range of 1/nFiles of the curve covers ~a square in key
+    // space: each file's (orderkey span × partkey span) rectangle
+    // should be a small fraction of the global area. An unclustered
+    // (or single-dimension-sorted) layout scores ~1.0 on at least one
+    // dimension in every file, pushing the mean area toward 1.
+    val areas = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"l_orderkey"), max($"l_orderkey"),
+             min($"l_partkey"), max($"l_partkey"))
+        .head()
+      ((r.getLong(1) - r.getLong(0)) / gSpanO) *
+        ((r.getLong(3) - r.getLong(2)) / gSpanP)
+    }
+    val meanArea = areas.sum / areas.length
+    assert(meanArea < 0.4, s"mean per-file area fraction $meanArea — not clustered")
+  }
+
   test("ORC read-back pushes the segment predicate into the scan") {
     val df = Ingest.ingestOrc(spark, SparkSpec.sfDir)
     val plan = df.queryExecution.executedPlan.toString
