@@ -260,6 +260,30 @@ object TextOps extends QueryPack {
   /** Rolling polynomial fingerprint (Karp–Rabin family): full-text
     * hash + min 8-char-shingle hash (winnowing's core primitive),
     * all via higher-order folds — no UDF, stays in codegen. */
+  /** Fixed-width overlapping chunking — the "split long documents into
+    * training windows" step of every LLM data pipeline: 200-char
+    * chunks on a 150-char stride (50-char overlap so no boundary
+    * context is lost). Pure explode(sequence)+substring — per-doc
+    * work, no shuffle at all until the output sort; at 100 TB this is
+    * a map-only stage that scales with input bytes. Chunk count per
+    * doc is ceil(len/stride), each row carries its index for
+    * downstream order-sensitive packing. */
+  def textChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val width = 200
+    val stride = 150
+    docs(s, dir)
+      .select($"doc_id", $"text", length($"text").as("len"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest($"len" - 1, lit(0)), lit(stride))))
+      // expr: substring/div need column-valued pos and integer division
+      .select($"doc_id", expr(s"start div $stride").cast("long").as("chunk_ix"),
+              expr(s"substring(text, start + 1, $width)").as("chunk"))
+      // DuckDB length() is BIGINT; match the schema
+      .withColumn("chunk_len", length($"chunk").cast("long"))
+      .orderBy($"doc_id", $"chunk_ix")
+  }
+
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = 1000000007L
@@ -432,9 +456,19 @@ object TextOps extends QueryPack {
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
+    "text_chunk" -> (textChunk _),
     "doc_fingerprint" -> (docFingerprint _))
 
   def oracle: Map[String, String] = Map(
+    // generate_series is inclusive-end in DuckDB too; both engines
+    // substring 1-based over all-ASCII fixture text
+    "text_chunk" ->
+      """SELECT doc_id, s // 150 AS chunk_ix,
+        |  substring(text, s + 1, 200) AS chunk,
+        |  length(substring(text, s + 1, 200)) AS chunk_len
+        |FROM documents,
+        |  unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS u(s)
+        |ORDER BY doc_id, chunk_ix""".stripMargin,
     "text_scrub" ->
       """WITH s AS (
         |  SELECT doc_id, text,
