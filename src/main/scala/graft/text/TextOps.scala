@@ -89,6 +89,40 @@ object TextOps extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Benchmark decontamination — the third job the shingle machinery
+    * pays for (after near-dup pairs and survivor carving): flag
+    * TRAINING docs that share ≥3 rare word-3-grams with any doc of a
+    * designated eval/benchmark source (src0 here). The df-cap runs on
+    * TRAIN-side document frequency — a boilerplate shingle present in
+    * many training docs carries no contamination signal, same
+    * stop-shingle trade as [[dedupNgram]], mirrored in the oracle.
+    * Scale shape: one shuffle keyed on shingle (high-cardinality,
+    * skew-bounded by the cap); the eval side is a real benchmark —
+    * thousands of docs, not billions — so it broadcasts and the train
+    * corpus never reshuffles for the join. */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evalSrc = "src0"
+    val sh = docs(s, dir)
+      .withColumn("w", split($"text", " "))
+      .select($"doc_id", $"source",
+        explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+        )).as("sh"))
+      .distinct()
+    val trainSh = sh.where($"source" =!= evalSrc)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .where($"df" <= hotShingleCap)
+    val evalSh = sh.where($"source" === evalSrc)
+      .select($"doc_id".as("eval_id"), $"sh")
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy($"doc_id", $"source")
+      .agg(countDistinct($"sh").as("n_shared"),
+           countDistinct($"eval_id").as("n_eval_docs"))
+      .where($"n_shared" >= 3)
+      .orderBy($"doc_id")
+  }
+
   /** Edit-distance near-dup pairs with PREFIX BLOCKING — the third
     * candidate-generation pattern in the dedup family (next to LSH
     * band buckets and df-capped shingles): docs pair only within the
@@ -457,6 +491,7 @@ object TextOps extends QueryPack {
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "text_chunk" -> (textChunk _),
+    "text_contamination" -> (textContamination _),
     "doc_fingerprint" -> (docFingerprint _))
 
   def oracle: Map[String, String] = Map(
@@ -469,6 +504,23 @@ object TextOps extends QueryPack {
         |FROM documents,
         |  unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS u(s)
         |ORDER BY doc_id, chunk_ix""".stripMargin,
+    "text_contamination" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, source, w,
+        |         unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
+        |tr AS (SELECT * FROM sh WHERE source <> 'src0'),
+        |df AS (SELECT sh, count(*) AS df FROM tr GROUP BY sh),
+        |trc AS (SELECT t.doc_id, t.source, t.sh FROM tr t
+        |        JOIN df USING (sh) WHERE df <= $hotShingleCap),
+        |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE source = 'src0')
+        |SELECT t.doc_id, t.source, count(DISTINCT t.sh) AS n_shared,
+        |       count(DISTINCT ev.eval_id) AS n_eval_docs
+        |FROM trc t JOIN ev USING (sh)
+        |GROUP BY t.doc_id, t.source
+        |HAVING count(DISTINCT t.sh) >= 3
+        |ORDER BY t.doc_id""".stripMargin,
     "text_scrub" ->
       """WITH s AS (
         |  SELECT doc_id, text,
