@@ -120,6 +120,13 @@ class PlanSpec extends AnyFunSuite {
       "filter is riding a join column again")
   }
 
+  // contamination's scale story: the eval/benchmark side broadcasts,
+  // so the train corpus never reshuffles for the overlap join
+  test("text_contamination broadcasts the eval shingle set") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   // join_skew_salted sells explicit salting as the portable skew fix;
   // this is the other half of the 100 TB story: AQE detecting the hot
   // key at runtime and splitting the skewed partition itself. Thresholds
