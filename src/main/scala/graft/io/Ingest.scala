@@ -291,7 +291,35 @@ object Ingest extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Schema evolution across parquet generations — the drift every
+    * long-lived landing zone accumulates: generation 1 was written
+    * before the `channel` column existed, generation 2 carries it.
+    * `mergeSchema` unions the footers at read time (gen-1 rows surface
+    * NULL channel — no backfill rewrite of 100 TB of history), and the
+    * query coalesces the gap into an explicit 'legacy' bucket. The
+    * oracle derives the same channel assignment from the original
+    * table, proving no row was lost or mislabeled across generations. */
+  def ingestEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "orders")
+    val path = scratch(dir, "evolve_orders")
+    if (!new java.io.File(s"$path/gen2/_SUCCESS").exists()) {
+      src.where($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/gen1")
+      src.where($"o_orderkey" % 2 =!= 0)
+        .select($"o_orderkey", $"o_totalprice",
+                concat(lit("ch_"), ($"o_orderkey" % 3).cast("string")).as("channel"))
+        .write.mode("overwrite").parquet(s"$path/gen2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$path/gen1", s"$path/gen2")
+      .groupBy(coalesce($"channel", lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .orderBy($"channel")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_evolve" -> (ingestEvolve _),
     "ingest_zorder" -> (ingestZorder _),
     "ingest_sorted" -> (ingestSorted _),
     "ingest_csv" -> (ingestCsv _),
@@ -304,6 +332,11 @@ object Ingest extends QueryPack {
   // Oracles run on the ORIGINAL parquet tables: a hash match proves the
   // text round-trip / partitioned rewrite preserved every value.
   def oracle: Map[String, String] = Map(
+    "ingest_evolve" ->
+      s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+        |            ELSE 'ch_' || CAST(o_orderkey % 3 AS VARCHAR) END AS channel,
+        |  count(*) AS n, ${sqlSumMoney("o_totalprice")} AS total
+        |FROM orders GROUP BY channel ORDER BY channel""".stripMargin,
     "ingest_zorder" ->
       s"""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty_sum,
         |  ${sqlSumMoney("l_extendedprice")} AS price_sum

@@ -104,14 +104,53 @@ object Pipelines extends QueryPack {
     pipe(t(s, dir, "documents")).orderBy($"doc_id")
   }
 
+  /** Incremental-merge — the foundation of checkpointed ETL: the
+    * pre-cutoff history is materialized ONCE as per-user aggregate
+    * STATE (count + exact integer cents, both commutative monoids) and
+    * read back from parquet on every subsequent run; only the
+    * post-cutoff delta is scanned and partially aggregated, then state
+    * ∪ delta re-reduces by key. Because the merge is associative the
+    * result is bit-identical to a full recompute — exactly what the
+    * oracle checks (a plain cutoff-free aggregate over ALL events).
+    * At 100 TB: state size is |users|, per-run scan is the new
+    * partition only, never the history. (This is what the streaming
+    * state store does continuously; here it's the batch form every
+    * nightly job uses. Float sums would NOT survive this pattern —
+    * the merge reorders additions — which is why state carries cents.) */
+  def incrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val ev = t(s, dir, "events")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("val_cents"))
+    val statePath = "/tmp/graft_ingest/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/state_user_agg"
+    if (!new java.io.File(statePath + "/_SUCCESS").exists())
+      partial(ev.where($"ts" < cutoff))
+        .write.mode("overwrite").parquet(statePath)
+    s.read.parquet(statePath)
+      .unionByName(partial(ev.where($"ts" >= cutoff)))
+      .groupBy($"user_id")
+      .agg(sum($"n").as("n_events"),
+           (sum($"val_cents").cast("double") / 100).as("val_sum"))
+      .orderBy($"user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_events_enrich" -> (eventsEnrich _),
+    "pipeline_incremental" -> (incrementalMerge _),
     "pipeline_docs_curate" -> (docsCurate _))
 
   private val stopSql =
     graft.text.TextOps.stopList.map(m => s"'$m'").mkString(",")
 
   def oracle: Map[String, String] = Map(
+    // cutoff-free on purpose: state ∪ delta must equal full recompute
+    "pipeline_incremental" ->
+      s"""SELECT user_id, count(*) AS n_events,
+        |  ${sqlSumMoney("value")} AS val_sum
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "pipeline_docs_curate" ->
       s"""WITH s AS (
         |  SELECT doc_id, lang, source,
