@@ -137,15 +137,108 @@ object Pipelines extends QueryPack {
       .orderBy($"user_id")
   }
 
+  /** CDC merge (the MERGE INTO shape Spark-core parquet lacks, expressed
+    * as the relational plan Delta/Iceberg build underneath): a change
+    * batch carrying upserts (U), deletes (D) and inserts (I) is applied
+    * to the customer base in ONE full-outer join on the key —
+    * unmatched-base rows pass through, U rows take the new balance,
+    * D rows vanish, I rows (keys not in base) appear. The change set is
+    * derived deterministically from the base itself (key mod classes)
+    * so both engines build the identical batch. Balances move as exact
+    * integer cents (Det discipline) — a merge must be replayable to the
+    * bit, or re-applied batches drift.
+    * At 100 TB: one shuffle on the merge key (AQE broadcasts when the
+    * change batch is small); a copy-on-write table format would
+    * additionally partition-prune the rewrite to touched files. */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val base = cust.select($"c_custkey".as("key"),
+      cents($"c_acctbal").as("bal_cents"))
+    val changes = cust.where($"c_custkey" % 3 === 0)
+      .select($"c_custkey".as("key"),
+        when($"c_custkey" % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (cents($"c_acctbal") + 10000L).as("new_cents"))
+      .unionByName(cust.where($"c_custkey" % 5 === 1)
+        .select(($"c_custkey" + 1000000L).as("key"), lit("I").as("op"),
+          cents($"c_acctbal").as("new_cents")))
+    base.join(changes, Seq("key"), "full_outer")
+      .where($"op".isNull || $"op" =!= "D")
+      .select($"key",
+        (coalesce($"new_cents", $"bal_cents").cast("double") / 100).as("bal"),
+        coalesce($"op", lit("-")).as("op"))
+      .orderBy($"key")
+  }
+
+  /** Column-level data profile — the first pass every ingestion runs
+    * over an unknown dataset: per column, null count, exact distinct
+    * count, min and max (numeric/temporal min-max taken in NATIVE order,
+    * then rendered as strings so one schema fits every column type).
+    * One scan, one aggregate: Spark plans the multi-column DISTINCT as
+    * a single Expand (×6) with partial aggregation before the shuffle,
+    * so shuffle volume is per-partition-distinct, not row count. At
+    * 100 TB swap `countDistinct` for `approx_count_distinct` (HLL, see
+    * agg_approx_distinct) — the plan shape loses the Expand entirely. */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_mn"),
+      max(col(c)).cast("string").as(s"${c}_mx")) }
+    val one = t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows - ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_val, max_val)")
+      .orderBy($"col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_events_enrich" -> (eventsEnrich _),
     "pipeline_incremental" -> (incrementalMerge _),
+    "pipeline_upsert" -> (upsertMerge _),
+    "profile_columns" -> (profileColumns _),
     "pipeline_docs_curate" -> (docsCurate _))
 
   private val stopSql =
     graft.text.TextOps.stopList.map(m => s"'$m'").mkString(",")
 
+  private val profiledCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
   def oracle: Map[String, String] = Map(
+    "pipeline_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |changes AS (
+        |  SELECT c_custkey AS key,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(c_acctbal*100) AS BIGINT) + 10000 AS new_cents
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'I',
+        |    CAST(round(c_acctbal*100) AS BIGINT)
+        |  FROM customer WHERE c_custkey % 5 = 1)
+        |SELECT COALESCE(b.key, c.key) AS key,
+        |  CAST(COALESCE(c.new_cents, b.bal_cents) AS DOUBLE)/100 AS bal,
+        |  COALESCE(c.op, '-') AS op
+        |FROM base b FULL OUTER JOIN changes c ON b.key = c.key
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY key""".stripMargin,
+    "profile_columns" ->
+      profiledCols.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // cutoff-free on purpose: state ∪ delta must equal full recompute
     "pipeline_incremental" ->
       s"""SELECT user_id, count(*) AS n_events,

@@ -281,8 +281,30 @@ object Streams extends QueryPack {
         .orderBy($"w_start", $"event_type")
     }
 
+  /** Streaming dedup as its own first-class op (the streaming twin of
+    * dedup_exact): events collapse to one row per (user, type, 15-min
+    * bucket) via `dropDuplicatesWithinWatermark` — state holds only keys
+    * inside the watermark horizon, so memory is bounded by the key rate
+    * per 10 minutes, not by stream length. Only the dedup KEYS are
+    * emitted: which physical duplicate survives is arrival-order
+    * nondeterministic, the key set is not — that makes the query
+    * oracle-able (a one-file drain is one micro-batch, so the state
+    * sees every row and the result is the exact DISTINCT). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val deduped = eventStream(s, dir)
+        .withColumn("w_start", window($"ts", "15 minutes").getField("start"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "w_start")
+        .select($"user_id", $"event_type", $"w_start")
+      drain(deduped, "graft_stream_dedup", OutputMode.Append())
+        .orderBy($"user_id", $"event_type", $"w_start")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark" -> (streamWatermark _),
+    "stream_dedup" -> (streamDedup _),
     "stream_stateful" -> (streamStateful _),
     "stream_tws" -> (streamTws _),
     "stream_session_rs" -> (streamSessionRs _),
@@ -296,6 +318,11 @@ object Streams extends QueryPack {
   // interval join emits every match, and the session aggregation
   // emits every fully-merged session — both equal their batch twins.
   def oracle: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  time_bucket(INTERVAL '15 minutes', ts) AS w_start
+        |FROM events
+        |ORDER BY user_id, event_type, w_start""".stripMargin,
     "stream_slide_rs" ->
       s"""WITH shifted AS (
         |  SELECT time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS w_start,

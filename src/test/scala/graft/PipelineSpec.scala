@@ -21,6 +21,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(extended(Seq(1).toDF("x")).as[Int].head() == -3)
   }
 
+  test("pipeline_upsert applies U/D/I in one pass: deletes vanish, inserts appear, updates move cents-exact") {
+    val out = graft.pipeline.Pipelines.upsertMerge(spark, SparkSpec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val byKey = out.map(t => t._1 -> t).toMap
+    val base = graft.io.Tables.t(spark, SparkSpec.sfDir, "customer")
+      .select($"c_custkey", round($"c_acctbal" * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    base.keys.foreach { k =>
+      if (k % 3 == 0 && k % 7 == 0)
+        assert(!byKey.contains(k), s"deleted key $k survived")       // D
+      else if (k % 3 == 0) {
+        assert(byKey(k)._3 == "U")
+        assert(byKey(k)._2 == (base(k) + 10000L).toDouble / 100)     // U: +$100 exact
+      } else assert(byKey(k)._3 == "-" && byKey(k)._2 == base(k).toDouble / 100)
+      if (k % 5 == 1) assert(byKey(k + 1000000L)._3 == "I")          // I
+    }
+    // every output key is base-or-inserted; nothing invented
+    assert(out.forall(t => base.contains(t._1) || base.contains(t._1 - 1000000L)))
+  }
+
+  test("profile_columns runs as ONE scan + ONE aggregate (Expand-based multi-distinct)") {
+    val df = graft.pipeline.Pipelines.profileColumns(spark, SparkSpec.sfDir)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectLeaves().size == 1, "profile must scan orders exactly once")
+    assert(plan.toString.contains("Expand"),
+      "multi-column countDistinct should plan as a single Expand, not per-column scans")
+    val prof = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = graft.io.Tables.t(spark, SparkSpec.sfDir, "orders").count()
+    assert(prof("o_orderkey") == (0L, n), "orderkey is a unique non-null key")
+    assert(prof("o_orderstatus")._2 <= 3L)
+  }
+
   test("a late-stage filter pushes down through earlier stages to the scan") {
     val pipe = Pipeline(
       "project" -> (_.select($"l_orderkey", $"l_quantity", $"l_returnflag")),

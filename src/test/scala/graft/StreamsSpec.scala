@@ -117,6 +117,23 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_dedup emits exactly the batch-distinct key set") {
+    import spark.implicits._
+    // stream side carries TIMESTAMP (ltz), the batch twin TIMESTAMP_NTZ
+    // (Tables.events) — same instants under the UTC session; compare the
+    // SQL string rendering so the JVM-type difference can't false-fail
+    val streamed = Streams.streamDedup(spark, SparkSpec.sfDir)
+      .select($"user_id", $"event_type", $"w_start".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = graft.io.Tables.t(spark, SparkSpec.sfDir, "events")
+      .select($"user_id", $"event_type",
+        window($"ts", "15 minutes").getField("start").cast("string").as("w_start"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_watermark totals equal batch window counts") {
     import spark.implicits._
     val streamed = Streams.streamWatermark(spark, SparkSpec.sfDir)
