@@ -41,12 +41,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(t => base.contains(t._1) || base.contains(t._1 - 1000000L)))
   }
 
-  test("profile_columns runs as ONE scan + ONE aggregate (Expand-based multi-distinct)") {
+  test("profile_columns keeps the Expand-based multi-distinct hash-aggregated (no sorted ×6 intermediate)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = graft.pipeline.Pipelines.profileColumns(spark, SparkSpec.sfDir)
-    val plan = df.queryExecution.executedPlan
-    assert(plan.collectLeaves().size == 1, "profile must scan orders exactly once")
-    assert(plan.toString.contains("Expand"),
+    // AdaptiveSparkPlanExec is a leaf to TreeNode traversal; unwrap it
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collectLeaves().size == 2,
+      "two column-pruned scans: counts+distincts (hash path) and string min/max (separate global pass)")
+    assert(plan.find(_.nodeName.contains("Expand")).isDefined,
       "multi-column countDistinct should plan as a single Expand, not per-column scans")
+    // the round-6 regression this shape guards: string min/max buffers
+    // inside the distinct rewrite demote it to SortAggregate, which
+    // sorts the ×6 Expand intermediate three times (3.0 s vs 0.6 s)
+    val sortAggsOverExpand = plan.collect {
+      case p if p.nodeName.contains("SortAggregate") &&
+        p.find(_.nodeName.contains("Expand")).isDefined => p
+    }
+    assert(sortAggsOverExpand.isEmpty,
+      "the distinct-rewrite aggregate over the Expand must stay HashAggregate")
     val prof = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val n = graft.io.Tables.t(spark, SparkSpec.sfDir, "orders").count()
     assert(prof("o_orderkey") == (0L, n), "orderkey is a unique non-null key")
