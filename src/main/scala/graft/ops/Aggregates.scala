@@ -260,6 +260,28 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** Fixed-k-per-group sample (the reservoir-sampling workhorse:
+    * "exactly 3 customers per market segment") made deterministic:
+    * rank by a Knuth multiplicative hash of the key instead of rand()
+    * — membership is a pure function of the key, so reruns, retries,
+    * speculative tasks and the oracle all pick the SAME rows, yet the
+    * hash scrambles key order so the pick is not "first 3 by id".
+    * One shuffle on the group key; the per-group sort is what
+    * row_number costs — at 100 TB with huge groups, pre-filter with a
+    * cheap hash-threshold (keep ≈ k·fudge candidates per group) before
+    * ranking so the sort never sees the full group. */
+  def sampleGroupK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod($"c_custkey" * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy($"c_mktsegment").orderBy(h.asc, $"c_custkey".asc)
+    t(s, dir, "customer")
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where($"rk" <= 3)
+      .select($"c_mktsegment", $"c_custkey", $"rk")
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
   /** Sketch twin of agg_percentile for UNBOUNDED groups:
     * `approx_percentile` (Greenwald-Khanna) holds an ε-bounded summary
     * per group instead of a full value buffer, so a group with 10⁹
@@ -329,6 +351,7 @@ object Aggregates extends QueryPack {
     "agg_percentile" -> (aggPercentile _),
     "agg_percentile_approx" -> (aggPercentileApprox _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_group_k" -> (sampleGroupK _),
     "agg_collect" -> (aggCollect _),
     "sample_mod" -> (sampleMod _),
     "agg_pivot" -> (aggPivot _),
@@ -391,6 +414,16 @@ object Aggregates extends QueryPack {
         |           WHEN o_orderpriority = '2-HIGH'   THEN o_orderkey % 4 = 0
         |           ELSE o_orderkey % 10 = 0 END
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sample_group_k" ->
+      """SELECT c_mktsegment, c_custkey, rk FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY c_mktsegment
+        |      ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey)
+        |    AS INTEGER) AS rk
+        |  FROM customer)
+        |WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk""".stripMargin,
     "agg_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

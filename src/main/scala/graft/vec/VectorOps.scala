@@ -269,7 +269,31 @@ object VectorOps extends QueryPack {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashOf(t(s, dir, "documents"))
 
+  /** Symmetric int8 quantization per embedding — the storage lever for
+    * 100 TB vector tables: 4-byte floats become 1-byte codes plus one
+    * double scale per row (≈4× smaller, dot products run on integers
+    * with one final multiply). Per-vector max-abs scaling: q_i =
+    * round(x_i/mx·127), dequant x̂_i = q_i·(mx/127). Pure per-row HOF
+    * math — no shuffle, no UDF, fully codegen'd, and embarrassingly
+    * parallel at any scale. Zero vectors quantize to all-zero codes
+    * with scale 0 (no 0/0). Both engines evaluate the same per-element
+    * double expressions in the same order, so the oracle hash-matches
+    * bit-exact. Reconstruction error is bounded in VectorOpsSpec. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .withColumn("emb", col("embedding").cast(ArrayType(DoubleType)))
+      .withColumn("mx", array_max(transform($"emb", x => abs(x))))
+      .withColumn("qvec",
+        when($"mx" === 0.0, transform($"emb", _ => lit(0)))
+          .otherwise(transform($"emb",
+            x => round(x / $"mx" * 127).cast("int"))))
+      .select($"vec_id", $"label", $"qvec", ($"mx" / 127).as("scale"))
+      .orderBy($"vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_quantize" -> (embedQuantize _),
     "sim_search" -> (simSearch _),
     "sim_search_lsh" -> (simSearchLsh _),
     "sim_search_ivf" -> (simSearchIvf _),
@@ -279,6 +303,19 @@ object VectorOps extends QueryPack {
     "dedup_simhash" -> (dedupSimhash _))
 
   def oracle: Map[String, String] = Map(
+    "embed_quantize" ->
+      """SELECT vec_id, label,
+        |  CASE WHEN mx = 0 THEN list_transform(emb, x -> 0)
+        |       ELSE list_transform(emb,
+        |              x -> CAST(round(x / mx * 127) AS INTEGER)) END AS qvec,
+        |  mx / 127 AS scale
+        |FROM (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
     "sim_search" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         |c AS (

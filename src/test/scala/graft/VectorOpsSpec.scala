@@ -21,6 +21,27 @@ class VectorOpsSpec extends AnyFunSuite {
     base.unionByName(d1).unionByName(d2)
   }
 
+  test("embed_quantize: int8 codes in range, reconstruction error within half a quantization step") {
+    val q = VectorOps.embedQuantize(spark, SparkSpec.sfDir)
+    val orig = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val joined = q.join(orig, "vec_id")
+      .select($"vec_id", $"qvec", $"scale", $"emb")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val scale = r.getDouble(2)
+      val emb = r.getSeq[Double](3)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code out of int8 range: $codes")
+      // symmetric quantization: |x - q*scale| <= scale/2 per element
+      codes.zip(emb).foreach { case (c, x) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: |$x - $c*$scale| exceeds half-step")
+      }
+    }
+  }
+
   test("minhash pairs find planted near-duplicates") {
     val pairs = VectorOps.minhashPairs(corpusWithPlants, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
