@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions so `spark.sql("... cosine_sim(a, b)")`
@@ -27,20 +27,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * user reasonably writes keeps working. Reject non-integral and
     * non-foldable k with a message naming the actual problem instead of
     * a bare ClassCastException. */
-  private def literalK(e: Expression): Int = {
+  private def literalK(e: Expression, fn: String = "topk_freq"): Int = {
     def integral(v: Any): Option[Int] = v match {
       case b: Byte  => Some(b.toInt)
       case s: Short => Some(s.toInt)
       case i: Int   => Some(i)
       case l: Long if l.isValidInt => Some(l.toInt)
       case l: Long =>
-        throw new IllegalArgumentException(s"topk_freq: k=$l exceeds Int range")
+        throw new IllegalArgumentException(s"$fn: k=$l exceeds Int range")
       case _ => None
     }
     e match {
       case Literal(v, ByteType | ShortType | IntegerType | LongType) =>
         integral(v).getOrElse(
-          throw new IllegalArgumentException("topk_freq: k must not be NULL"))
+          throw new IllegalArgumentException(s"$fn: k must not be NULL"))
       case other if other.foldable =>
         // eval() can itself throw under ANSI (e.g. `1 div 0` is
         // foldable); surface that as the same descriptive error class
@@ -50,17 +50,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           catch {
             case scala.util.control.NonFatal(err) =>
               throw new IllegalArgumentException(
-                "topk_freq: k failed to evaluate: " + err.getMessage, err)
+                s"$fn: k failed to evaluate: " + err.getMessage, err)
           }
         if (v == null)
-          throw new IllegalArgumentException("topk_freq: k must not be NULL")
+          throw new IllegalArgumentException(s"$fn: k must not be NULL")
         integral(v).getOrElse(
           throw new IllegalArgumentException(
-            "topk_freq: k must fold to an integral value, got type " +
+            s"$fn: k must fold to an integral value, got type " +
               other.dataType.sql))
       case other =>
         throw new IllegalArgumentException(
-          "topk_freq: k must be a constant (foldable), got " + other.sql)
+          s"$fn: k must be a constant (foldable), got " + other.sql)
     }
   }
 
@@ -87,5 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_freq"),
       info("topk_freq", "topk_freq(expr, k) - Misra-Gries heavy hitters per group"),
       (args: Seq[Expression]) => TopKFreq(args(0), literalK(args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_topk"),
+      info("bounded_topk", "bounded_topk(ord, id, k) - exact top-k (ord DESC, id ASC) per group in O(k) state"),
+      (args: Seq[Expression]) =>
+        // numeric SQL literals arrive as DECIMAL/INT; coerce like the
+        // DataFrame surface does
+        BoundedTopK(Cast(args(0), DoubleType), Cast(args(1), LongType),
+          literalK(args(2), "bounded_topk"))))
   }
 }

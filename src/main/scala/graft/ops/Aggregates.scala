@@ -260,6 +260,28 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** Top-3 customers per segment by balance via the native BoundedTopK
+    * aggregate (graft.functions.BoundedTopK) — the "top N per key"
+    * shape done WITHOUT a window sort: state is a k-bounded heap per
+    * group, partials merge map-side like any sum, and the plan is an
+    * ObjectHashAggregate pair with zero WindowExec and zero pre-shuffle
+    * sort (locked in PlanSpec). The window row_number formulation —
+    * which sorts every group in full to keep 3 rows — is exactly what
+    * the DuckDB oracle runs, so the differential also proves the two
+    * formulations agree. Ties break on customer key: a total order,
+    * deterministic under any partitioning and merge order. */
+  def topkGrouped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(graft.functions.BoundedTopK
+        .boundedTopK($"c_acctbal", $"c_custkey", 3).as("top"))
+      .select($"c_mktsegment", posexplode($"top"))
+      .select($"c_mktsegment", ($"pos" + 1).cast("int").as("rk"),
+        $"col.id".as("c_custkey"), round($"col.ord", 2).as("bal"))
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
   /** Fixed-k-per-group sample (the reservoir-sampling workhorse:
     * "exactly 3 customers per market segment") made deterministic:
     * rank by a Knuth multiplicative hash of the key instead of rand()
@@ -352,6 +374,7 @@ object Aggregates extends QueryPack {
     "agg_percentile_approx" -> (aggPercentileApprox _),
     "sample_stratified" -> (sampleStratified _),
     "sample_group_k" -> (sampleGroupK _),
+    "topk_grouped" -> (topkGrouped _),
     "agg_collect" -> (aggCollect _),
     "sample_mod" -> (sampleMod _),
     "agg_pivot" -> (aggPivot _),
@@ -421,6 +444,17 @@ object Aggregates extends QueryPack {
         |      PARTITION BY c_mktsegment
         |      ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey)
         |    AS INTEGER) AS rk
+        |  FROM customer)
+        |WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk""".stripMargin,
+    // the window formulation on purpose: the differential proves the
+    // heap aggregate and the full-sort window agree row-for-row
+    "topk_grouped" ->
+      """SELECT c_mktsegment, rk, c_custkey, bal FROM (
+        |  SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk
         |  FROM customer)
         |WHERE rk <= 3
         |ORDER BY c_mktsegment, rk""".stripMargin,

@@ -177,6 +177,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("must not be NULL"), e3.getMessage)
   }
 
+  test("bounded_topk keeps exact top-k per group under any partitioning, SQL surface included") {
+    import graft.functions.BoundedTopK.boundedTopK
+    // 1000 rows, 4 groups, known answer: top-3 ord per group = the 3
+    // largest ids in that group (ord == id as double)
+    val rows = (1L to 1000L).map(i => (i % 4, i.toDouble, i))
+    Seq(1, 7, 32).foreach { parts => // merge order must not matter
+      val got = rows.toDF("g", "ord", "id").repartition(parts)
+        .groupBy($"g").agg(boundedTopK($"ord", $"id", 3).as("top"))
+        .select($"g", posexplode($"top"))
+        .select($"g", $"pos", $"col.id")
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      (0L to 3L).foreach { g =>
+        val expected = (1L to 1000L).filter(_ % 4 == g).sorted.reverse.take(3)
+        expected.zipWithIndex.foreach { case (id, pos) =>
+          assert(got((g, pos)) == id, s"group $g pos $pos at $parts partitions")
+        }
+      }
+    }
+    // tie on ord → smaller id wins
+    val tied = Seq((1L, 5.0, 30L), (1L, 5.0, 10L), (1L, 5.0, 20L))
+      .toDF("g", "ord", "id")
+      .groupBy($"g").agg(boundedTopK($"ord", $"id", 2).as("top"))
+      .select(posexplode($"top")).select($"col.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(10L, 20L))
+    // SQL surface via GraftExtensions, with the literalK validation
+    val viaSql = spark.sql(
+      "SELECT bounded_topk(ord, id, CAST(1+1 AS BIGINT)) AS top " +
+        "FROM VALUES (1.0, 1L), (3.0, 3L), (2.0, 2L) AS t(ord, id)")
+      .select(posexplode($"top")).select($"col.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == Seq(3L, 2L))
+    val bad = intercept[Exception] {
+      spark.sql("SELECT bounded_topk(ord, id, id) FROM VALUES (1.0, 1L) AS t(ord, id)")
+        .collect()
+    }
+    assert(bad.getMessage.contains("bounded_topk"), bad.getMessage)
+  }
+
   test("cms_estimate type-checks its item argument at analysis time") {
     val e = intercept[Exception] {
       spark.sql(

@@ -36,6 +36,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(800))
   }
 
+  // the BoundedTopK aggregate's whole point: top-k per group with NO
+  // window sort — state is a k-bounded heap, partials merge map-side
+  test("topk_grouped plans a two-phase object aggregate, never a window sort") {
+    val p = plan("topk_grouped")
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert("partial_bounded_topk".r.findAllIn(p).nonEmpty,
+      "map-side partial heap missing:\n" + p.take(800))
+    assert(!p.contains("Window"), "fell back to a window sort:\n" + p.take(800))
+  }
+
   test("topk plans TakeOrderedAndProject, not a global sort") {
     val p = plan("topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
