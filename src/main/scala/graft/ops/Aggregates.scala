@@ -288,19 +288,22 @@ object Aggregates extends QueryPack {
     * — membership is a pure function of the key, so reruns, retries,
     * speculative tasks and the oracle all pick the SAME rows, yet the
     * hash scrambles key order so the pick is not "first 3 by id".
-    * One shuffle on the group key; the per-group sort is what
-    * row_number costs — at 100 TB with huge groups, pre-filter with a
-    * cheap hash-threshold (keep ≈ k·fudge candidates per group) before
-    * ranking so the sort never sees the full group. */
+    * Selection runs through the BoundedTopK heap aggregate (smallest
+    * hash first, so ord = −h): each scan partition reduces to a
+    * k-bounded summary map-side and only |groups|·k-row summaries
+    * shuffle — no group is ever sorted in full, at any scale. The
+    * oracle runs the window row_number formulation, so the
+    * differential proves the two agree. */
   def sampleGroupK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val h = pmod($"c_custkey" * lit(2654435761L), lit(4294967296L))
-    val w = Window.partitionBy($"c_mktsegment").orderBy(h.asc, $"c_custkey".asc)
     t(s, dir, "customer")
-      .withColumn("rk", row_number().over(w).cast("int"))
-      .where($"rk" <= 3)
-      .select($"c_mktsegment", $"c_custkey", $"rk")
+      .groupBy($"c_mktsegment")
+      .agg(graft.functions.BoundedTopK
+        .boundedTopK(-h.cast("double"), $"c_custkey", 3).as("top"))
+      .select($"c_mktsegment", posexplode($"top"))
+      .select($"c_mktsegment", $"col.id".as("c_custkey"),
+        ($"pos" + 1).cast("int").as("rk"))
       .orderBy($"c_mktsegment", $"rk")
   }
 

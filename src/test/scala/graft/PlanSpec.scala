@@ -46,6 +46,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "fell back to a window sort:\n" + p.take(800))
   }
 
+  // both reformulated onto BoundedTopK in round 6: the scored product /
+  // group rows must reduce map-side, never sort under a window
+  test("sim_search and sample_group_k select top-k via the heap aggregate, not a window") {
+    Seq("sim_search", "sample_group_k").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("ObjectHashAggregate"), s"$name:\n" + p.take(800))
+      assert(!p.contains("Window"), s"$name fell back to a window sort:\n" + p.take(800))
+    }
+  }
+
   test("topk plans TakeOrderedAndProject, not a global sort") {
     val p = plan("topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
