@@ -97,13 +97,17 @@ object VectorOps extends QueryPack {
     val e = emb(s, dir).withColumn("bucket", lshBucket("emb", 8))
     val q = e.where($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"bucket")
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    // each query lives in exactly one bucket, so grouping on (q_id,
+    // bucket) is per-query and keeps the bucket column through the
+    // heap top-k (BoundedTopK — no window sort of the candidate set)
     e.join(broadcast(q), Seq("bucket"))
       .where($"vec_id" =!= $"q_id")
       .withColumn("cos", dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm"))
-      .withColumn("rk", row_number().over(w))
-      .where($"rk" <= 10)
-      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"), $"rk", $"bucket")
+      .groupBy($"q_id", $"bucket")
+      .agg(graft.functions.BoundedTopK.boundedTopK($"cos", $"vec_id", 10).as("top"))
+      .select($"q_id", $"bucket", posexplode($"top"))
+      .select($"q_id", $"col.id".as("vec_id"),
+        round($"col.ord", 6).as("cos"), ($"pos" + 1).cast("int").as("rk"), $"bucket")
       .orderBy($"q_id", $"rk")
   }
 
@@ -121,19 +125,25 @@ object VectorOps extends QueryPack {
   }
 
   /** Assign every vector to its nearest centroid by cosine (broadcast
-    * centroids, fused codegen'd dot per pair, argmax via window over
-    * the k-row group). */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    * centroids, fused codegen'd dot per pair, argmax via
+    * BoundedTopK(k=1)). The window formulation here was the IVF
+    * family's hidden scale bug: it shuffled corpus × k rows — each
+    * carrying the full embedding array — to re-group by vec_id, then
+    * sorted every k-row group. The heap argmax reduces the k candidate
+    * rows per vector map-side (the broadcast cross join never changes
+    * partitioning, so every vec_id's candidates are co-located), and
+    * `first(emb)` rides the same ObjectHashAggregate — in the common
+    * case nothing shuffles at all. */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("c_cos",
         dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.BoundedTopK
+             .boundedTopK(col("c_cos"), col("cent_id"), 1).as("top"),
+           first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("emb"), col("nrm"),
-              col("cent_id").as("cell"))
-  }
+              col("top").getItem(0).getField("id").as("cell"))
 
   /** Lloyd's k-means over the embedding corpus, pure DataFrame ops —
     * the centroid-training job that feeds IVF. Per iteration: one
@@ -198,14 +208,17 @@ object VectorOps extends QueryPack {
       .withColumn("rn", row_number().over(wProbe))
       .where($"rn" <= nprobe)
       .select($"q_id", $"q_emb", $"q_nrm", $"cent_id".as("cell"))
-    // probe: candidates share a cell with the query
-    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    // probe: candidates share a cell with the query; final top-10 via
+    // the heap aggregate — the candidate lists (nprobe/k of the corpus
+    // per query) reduce map-side instead of window-sorting
     assigned.join(broadcast(qCells), Seq("cell"))
       .where($"vec_id" =!= $"q_id")
       .withColumn("cos", dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm"))
-      .withColumn("rk", row_number().over(wTop))
-      .where($"rk" <= 10)
-      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"), $"rk", $"cell")
+      .groupBy($"q_id")
+      .agg(graft.functions.BoundedTopK.boundedTopK($"cos", $"vec_id", 10).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.id".as("vec_id"),
+        round($"col.ord", 6).as("cos"), ($"pos" + 1).cast("int").as("rk"))
       .orderBy($"q_id", $"rk")
   }
 
