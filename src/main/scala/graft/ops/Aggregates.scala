@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 import graft.io.Tables.t
@@ -370,7 +371,98 @@ object Aggregates extends QueryPack {
       .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
   }
 
+  /** Hourly time-bucketed rollup of the event stream — the batch form
+    * of the tumbling-window aggregate every metrics pipeline runs.
+    * `date_trunc` keeps the bucket a pure per-row function (no window,
+    * no shuffle beyond the one partial+final hash agg); bucket count
+    * is bounded by the time range × event types, so the reduce side
+    * stays tiny at any SF. Bucket surfaces as epoch µs
+    * (engine-neutral); the value sum uses exact cents (Det). */
+  def aggTimebucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(unix_micros(date_trunc("hour", $"ts".cast("timestamp")))
+                .as("hour_us"),
+              $"event_type", $"value")
+      .groupBy($"hour_us", $"event_type")
+      .agg(count(lit(1)).as("n"),
+           sumMoney($"value").as("val_sum"))
+      .orderBy($"hour_us", $"event_type")
+  }
+
+  /** Deterministic per-group mode: each user's most frequent event
+    * type, ties broken by count DESC then type ASC so both engines
+    * pick the same winner. Two-level shape: a (user, type) count agg
+    * shrinks the data to ≤ users × |types| rows BEFORE the window,
+    * and the window partitions on user_id — never a global sort. At
+    * 100 TB the raw events never reach the window; only the counts
+    * do. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"n".desc, $"event_type".asc)
+    t(s, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_type".as("mode_type"), $"n")
+      .orderBy($"user_id")
+  }
+
+  /** Pearson correlation of price vs quantity per return flag, from
+    * EXACT integer moments: the five sums (Σx, Σy, Σx², Σy², Σxy)
+    * accumulate as integers — x in cents, y integral — with the
+    * squared sums in DECIMAL(38,0) because Σx² overflows BIGINT at
+    * ~1e5× this SF (exactness must survive the scale-up, not just the
+    * fixture). Only after aggregation does each sum cast to double
+    * ONCE and flow through a fixed scalar formula — so the float work
+    * is order-independent by construction and `corr()`'s
+    * running-update nondeterminism never enters. The built-in corr()
+    * stays the right call when bit-reproducibility doesn't matter;
+    * this shape is for pipelines that must replay byte-identical. */
+  def aggCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sums = t(s, dir, "lineitem")
+      .select($"l_returnflag",
+              cents($"l_extendedprice").as("x"),
+              $"l_quantity".cast("long").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sum($"x").cast("double").as("sx"),
+           sum($"y").cast("double").as("sy"),
+           sum(($"x" * $"x").cast("decimal(38,0)")).cast("double").as("sxx"),
+           sum(($"y" * $"y").cast("decimal(38,0)")).cast("double").as("syy"),
+           sum(($"x" * $"y").cast("decimal(38,0)")).cast("double").as("sxy"))
+    val nd = $"n".cast("double")
+    sums.select($"l_returnflag", $"n",
+        ((nd * $"sxy" - $"sx" * $"sy") /
+          sqrt((nd * $"sxx" - $"sx" * $"sx") *
+               (nd * $"syy" - $"sy" * $"sy"))).as("r"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Boolean aggregate family: every/any/count_if per order priority —
+    * data-quality assertions ("all rows satisfy X", "any row violates
+    * Y") as one hash agg. Booleans partial-aggregate like any other
+    * monoid (AND/OR are associative+commutative), so the map-side
+    * combine ships one boolean per group per partition. */
+  def aggBool(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(every($"o_totalprice" > 1000.0).as("all_over_1k"),
+           some($"o_orderstatus" === "F").as("any_f"),
+           count_if($"o_orderstatus" === "O").as("n_open"),
+           count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bool" -> (aggBool _),
+    "agg_corr" -> (aggCorr _),
+    "agg_timebucket" -> (aggTimebucket _),
+    "agg_mode" -> (aggMode _),
     "agg_histogram" -> (aggHistogram _),
     "agg_funnel" -> (aggFunnel _),
     "agg_percentile" -> (aggPercentile _),
@@ -398,6 +490,40 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'F') AS any_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_corr" ->
+      s"""WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(${sqlCents("l_extendedprice")}) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_extendedprice")}) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS syy,
+        |    CAST(sum(${sqlCents("l_extendedprice")} * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |           * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_timebucket" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  count(*) AS n, ${sqlSumMoney("value")} AS val_sum
+        |FROM events GROUP BY hour_us, event_type
+        |ORDER BY hour_us, event_type""".stripMargin,
+    "agg_mode" ->
+      """SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "agg_histogram" ->
       s"""SELECT CAST(round(o_totalprice*100) AS BIGINT) // 5000000 AS bucket,
         |  count(*) AS n_orders,

@@ -201,6 +201,48 @@ object Joins extends QueryPack {
       .orderBy($"user_id", $"id_first", $"id_second")
   }
 
+  /** Interval-OVERLAP self-join with variable-length intervals — the
+    * shape band joins can't express (overlap of [s,e) pairs, not a
+    * scalar distance bound). Each order opens a validity window of
+    * 1–14 days; find same-nation overlapping pairs.
+    *
+    * Algorithm: bucket the timeline at B ≥ max interval length, so
+    * every interval touches ≤ 2 buckets; explode BOTH sides over
+    * their touched buckets and equi-join on (bucket). A pair that
+    * overlaps shares the bucket of max(s_a, s_b) — that instant lies
+    * inside both intervals — so attributing each pair to exactly that
+    * bucket dedups candidates STRUCTURALLY: no distinct, no
+    * post-shuffle dedup state. Per-bucket fan-out is bounded by
+    * interval density, so the O(n²) theta join becomes a keyed join
+    * whose cost scales with actual overlap volume — the plan that
+    * survives 100 TB, where an unkeyed theta join is a cartesian
+    * death sentence. */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 15L // bucket width ≥ max interval length (14) ⇒ ≤2 buckets
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer").where($"c_nationkey" === 7)
+              .select($"c_custkey"),
+            $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey".as("k"),
+              datediff($"o_orderdate".cast("date"),
+                       to_date(lit("1970-01-01"))).cast("long").as("st"))
+      .withColumn("en", $"st" + lit(1L) + pmod($"k", lit(14L)))
+    def sides(kc: String, sc: String, ec: String) = base
+      .withColumn("bkt", explode(array_distinct(array(
+        expr(s"st div $B"), expr(s"(en - 1) div $B")))))
+      .select($"k".as(kc), $"st".as(sc), $"en".as(ec), $"bkt")
+    sides("key_a", "s_a", "e_a")
+      .join(sides("key_b", "s_b", "e_b"), Seq("bkt"))
+      .where($"s_a" < $"e_b" && $"s_b" < $"e_a" && $"key_a" < $"key_b" &&
+             $"bkt" === expr(s"greatest(s_a, s_b) div $B"))
+      .select($"key_a", $"key_b",
+              greatest($"s_a", $"s_b").as("ov_start"),
+              least($"e_a", $"e_b").as("ov_end"),
+              (least($"e_a", $"e_b") - greatest($"s_a", $"s_b")).as("ov_days"))
+      .orderBy($"key_a", $"key_b")
+  }
+
   /** Skew-safe equi join: salt the fact side into S shards and
     * replicate the dim side S times, so a hot key's rows spread over S
     * reducers instead of one. Semantics-preserving — the oracle is the
@@ -270,6 +312,7 @@ object Joins extends QueryPack {
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_range" -> (joinRange _),
     "join_range_auto" -> (joinRangeAuto _),
+    "join_interval" -> (joinInterval _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_broadcast" -> (joinBroadcast _),
     "join_shuffle" -> (joinShuffle _),
@@ -297,6 +340,22 @@ object Joins extends QueryPack {
     // events.ts at ns precision while Spark truncates to µs, so a
     // ns-level `a.ts < b.ts` tie-break would diverge for pairs inside
     // the same microsecond.
+    // the bucketed formulation is an optimization only: the oracle is
+    // the plain interval-overlap theta join
+    "join_interval" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS st
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey = 7),
+        |iv AS (SELECT k, st, st + 1 + k % 14 AS en FROM base)
+        |SELECT a.k AS key_a, b.k AS key_b,
+        |  greatest(a.st, b.st) AS ov_start,
+        |  least(a.en, b.en) AS ov_end,
+        |  least(a.en, b.en) - greatest(a.st, b.st) AS ov_days
+        |FROM iv a JOIN iv b
+        |  ON a.st < b.en AND b.st < a.en AND a.k < b.k
+        |ORDER BY key_a, key_b""".stripMargin,
     "join_range" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
         |SELECT a.user_id, a.event_id AS id_first, b.event_id AS id_second,

@@ -162,6 +162,33 @@ object Windows extends QueryPack {
       .orderBy($"c_custkey")
   }
 
+  /** Gap-based batch sessionization (the batch twin of
+    * stream_session): per user, a new session starts when the gap to
+    * the previous event exceeds 30 minutes; the session id is the
+    * running count of session starts — lag and the running sum share
+    * one window, so the whole query is a single exchange on user_id
+    * followed by a partial-then-final aggregate on (user_id,
+    * session_no). No global window anywhere, so the shape is flat at
+    * any scale. */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id",
+              unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("gap", $"us" - lag($"us", 1).over(w))
+      .withColumn("is_start",
+        when($"gap".isNull || $"gap" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum($"is_start").over(w).cast("int"))
+      .groupBy($"user_id", $"session_no")
+      .agg(count(lit(1)).as("n_events"),
+           min($"us").as("start_us"),
+           max($"us").as("end_us"))
+      .withColumn("dur_us", $"end_us" - $"start_us")
+      .orderBy($"user_id", $"session_no")
+  }
+
   /** Navigation functions: lead, first/last value over a running
     * frame, and nth_value — per-customer order timelines. */
   def winNav(s: SparkSession, dir: String): DataFrame = {
@@ -181,6 +208,7 @@ object Windows extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_nav" -> (winNav _),
     "win_scd2" -> (winScd2 _),
+    "sessionize_batch" -> (sessionizeBatch _),
     "win_rank" -> (winRank _),
     "win_lag" -> (winLag _),
     "win_frame_rows" -> (winFrameRows _),
@@ -188,6 +216,22 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT *, us - lag(us) OVER w AS gap FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
+        |                          THEN 1 ELSE 0 END) OVER w AS INTEGER) AS session_no
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  max(us) - min(us) AS dur_us
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
     "win_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us

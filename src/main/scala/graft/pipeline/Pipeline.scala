@@ -207,7 +207,30 @@ object Pipelines extends QueryPack {
       .orderBy($"col_name")
   }
 
+  /** Deterministic train/val/test split — the assignment every
+    * training-data pipeline needs to be REPRODUCIBLE and
+    * partition-independent. Each doc hashes by md5 of its id's decimal
+    * string (identical bytes in any engine, any partitioning, any
+    * run); the first two hex chars compare lexicographically against
+    * 'cc' (204/256 ≈ 80% train) and 'e6' (230/256 → ≈10% val), rest
+    * test. A pure per-row function: no shuffle until the 3-group
+    * audit aggregate, so the split itself is free at 100 TB and any
+    * worker can recompute a doc's split without coordination. */
+  def pipelineSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h2 = substring(md5($"doc_id".cast("string")), 1, 2)
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_chars").as("chars_total"),
+           min($"doc_id").as("first_doc"))
+      .orderBy($"split")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split" -> (pipelineSplit _),
     "pipeline_events_enrich" -> (eventsEnrich _),
     "pipeline_incremental" -> (incrementalMerge _),
     "pipeline_upsert" -> (upsertMerge _),
@@ -221,6 +244,16 @@ object Pipelines extends QueryPack {
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
   def oracle: Map[String, String] = Map(
+    "pipeline_split" ->
+      """WITH h AS (
+        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+        |  FROM documents)
+        |SELECT CASE WHEN h2 < 'cc' THEN 'train'
+        |            WHEN h2 < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  min(doc_id) AS first_doc
+        |FROM h GROUP BY split ORDER BY split""".stripMargin,
     "pipeline_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey AS key,
