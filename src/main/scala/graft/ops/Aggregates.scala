@@ -458,7 +458,31 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** Weighted Bernoulli document sampling — upweight long documents
+    * into a training mix with per-row keep probability
+    * p = min(1, n_chars/2000), decided by a DETERMINISTIC hash of the
+    * doc id (Knuth multiplicative, mod 2³²) instead of rand(): the
+    * kept set is a pure function of the data, so retries, reruns and
+    * the oracle agree row-for-row. The comparison is integer u <
+    * floor(p·2³²) — one double product per row, no accumulation, so
+    * no float-order hazard. Map-only until the audit aggregate; at
+    * 100 TB the sample decision costs one multiply per row and never
+    * shuffles the dropped rows. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+    val thresh = floor(
+      least(lit(1.0), $"n_chars".cast("double") / 2000.0) *
+        lit(4294967296L)).cast("long")
+    t(s, dir, "documents")
+      .where(u < thresh)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
+      .orderBy($"source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> (sampleWeighted _),
     "agg_bool" -> (aggBool _),
     "agg_corr" -> (aggCorr _),
     "agg_timebucket" -> (aggTimebucket _),
@@ -490,6 +514,14 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "sample_weighted" ->
+      """SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |      CAST(floor(least(1.0, CAST(n_chars AS DOUBLE)/2000.0)
+        |                 * 4294967296) AS BIGINT)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "agg_bool" ->
       """SELECT o_orderpriority,
         |  bool_and(o_totalprice > 1000.0) AS all_over_1k,

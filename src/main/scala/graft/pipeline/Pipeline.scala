@@ -229,7 +229,35 @@ object Pipelines extends QueryPack {
       .orderBy($"split")
   }
 
+  /** Training-mix assembly: rebalance the corpus so every source
+    * contributes equally — downsample each source to the smallest
+    * source's size with rate r_s = min(1, n_min/n_s). Pass 1 computes
+    * per-source counts (a model-sized aggregate, broadcast back);
+    * pass 2 keeps a row iff hash(doc_id) < floor(r_s·2³²) — the same
+    * deterministic Knuth-hash gate as sample_weighted, so the mix is
+    * reproducible under any partitioning and incremental reruns keep
+    * identical docs. At 100 TB: the rate table is |sources| rows; the
+    * corpus is scanned twice but shuffled zero times before the audit
+    * aggregate. */
+  def pipelineMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val counts = d.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val mn = counts.agg(min($"n_src").as("mn"))
+    val rates = counts.crossJoin(broadcast(mn))
+      .select($"source",
+              least(lit(1.0),
+                    $"mn".cast("double") / $"n_src".cast("double")).as("rate"))
+    val u = pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+    d.join(broadcast(rates), "source")
+      .where(u < floor($"rate" * lit(4294967296L)).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
+      .orderBy($"source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mix" -> (pipelineMix _),
     "pipeline_split" -> (pipelineSplit _),
     "pipeline_events_enrich" -> (eventsEnrich _),
     "pipeline_incremental" -> (incrementalMerge _),
@@ -244,6 +272,17 @@ object Pipelines extends QueryPack {
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
   def oracle: Map[String, String] = Map(
+    "pipeline_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |m AS (SELECT min(n_src) AS mn FROM c),
+        |r AS (SELECT source, least(1.0, CAST(mn AS DOUBLE)/CAST(n_src AS DOUBLE)) AS rate
+        |      FROM c, m)
+        |SELECT d.source AS source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |      CAST(floor(rate * 4294967296) AS BIGINT)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "pipeline_split" ->
       """WITH h AS (
         |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2

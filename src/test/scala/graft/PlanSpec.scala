@@ -98,6 +98,14 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("join_interval plans as an equi-join on the time bucket, never a nested loop") {
+    val p = plan("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join fell back to a quadratic strategy:\n" + p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("dedup_fuzzy joins on the blocking key, never a nested loop") {
     val p = plan("dedup_fuzzy")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
