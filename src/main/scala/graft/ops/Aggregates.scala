@@ -481,7 +481,28 @@ object Aggregates extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Weekly cohort retention: users bucketed by first-activity week,
+    * counted per (cohort, weeks-since-cohort) — the triangle every
+    * growth dashboard draws. Shape: distinct (user, week) FIRST
+    * (shrinks the log to user-weeks before anything else), then a
+    * per-user min for the cohort, then one join + final agg — every
+    * shuffle keys on user_id or the model-sized cohort grid. Weeks
+    * are integer epoch-day div 7, so bucket edges are engine-exact. */
+  def aggRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uw = t(s, dir, "events")
+      .select($"user_id",
+              expr("CAST(unix_date(to_date(ts)) div 7 AS BIGINT)").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    uw.join(cohort, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("offset_wk"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_wk", $"offset_wk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_retention" -> (aggRetention _),
     "sample_weighted" -> (sampleWeighted _),
     "agg_bool" -> (aggBool _),
     "agg_corr" -> (aggCorr _),
@@ -514,6 +535,16 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS offset_wk, count(*) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY cohort_wk, offset_wk
+        |ORDER BY cohort_wk, offset_wk""".stripMargin,
     "sample_weighted" ->
       """SELECT source, count(*) AS n_kept,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
