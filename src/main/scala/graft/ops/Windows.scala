@@ -189,6 +189,31 @@ object Windows extends QueryPack {
       .orderBy($"user_id", $"session_no")
   }
 
+  /** Month-over-month revenue growth per market segment — the
+    * aggregate-then-window pattern: the window runs over the MONTHLY
+    * AGGREGATE (segments × months rows, bounded by the calendar at
+    * any SF), never the raw orders, so the lag is effectively free at
+    * 100 TB. The change ratio divides two exact integer cent sums as
+    * one double op — deterministic in both engines. */
+  def winPctChange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
+            $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment",
+               (year($"o_orderdate") * 100 + month($"o_orderdate"))
+                 .cast("long").as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("rev_cents"))
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"ym")
+    monthly
+      .withColumn("prev", lag($"rev_cents", 1).over(w))
+      .select($"c_mktsegment", $"ym",
+              ($"rev_cents".cast("double") / 100).as("revenue"),
+              (($"rev_cents" - $"prev").cast("double") /
+                 $"prev".cast("double")).as("mom_change"))
+      .orderBy($"c_mktsegment", $"ym")
+  }
+
   /** Navigation functions: lead, first/last value over a running
     * frame, and nth_value — per-customer order timelines. */
   def winNav(s: SparkSession, dir: String): DataFrame = {
@@ -209,6 +234,7 @@ object Windows extends QueryPack {
     "win_nav" -> (winNav _),
     "win_scd2" -> (winScd2 _),
     "sessionize_batch" -> (sessionizeBatch _),
+    "win_pct_change" -> (winPctChange _),
     "win_rank" -> (winRank _),
     "win_lag" -> (winLag _),
     "win_frame_rows" -> (winFrameRows _),
@@ -216,6 +242,19 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "win_pct_change" ->
+      s"""WITH m AS (
+        |  SELECT c_mktsegment,
+        |    CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    sum(${sqlCents("o_totalprice")}) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, ym)
+        |SELECT c_mktsegment, ym,
+        |  CAST(rev_cents AS DOUBLE)/100 AS revenue,
+        |  CAST(rev_cents - lag(rev_cents) OVER w AS DOUBLE)
+        |    / CAST(lag(rev_cents) OVER w AS DOUBLE) AS mom_change
+        |FROM m WINDOW w AS (PARTITION BY c_mktsegment ORDER BY ym)
+        |ORDER BY c_mktsegment, ym""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -106,6 +106,35 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  // Global guard: a quadratic join strategy sneaking into ANY query is
+  // the classic silent 100×-at-scale regression. Cross joins of
+  // PROVABLY one-row/model-sized inputs are fine and allowlisted;
+  // everything else must plan an equi-join. stream_/ingest_ queries
+  // are excluded because constructing them executes side effects
+  // (stream drains, warehouse writes) — their shapes are locked by
+  // their own suites.
+  test("no batch query plans a cartesian / nested-loop join (bounded-by-design allowlist)") {
+    val allowed = Set(
+      "join_theta",        // intentional theta join, small side broadcast
+      "agg_funnel",        // crossJoin of three 1-row scalar aggregates
+      "win_ntile_cumdist", // crossJoin of the 1-row global count
+      "profile_columns",   // crossJoin of two 1-row aggregate vectors
+      "pipeline_mix",      // crossJoin of the 1-row min-count aggregate
+      "sim_search",        // broadcast 5-row query set × corpus (by design)
+      "sim_search_ivf",    // broadcast 16-row centroid table for assign
+      "text_cms_tokens",   // broadcast model-sized per-source sketches
+      "text_tfidf")        // crossJoin of the 1-row corpus doc count
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.startsWith("stream_") || n.startsWith("ingest_"))
+      .filterNot(allowed)
+      .filter { n =>
+        val p = plan(n)
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty,
+      "quadratic join strategy in: " + offenders.mkString(", "))
+  }
+
   test("dedup_fuzzy joins on the blocking key, never a nested loop") {
     val p = plan("dedup_fuzzy")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
