@@ -134,4 +134,37 @@ class PropertySpec extends AnyFunSuite {
         s"case $i (lo=$lo hi=$hi): ${joined.length} rows vs ${expect.length}")
     }
   }
+
+  test("bucketed interval-overlap join equals the all-pairs reference") {
+    import spark.implicits._
+    // variable-length intervals, dense enough that many straddle
+    // bucket boundaries; B must be >= max length for the <=2-bucket
+    // explosion joinInterval relies on
+    val B = 15L
+    val ivGen = Gen.listOfN(50,
+      Gen.zip(Gen.chooseNum(0L, 120L), Gen.chooseNum(1L, 14L)))
+    for (i <- 1 to 6) {
+      val rows = ivGen(Gen.Parameters.default, rng.Seed(555L + i)).get
+        .zipWithIndex.map { case ((st, len), id) => (id.toLong, st, st + len) }
+      val df = rows.toDF("k", "st", "en")
+      def side(kc: String, sc: String, ec: String) = df
+        .withColumn("bkt", explode(array_distinct(array(
+          expr(s"st div $B"), expr(s"(en - 1) div $B")))))
+        .select(col("k").as(kc), col("st").as(sc), col("en").as(ec), col("bkt"))
+      val got = side("key_a", "s_a", "e_a")
+        .join(side("key_b", "s_b", "e_b"), Seq("bkt"))
+        .where($"s_a" < $"e_b" && $"s_b" < $"e_a" && $"key_a" < $"key_b" &&
+               $"bkt" === expr(s"greatest(s_a, s_b) div $B"))
+        .select($"key_a", $"key_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = (for {
+        (k1, s1, e1) <- rows; (k2, s2, e2) <- rows
+        if k1 < k2 && s1 < e2 && s2 < e1
+      } yield (k1, k2)).sorted
+      assert(got == expect,
+        s"case $i: ${got.length} pairs vs ${expect.length} expected")
+      // the attribution conjunct must also dedup exactly (no pair twice)
+      assert(got.distinct == got, s"case $i: duplicate pairs emitted")
+    }
+  }
 }
