@@ -501,7 +501,40 @@ object Aggregates extends QueryPack {
       .orderBy($"cohort_wk", $"offset_wk")
   }
 
+  /** OHLC bars — the time-series shape a trading-data ETL (the
+    * reference's domain) aggregates first: per (series, hour) the
+    * opening/closing/extreme values. Open and close are selected by
+    * row_number over (ts, event_id) — the unique tie-break makes the
+    * pick engine-exact — and high/low/count are plain aggregates. The
+    * two windows share one (series, hour)-keyed exchange, and bars
+    * are calendar-bounded, so the reduce side stays model-sized at
+    * any SF. Values pass through untouched (no float arithmetic):
+    * bit-exact in both engines. */
+  def aggOhlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select($"event_type".as("sym"),
+              unix_micros(date_trunc("hour", $"ts".cast("timestamp")))
+                .as("hour_us"),
+              unix_micros($"ts".cast("timestamp")).as("us"),
+              $"event_id", $"value")
+    val wAsc = Window.partitionBy($"sym", $"hour_us")
+      .orderBy($"us".asc, $"event_id".asc)
+    val wDesc = Window.partitionBy($"sym", $"hour_us")
+      .orderBy($"us".desc, $"event_id".desc)
+    e.withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy($"sym", $"hour_us")
+      .agg(max(when($"rna" === 1, $"value")).as("open"),
+           max($"value").as("high"),
+           min($"value").as("low"),
+           max(when($"rnd" === 1, $"value")).as("close"),
+           count(lit(1)).as("n_ticks"))
+      .orderBy($"sym", $"hour_us")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ohlc" -> (aggOhlc _),
     "agg_retention" -> (aggRetention _),
     "sample_weighted" -> (sampleWeighted _),
     "agg_bool" -> (aggBool _),
@@ -535,6 +568,26 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type AS sym,
+        |    epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY sym, hour_us
+        |                       ORDER BY us ASC, event_id ASC) AS rna,
+        |    row_number() OVER (PARTITION BY sym, hour_us
+        |                       ORDER BY us DESC, event_id DESC) AS rnd
+        |  FROM e)
+        |SELECT sym, hour_us,
+        |  max(CASE WHEN rna = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+        |  count(*) AS n_ticks
+        |FROM r GROUP BY sym, hour_us
+        |ORDER BY sym, hour_us""".stripMargin,
     "agg_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

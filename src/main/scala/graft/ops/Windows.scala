@@ -214,6 +214,32 @@ object Windows extends QueryPack {
       .orderBy($"c_mktsegment", $"ym")
   }
 
+  /** Running VWAP + drawdown per series — the rolling indicators a
+    * trading ETL (the reference's domain) computes over every tick
+    * stream. VWAP accumulates integer cents × integer volume in one
+    * running window sum and divides ONCE per row (long/long → double,
+    * engine-exact); drawdown is running-peak minus current, pure
+    * integer max. One window, partitioned on the series key with a
+    * unique (ts, event_id) tie-break — ticks per series per horizon
+    * are bounded, no single-partition hazard. */
+  def winVwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"sym").orderBy($"us".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .select($"event_type".as("sym"), $"event_id",
+              unix_micros($"ts".cast("timestamp")).as("us"),
+              cents($"value").as("pc"),
+              get_json_object($"props", "$.k").cast("long").as("vol"))
+      .where($"vol".isNotNull && $"vol" > 0L)
+      .withColumn("vwap",
+        (sum($"pc" * $"vol").over(w).cast("double") /
+          sum($"vol").over(w).cast("double")) / 100)
+      .withColumn("drawdown",
+        (max($"pc").over(w) - $"pc").cast("double") / 100)
+      .select($"sym", $"event_id", $"us", $"vwap", $"drawdown")
+      .orderBy($"sym", $"event_id")
+  }
+
   /** Navigation functions: lead, first/last value over a running
     * frame, and nth_value — per-customer order timelines. */
   def winNav(s: SparkSession, dir: String): DataFrame = {
@@ -235,6 +261,7 @@ object Windows extends QueryPack {
     "win_scd2" -> (winScd2 _),
     "sessionize_batch" -> (sessionizeBatch _),
     "win_pct_change" -> (winPctChange _),
+    "win_vwap" -> (winVwap _),
     "win_rank" -> (winRank _),
     "win_lag" -> (winLag _),
     "win_frame_rows" -> (winFrameRows _),
@@ -242,6 +269,19 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "win_vwap" ->
+      """WITH e AS (
+        |  SELECT event_type AS sym, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value*100) AS BIGINT) AS pc,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        |  FROM events)
+        |SELECT sym, event_id, us,
+        |  (CAST(sum(pc * vol) OVER w AS DOUBLE)
+        |     / CAST(sum(vol) OVER w AS DOUBLE)) / 100 AS vwap,
+        |  CAST(max(pc) OVER w - pc AS DOUBLE) / 100 AS drawdown
+        |FROM e WHERE vol IS NOT NULL AND vol > 0
+        |WINDOW w AS (PARTITION BY sym ORDER BY us ASC, event_id ASC)
+        |ORDER BY sym, event_id""".stripMargin,
     "win_pct_change" ->
       s"""WITH m AS (
         |  SELECT c_mktsegment,
