@@ -240,6 +240,34 @@ object Windows extends QueryPack {
       .orderBy($"sym", $"event_id")
   }
 
+  /** 20-tick rolling mean/std per series — agg_stats' exact-integer
+    * moment discipline moved into a sliding frame: the frame sums
+    * (Σx, Σx², n) accumulate INTEGER cents, so Spark's incremental
+    * add/remove frame evaluation is exact and order-independent, and
+    * the variance formula runs on identical doubles in both engines.
+    * (Long is safe here: the frame is 20 rows, so Σx² ≤ 20·(10⁷)² —
+    * far under 2⁶³ even for $100k-scale values.) One keyed window,
+    * unique tie-break, bounded partitions. */
+  def winRollingStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"sym").orderBy($"us".asc, $"event_id".asc)
+      .rowsBetween(-19, Window.currentRow)
+    val n = count(lit(1)).over(w).cast("double")
+    val s1 = sum($"pc").over(w).cast("double")
+    val s2 = sum($"pc" * $"pc").over(w).cast("double")
+    t(s, dir, "events")
+      .select($"event_type".as("sym"), $"event_id",
+              unix_micros($"ts".cast("timestamp")).as("us"),
+              cents($"value").as("pc"))
+      .select($"sym", $"event_id", $"us",
+              ($"pc".cast("double") / 100).as("v"),
+              (s1 / n / 100).as("roll_mean"),
+              when(n > 1.0,
+                   sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))) / 100)
+                .as("roll_sd"))
+      .orderBy($"sym", $"event_id")
+  }
+
   /** Navigation functions: lead, first/last value over a running
     * frame, and nth_value — per-customer order timelines. */
   def winNav(s: SparkSession, dir: String): DataFrame = {
@@ -262,6 +290,7 @@ object Windows extends QueryPack {
     "sessionize_batch" -> (sessionizeBatch _),
     "win_pct_change" -> (winPctChange _),
     "win_vwap" -> (winVwap _),
+    "win_rolling_stats" -> (winRollingStats _),
     "win_rank" -> (winRank _),
     "win_lag" -> (winLag _),
     "win_frame_rows" -> (winFrameRows _),
@@ -269,6 +298,25 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "win_rolling_stats" ->
+      """WITH e AS (
+        |  SELECT event_type AS sym, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value*100) AS BIGINT) AS pc
+        |  FROM events)
+        |SELECT sym, event_id, us,
+        |  CAST(pc AS DOUBLE)/100 AS v,
+        |  CAST(sum(pc) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w AS DOUBLE) / 100 AS roll_mean,
+        |  CASE WHEN count(*) OVER w > 1 THEN
+        |    sqrt((CAST(sum(pc*pc) OVER w AS DOUBLE)
+        |          - CAST(sum(pc) OVER w AS DOUBLE) * CAST(sum(pc) OVER w AS DOUBLE)
+        |            / CAST(count(*) OVER w AS DOUBLE))
+        |         / (CAST(count(*) OVER w AS DOUBLE) - 1.0)) / 100
+        |  END AS roll_sd
+        |FROM e
+        |WINDOW w AS (PARTITION BY sym ORDER BY us ASC, event_id ASC
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY sym, event_id""".stripMargin,
     "win_vwap" ->
       """WITH e AS (
         |  SELECT event_type AS sym, event_id, epoch_us(ts) AS us,
