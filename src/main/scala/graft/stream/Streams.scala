@@ -281,6 +281,33 @@ object Streams extends QueryPack {
         .orderBy($"w_start", $"event_type")
     }
 
+  /** Streaming OHLC bars — the trading rollup under TRUE readStream:
+    * hourly open/high/low/close per series as a watermarked tumbling-
+    * window aggregate. open/close use min_by/max_by keyed on the
+    * unique (ts, event_id) struct — declarative aggregates, so they
+    * partial-merge in streaming state like any sum (each window's
+    * state is one candidate row, not a buffer of ticks). A one-file
+    * drain is one micro-batch, so the result equals the batch OHLC
+    * and the same row_number oracle applies. */
+  def streamOhlc(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val ord = struct($"ts", $"event_id")
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(min_by($"value", ord).as("open"),
+             max($"value").as("high"),
+             min($"value").as("low"),
+             max_by($"value", ord).as("close"),
+             count(lit(1)).as("n_ticks"))
+        .select($"event_type".as("sym"),
+                unix_micros($"window.start").as("hour_us"),
+                $"open", $"high", $"low", $"close", $"n_ticks")
+      drain(agg, "graft_stream_ohlc", OutputMode.Update())
+        .orderBy($"sym", $"hour_us")
+    }
+
   /** Streaming dedup as its own first-class op (the streaming twin of
     * dedup_exact): events collapse to one row per (user, type, 15-min
     * bucket) via `dropDuplicatesWithinWatermark` — state holds only keys
@@ -305,6 +332,7 @@ object Streams extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark" -> (streamWatermark _),
     "stream_dedup" -> (streamDedup _),
+    "stream_ohlc" -> (streamOhlc _),
     "stream_stateful" -> (streamStateful _),
     "stream_tws" -> (streamTws _),
     "stream_session_rs" -> (streamSessionRs _),
@@ -318,6 +346,26 @@ object Streams extends QueryPack {
   // interval join emits every match, and the session aggregation
   // emits every fully-merged session — both equal their batch twins.
   def oracle: Map[String, String] = Map(
+    "stream_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type AS sym,
+        |    epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY sym, hour_us
+        |                       ORDER BY us ASC, event_id ASC) AS rna,
+        |    row_number() OVER (PARTITION BY sym, hour_us
+        |                       ORDER BY us DESC, event_id DESC) AS rnd
+        |  FROM e)
+        |SELECT sym, hour_us,
+        |  max(CASE WHEN rna = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+        |  count(*) AS n_ticks
+        |FROM r GROUP BY sym, hour_us
+        |ORDER BY sym, hour_us""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
         |  time_bucket(INTERVAL '15 minutes', ts) AS w_start
