@@ -106,12 +106,51 @@ object Multimodal extends QueryPack {
       .orderBy($"doc_id", $"frame_no")
   }
 
+  /** Audio analysis-window access pattern: fixed-width windows (64
+    * samples) at a 32-sample hop with per-window integer energy — the
+    * framing every audio featurizer (STFT, MFCC, VAD) runs before its
+    * transform, as pure Spark plumbing. Text bytes stand in for PCM
+    * samples (same stub philosophy as the decode path: no codec in
+    * this container); the ASCII-only gate pins char index == byte
+    * offset in both engines, and energies are integer sums — no float
+    * anywhere. explode(sequence) is the 1→N generator; everything
+    * before the output sort is map-only, so the shape scales with
+    * input bytes exactly like a real framing pass. */
+  def multimodalAudioWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .where(octet_length($"text") === length($"text") &&
+             length($"text") >= 64)
+      .withColumn("nw", expr("CAST((length(text) - 64) div 32 AS INT) + 1"))
+      .withColumn("win_no", explode(expr("sequence(0, nw - 1)")))
+      .withColumn("energy", expr(
+        "aggregate(sequence(win_no*32 + 1, win_no*32 + 64), 0L, " +
+          "(acc, i) -> acc + ascii(substring(text, i, 1)))"))
+      .select($"doc_id", $"win_no".cast("int").as("win_no"), $"energy")
+      .orderBy($"doc_id", $"win_no")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio_window" -> (multimodalAudioWindow _),
     "multimodal_cols" -> (multimodalCols _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_framesample" -> (multimodalFramesample _))
 
   def oracle: Map[String, String] = Map(
+    "multimodal_audio_window" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)
+        |    AND length(text) >= 64),
+        |w AS (
+        |  SELECT doc_id, text, CAST(u.w AS INTEGER) AS win_no
+        |  FROM d, UNNEST(generate_series(0, CAST((n - 64) // 32 AS BIGINT))) AS u(w))
+        |SELECT doc_id, win_no,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(win_no*32 + 1, win_no*32 + 64),
+        |    i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS energy
+        |FROM w
+        |ORDER BY doc_id, win_no""".stripMargin,
     "multimodal_cols" ->
       """SELECT doc_id, lang, label,
         |  CAST(len(embedding) AS INTEGER) AS dim,
