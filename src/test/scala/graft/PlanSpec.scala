@@ -136,6 +136,13 @@ class PlanSpec extends AnyFunSuite {
       "quadratic join strategy in: " + offenders.mkString(", "))
   }
 
+  test("graph_triangles closes wedges against a broadcast edge hash") {
+    val p = plan("graph_triangles")
+    // the wedge stream (Σ outdeg² rows) must never shuffle toward the
+    // edge set — closure is a map-side broadcast probe
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("dedup_fuzzy joins on the blocking key, never a nested loop") {
     val p = plan("dedup_fuzzy")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
