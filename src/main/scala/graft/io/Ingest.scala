@@ -75,6 +75,31 @@ object Ingest extends QueryPack {
     readCsv(s, path, src.schema).orderBy($"n_nationkey")
   }
 
+  /** Raw-text ingestion — the format LLM corpora actually arrive in
+    * (one document per line, no schema): write documents out as
+    * compressed text, read back with `spark.read.text`, re-derive
+    * structure (char/token counts) from the line alone. gzip on
+    * purpose: a .gz text file is NOT splittable, so one file = one
+    * task regardless of size — the landing-zone reality that makes
+    * the compact/repartition step (ingest_compact) mandatory before
+    * heavy processing at 100 TB. The fixture text is newline-free, so
+    * the round trip is lossless and the oracle reads the original
+    * table. */
+  def ingestText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "documents")
+    val path = scratch(dir, "text_documents")
+    src.select($"text").write.mode("overwrite")
+      .option("compression", "gzip").text(path)
+    s.read.text(path)
+      .select(length($"value").as("n_chars"),
+              size(split($"value", " ")).cast("long").as("n_tok"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_lines"),
+           sum($"n_chars").as("chars_total"),
+           sum($"n_tok").as("tok_total"))
+  }
+
   /** parquet → JSON-lines → read back with the parquet schema.
     * Doubles survive: Spark's JSON writer emits shortest-round-trip
     * literals, so s_acctbal re-parses bit-identically. */
@@ -323,6 +348,7 @@ object Ingest extends QueryPack {
     "ingest_zorder" -> (ingestZorder _),
     "ingest_sorted" -> (ingestSorted _),
     "ingest_csv" -> (ingestCsv _),
+    "ingest_text" -> (ingestText _),
     "ingest_json" -> (ingestJson _),
     "ingest_orc" -> (ingestOrc _),
     "ingest_partitioned" -> (ingestPartitioned _),
@@ -332,6 +358,13 @@ object Ingest extends QueryPack {
   // Oracles run on the ORIGINAL parquet tables: a hash match proves the
   // text round-trip / partitioned rewrite preserved every value.
   def oracle: Map[String, String] = Map(
+    // lossless round trip (fixture text is newline-free) — the oracle
+    // derives the same measures from the original table
+    "ingest_text" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars_total,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total
+        |FROM documents""".stripMargin,
     "ingest_evolve" ->
       s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
         |            ELSE 'ch_' || CAST(o_orderkey % 3 AS VARCHAR) END AS channel,
