@@ -580,7 +580,41 @@ object SqlQueries extends QueryPack {
     s.sql(q21Sql)
   }
 
+  /** Recursive CTE (Spark 4.x): a 48-month calendar spine generated
+    * by bounded UNION ALL recursion, LEFT JOINed to monthly revenue —
+    * the gap-fill every revenue dashboard needs (months with zero
+    * orders must appear as zeros, which no GROUP BY over the fact
+    * table alone can produce). The recursion is a counter ladder, so
+    * termination is structural; month arithmetic stays in +/−/% (INT
+    * in both engines — `div` would widen Spark's column to BIGINT and
+    * break the recursive schema match). Spark's recursive CTEs
+    * require UNION ALL (UNION-distinct recursion is unsupported as of
+    * 4.1), which rules out cyclic closures — the DataFrame iteration
+    * in TextOps.connectedComponents remains the graph path. */
+  private val recursiveSql =
+    s"""WITH RECURSIVE spine(ym) AS (
+      |  SELECT 199501
+      |  UNION ALL
+      |  SELECT CASE WHEN ym % 100 = 12 THEN ym - ym % 100 + 101
+      |              ELSE ym + 1 END
+      |  FROM spine WHERE ym < 199812),
+      |rev AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    ${sqlSumMoney("o_totalprice")} AS revenue,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT s.ym, coalesce(r.revenue, 0.0) AS revenue,
+      |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_orders
+      |FROM spine s LEFT JOIN rev r ON s.ym = r.ym
+      |ORDER BY s.ym""".stripMargin
+
+  def sqlRecursive(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(recursiveSql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive" -> (sqlRecursive _),
     "sql_exists" -> (sqlExists _),
     "sql_corr_scalar" -> (sqlCorrScalar _),
     "sql_tpch_q1" -> (sqlTpchQ1 _),
@@ -607,6 +641,8 @@ object SqlQueries extends QueryPack {
     "sql_cte_window" -> (sqlCteWindow _))
 
   def oracle: Map[String, String] = Map(
+    // identical text: DuckDB evaluates the same bounded recursion
+    "sql_recursive" -> recursiveSql,
     // both engines speak the same text for the TPC-H shapes
     "sql_tpch_q1" -> q1Sql,
     "sql_tpch_q6" -> q6Sql,
