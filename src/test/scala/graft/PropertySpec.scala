@@ -135,6 +135,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents equals a union-find reference on random graphs") {
+    import spark.implicits._
+    val n = 40
+    for (i <- 1 to 4) {
+      val raw = Gen.listOfN(35,
+          Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+        .apply(Gen.Parameters.default, rng.Seed(77L + i)).get
+        .filter { case (a, b) => a != b }
+      val got = graft.text.TextOps.connectedComponents(
+          (0L until n).toDF("v"), raw.toDF("a", "b"),
+          maxPasses = 50) // random graphs can be near-paths: diameter ≈ n
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).groupBy(find).values
+        .flatMap { vs => val m = vs.min.toLong; vs.map(_.toLong -> m) }.toMap
+      assert(got == expect, s"case $i: $got vs $expect")
+    }
+  }
+
   test("bucketed interval-overlap join equals the all-pairs reference") {
     import spark.implicits._
     // variable-length intervals, dense enough that many straddle
