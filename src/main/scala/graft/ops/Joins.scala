@@ -260,50 +260,17 @@ object Joins extends QueryPack {
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-    // DOULION sampling (Tsourakakis et al., KDD'09): keep each edge
-    // with p = 1/4 and scale the triangle count by 1/p³ = 64. The
-    // coin is a DETERMINISTIC md5 of the edge key — it must be
-    // NONLINEAR: a multiplicative hash correlates the three coins of
-    // a triangle (the third edge's value is a linear combination of
-    // the other two) and measured 3.3× over-estimation here; with md5
-    // the estimate lands within 0.4% of the exact count. The coin
-    // depends only on (a,b), so it applies BEFORE the dedup: the
-    // distinct shuffles p·|pairs| rows, wedge volume drops by p²,
-    // closure candidates by p³ — the published lever for triangle
-    // counting at 100 TB, where the exact count's Σ outdeg² wedge
-    // stream dwarfs the edge set.
-    val e = li.as("x").join(li.as("y"),
-        $"x.l_orderkey" === $"y.l_orderkey" &&
-        $"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
-      .where(substring(md5(concat_ws("_", $"a", $"b")), 1, 2) < "40")
-      .distinct()
-      // three downstream consumers (count, degree, closure) — one
-      // materialization, not three recomputes of the self-join
-      .localCheckpoint(true)
-    val deg = e.select($"a".as("v")).unionByName(e.select($"b".as("v")))
-      .groupBy($"v").agg(count(lit(1)).as("dg"))
-    val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
-    val oriented = e
-      .join(deg.select($"v".as("a"), $"dg".as("da")), "a")
-      .join(deg.select($"v".as("b"), $"dg".as("db")), "b")
-      .select(when(lowFirst, $"a").otherwise($"b").as("f"),
-              when(lowFirst, $"b").otherwise($"a").as("t"))
-    val wedges = oriented.select($"f", $"t".as("t1"))
-      .join(oriented.select($"f", $"t".as("t2")), "f")
-      .where($"t1" < $"t2")
-    // wedge pair is already canonical (t1 < t2), matching e's a < b.
-    // BROADCAST the sampled edge set for the closure: wedges outnumber
-    // edges (Σ outdeg² vs m), so shuffling them toward the edges is
-    // the wrong direction — a broadcast hash probe filters wedges
-    // map-side and the wedge stream never moves. Past broadcast reach,
-    // drop the hint: the same plan degrades to a partitioned equi-join.
-    val tri = wedges.join(broadcast(e), $"t1" === $"a" && $"t2" === $"b")
-    deg.agg(count(lit(1)).as("n_vertices_sampled"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges_sampled")))
-      .crossJoin(tri.agg(count(lit(1)).as("n_tri_sampled"))
-        .select($"n_tri_sampled",
-                ($"n_tri_sampled" * 64L).as("est_triangles")))
+    // p = 1/4 ('40'/'100' of the hex space), so the count scales by
+    // 1/p³ = 64; the coin, orientation, and broadcast-closure
+    // mechanics (and why the coin must be nonlinear) live in
+    // graft.graph.Graph.triangleEstimate, property-tested against
+    // brute-force enumeration.
+    graft.graph.Graph.triangleEstimate(
+      li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" &&
+          $"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b")),
+      hexCap = "40", invP3 = 64L)
   }
 
   /** Skew-safe equi join: salt the fact side into S shards and

@@ -161,6 +161,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("triangle estimator: exact mode equals brute force; sampling is a sub-count") {
+    import spark.implicits._
+    for (i <- 1 to 3) {
+      val raw = Gen.listOfN(80,
+          Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+        .apply(Gen.Parameters.default, rng.Seed(313L + i)).get
+        .collect { case (x, y) if x != y => (math.min(x, y), math.max(x, y)) }
+        .distinct
+      val edges = raw.toDF("a", "b")
+      def run(cap: String, inv: Long) =
+        graft.graph.Graph.triangleEstimate(edges, cap, inv)
+          .collect().head
+      // exact mode ("g" > every hex digit keeps all edges, invP3 = 1)
+      val ex = run("g", 1L)
+      val es = raw.toSet
+      val brute = (for {
+        (a, b) <- raw; (c, d) <- raw
+        if c == a && d > b && es.contains((b, d))
+      } yield 1).size
+      assert(ex.getLong(2) == brute && ex.getLong(3) == brute,
+        s"case $i: exact ${ex.getLong(2)} vs brute $brute")
+      assert(ex.getLong(1) == raw.size)
+      // sampled mode: a deterministic sub-count of the exact triangles
+      val sm = run("40", 64L)
+      assert(sm.getLong(1) <= raw.size && sm.getLong(2) <= brute)
+      assert(sm.getLong(3) == sm.getLong(2) * 64L)
+      assert(run("40", 64L).getLong(2) == sm.getLong(2), "coin must be deterministic")
+    }
+  }
+
   test("bucketed interval-overlap join equals the all-pairs reference") {
     import spark.implicits._
     // variable-length intervals, dense enough that many straddle
