@@ -11,6 +11,61 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Min-label propagation to a fixed point. `vertices`: one column
+    * `v`; `edges`: columns `a`,`b` (undirected, any orientation).
+    * Returns (v, lbl) where lbl = min vertex id in v's component.
+    *
+    * Only edge-touched vertices iterate: a vertex with no edges can
+    * never change its label, and in a dedup graph the touched set is a
+    * tiny fraction of the corpus — so each pass joins over the pair
+    * subgraph, not the whole vertex table. Untouched vertices come
+    * back as their own singleton components via one final anti-join. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxPasses: Int = 15): DataFrame = {
+    // edge generation runs at full parallelism (corpus-scale work)...
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    // ...but the iteration shuffles tables sized by the PAIR set, so
+    // its partition count follows that size, not the corpus default —
+    // locally a cap (the same lever the streaming queries use); on a
+    // cluster this is one conf sized to the dup-pair volume.
+    graft.config.Sessions.withShufflePartitionsCap(e.sparkSession, 8) {
+      var labels = sym.select(col("a").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var pass = 0
+      while (changed > 0 && pass < maxPasses) {
+        // every viaNbr target is already in `labels` (initialized from
+        // the symmetric edge set), so max(prev) recovers each vertex's
+        // previous label and min-propagation only ever lowers lbl —
+        // changed = lbl < prev, read off the pass output itself
+        val viaNbr = sym.join(labels, col("a") === col("v"))
+          .select(col("b").as("v"), col("lbl"),
+                  lit(null).cast("long").as("prev"))
+        val next = labels.withColumn("prev", col("lbl"))
+          .unionByName(viaNbr)
+          .groupBy(col("v"))
+          .agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
+          .localCheckpoint(true)
+        changed = next.where(col("lbl") < col("prev")).count()
+        labels = next.select(col("v"), col("lbl"))
+        pass += 1
+      }
+      // Partial labels are WRONG labels — a caller can't tell a
+      // converged component from one still mid-propagation, so a
+      // non-converged exit must be loud, not silent.
+      require(changed == 0,
+        s"connectedComponents did not converge within $maxPasses passes " +
+          s"($changed labels still changing); raise maxPasses — passes needed " +
+          "grow with the graph diameter, which for dedup graphs stays small")
+      val singletons = vertices.select(col("v"))
+        .join(labels.select(col("v")), Seq("v"), "left_anti")
+        .withColumn("lbl", col("v"))
+      labels.unionByName(singletons)
+    }
+  }
+
   /** DOULION triangle estimation (Tsourakakis et al., KDD'09): keep
     * each edge with probability p decided by a DETERMINISTIC md5 coin
     * (`md5(a_b)` hex prefix < `hexCap`), count triangles on the
