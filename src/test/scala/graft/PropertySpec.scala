@@ -161,6 +161,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize_batch: sessions partition each user's events at the 30-min gap") {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    val rows = SparkEntry.queries("sessionize_batch")(spark, SparkSpec.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (user, ss) =>
+      val sorted = ss.sortBy(_._2)
+      // session numbers are 1..k dense
+      assert(sorted.map(_._2).toList == (1 to sorted.length).toList, s"user $user")
+      sorted.foreach { case (_, _, n, st, en) =>
+        assert(en >= st && (n > 1 || en == st), s"user $user: bad span")
+      }
+      // consecutive sessions are separated by MORE than the gap
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, prevEnd), (_, _, _, nextStart, _)) =>
+          assert(nextStart - prevEnd > gapUs,
+            s"user $user: sessions closer than the gap")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("triangle estimator: exact mode equals brute force; sampling is a sub-count") {
     import spark.implicits._
     for (i <- 1 to 3) {
