@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over edge DataFrames.
@@ -19,7 +20,20 @@ object Graph {
     * never change its label, and in a dedup graph the touched set is a
     * tiny fraction of the corpus — so each pass joins over the pair
     * subgraph, not the whole vertex table. Untouched vertices come
-    * back as their own singleton components via one final anti-join. */
+    * back as their own singleton components via one final anti-join.
+    *
+    * Scale shape: each pass is one equi-join (labels ⋈ edges, keyed on
+    * vertex) + one min-aggregate — all shuffles key on vertex id, no
+    * driver-side data. Passes = graph diameter; dup clusters are
+    * near-cliques hanging off a hub, so the fixed point lands in 2-3
+    * passes (a long-chain adversary needs [[connectedComponentsStar]]'s
+    * O(log n) contraction). Labels are localCheckpoint'd each pass:
+    * the state is one row per touched vertex, and truncating lineage
+    * keeps pass k from replaying passes 1..k-1. Change detection rides
+    * the SAME aggregate that computes the new labels: the self-row
+    * carries the previous label as a side column, so `changed` is a
+    * count over the already-checkpointed pass output — no second join,
+    * no extra shuffle, one action per pass. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxPasses: Int = 15): DataFrame = {
     // edge generation runs at full parallelism (corpus-scale work)...
@@ -66,6 +80,87 @@ object Graph {
     }
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the long-chain-safe twin of
+    * [[connectedComponents]]. Min-label propagation needs
+    * diameter-many passes (a 10⁶-long chain means 10⁶ shuffles);
+    * star contraction halves chain lengths every round, converging in
+    * O(log² n) rounds on ANY graph shape. Same interface: `vertices`
+    * one column `v`, `edges` columns `a`,`b` (undirected, any
+    * orientation), returns (v, lbl) with lbl = component min.
+    *
+    * Per round, two passes over the edge set only (untouched vertices
+    * never enter, exactly like the min-label twin):
+    *  - large-star: every node links its LARGER neighbors to the min
+    *    of its neighborhood (incl. itself);
+    *  - small-star: every node links its smaller neighbors and itself
+    *    to the min of its smaller neighborhood.
+    * Both are one window-min + projection — shuffles key on the node
+    * id, output stays canonical (child > parent). The edge set shrinks
+    * toward a star forest whose roots are the component minima; the
+    * fixed point is checked EXACTLY (count + except), not by
+    * fingerprint, and non-convergence is loud like the twin's.
+    *
+    * Prefer [[connectedComponents]] for dup graphs (near-cliques: 2-3
+    * passes, one join each); prefer this when the diameter is unknown
+    * or adversarial (general graphs, path-/mesh-like structure). */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+                              maxPasses: Int = 20): DataFrame = {
+    val canon = edges.select(
+        greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    graft.config.Sessions.withShufflePartitionsCap(edges.sparkSession, 8) {
+      // edges point larger → smaller (a > b) throughout
+      var e = canon.localCheckpoint(true)
+      var nE = e.count()
+      var converged = nE == 0L
+      var pass = 0
+      while (!converged && pass < maxPasses) {
+        // large-star: symmetrize, m = min(neighborhood ∪ self), link
+        // every LARGER neighbor v > u to m (m ≤ u < v keeps it
+        // canonical and self-loop-free)
+        val sym = e.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        val wu = Window.partitionBy(col("u"))
+        val ls = sym
+          .withColumn("m", least(min(col("v")).over(wu), col("u")))
+          .where(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .distinct()
+        // small-star: group by the larger endpoint, m = min of its
+        // smaller neighbors; re-link them and the node itself to m
+        val wa = Window.partitionBy(col("a"))
+        val sm = ls.withColumn("m", min(col("b")).over(wa))
+        val ss = sm.where(col("b") =!= col("m"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .unionByName(sm.select(col("a"), col("m").as("b")))
+          .distinct()
+          .localCheckpoint(true)
+        val nSS = ss.count()
+        converged = nSS == nE && ss.except(e).isEmpty
+        e = ss
+        nE = nSS
+        pass += 1
+      }
+      require(converged,
+        s"connectedComponentsStar did not converge within $maxPasses " +
+          "rounds; rounds needed grow with log²(n) — raise maxPasses")
+      // fixed point = star forest: children point at their component
+      // min, roots label themselves; edge-untouched vertices are
+      // singletons (the same anti-join as the min-label twin)
+      val labels = e.select(col("a").as("v"), col("b").as("lbl"))
+        .unionByName(e.select(col("b").as("v"), col("b").as("lbl")))
+        .distinct()
+      val singletons = vertices.select(col("v"))
+        .join(labels.select(col("v")), Seq("v"), "left_anti")
+        .withColumn("lbl", col("v"))
+      labels.unionByName(singletons)
+    }
+  }
+
   /** DOULION triangle estimation (Tsourakakis et al., KDD'09): keep
     * each edge with probability p decided by a DETERMINISTIC md5 coin
     * (`md5(a_b)` hex prefix < `hexCap`), count triangles on the
@@ -95,8 +190,10 @@ object Graph {
         < hexCap)
       .distinct()
       // three downstream consumers (count, degree, closure) — one
-      // materialization, not three recomputes of the edge source
-      .localCheckpoint(true)
+      // materialization, not three recomputes of the edge source.
+      // LAZY: the blocks persist on first compute at execution time,
+      // so constructing the DataFrame (PlanSpec does) runs no job
+      .localCheckpoint(false)
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     val lowFirst = col("da") < col("db") ||

@@ -297,7 +297,7 @@ object Aggregates extends QueryPack {
     * differential proves the two agree. */
   def sampleGroupK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = pmod($"c_custkey" * lit(2654435761L), lit(4294967296L))
+    val h = graft.util.Det.knuthHash($"c_custkey")
     t(s, dir, "customer")
       .groupBy($"c_mktsegment")
       .agg(graft.functions.BoundedTopK
@@ -470,7 +470,7 @@ object Aggregates extends QueryPack {
     * shuffles the dropped rows. */
   def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val u = pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+    val u = graft.util.Det.knuthHash($"doc_id")
     val thresh = floor(
       least(lit(1.0), $"n_chars".cast("double") / 2000.0) *
         lit(4294967296L)).cast("long")
@@ -602,7 +602,7 @@ object Aggregates extends QueryPack {
       """SELECT source, count(*) AS n_kept,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
         |      CAST(floor(least(1.0, CAST(n_chars AS DOUBLE)/2000.0)
         |                 * 4294967296) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin,
@@ -687,7 +687,7 @@ object Aggregates extends QueryPack {
         |  SELECT c_mktsegment, c_custkey,
         |    CAST(row_number() OVER (
         |      PARTITION BY c_mktsegment
-        |      ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey)
+        |      ORDER BY ((c_custkey % 2147483648) * 2654435761) % 4294967296, c_custkey)
         |    AS INTEGER) AS rk
         |  FROM customer)
         |WHERE rk <= 3

@@ -321,7 +321,7 @@ object Windows extends QueryPack {
       """WITH e AS (
         |  SELECT event_type AS sym, event_id, epoch_us(ts) AS us,
         |    CAST(round(value*100) AS BIGINT) AS pc,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
         |  FROM events)
         |SELECT sym, event_id, us,
         |  (CAST(sum(pc * vol) OVER w AS DOUBLE)

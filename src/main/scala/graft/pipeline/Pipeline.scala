@@ -248,7 +248,7 @@ object Pipelines extends QueryPack {
       .select($"source",
               least(lit(1.0),
                     $"mn".cast("double") / $"n_src".cast("double")).as("rate"))
-    val u = pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+    val u = graft.util.Det.knuthHash($"doc_id")
     d.join(broadcast(rates), "source")
       .where(u < floor($"rate" * lit(4294967296L)).cast("long"))
       .groupBy($"source")
@@ -280,7 +280,7 @@ object Pipelines extends QueryPack {
         |SELECT d.source AS source, count(*) AS n_kept,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents d JOIN r ON d.source = r.source
-        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
         |      CAST(floor(rate * 4294967296) AS BIGINT)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "pipeline_split" ->

@@ -146,6 +146,32 @@ object Streams extends QueryPack {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** The foreachBatch upsert sink driven end-to-end as a declared
+    * query: a true readStream per-user rollup (Update mode) merged
+    * into a parquet warehouse via [[upsertForeachBatch]], then the
+    * warehouse read back as the result. Oracle-able even though the
+    * pipeline is streaming: the per-user aggregate is a commutative
+    * monoid (count + exact integer cents), so the upserted final state
+    * equals the batch GROUP BY no matter how the source splits into
+    * micro-batches — last-writer-wins per key always lands on the
+    * full running total. Multi-batch + checkpoint-resume behavior of
+    * the sink itself is pinned separately in StreamsSpec. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_upsert").toString
+      val (path, ckpt) = (s"$root/table", s"$root/ckpt")
+      val agg = eventStream(s, dir)
+        .select($"user_id", round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+        .select($"user_id", $"n",
+                ($"cents_sum".cast("double") / 100).as("val_sum"))
+      upsertForeachBatch(agg, "user_id", path, ckpt)
+      s.read.parquet(path).orderBy($"user_id")
+    }
+
   /** Watermarked tumbling windows + in-watermark dedup: late data
     * beyond 10 min is dropped, duplicate event_ids inside the
     * watermark are deduped before aggregation. */
@@ -332,6 +358,7 @@ object Streams extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark" -> (streamWatermark _),
     "stream_dedup" -> (streamDedup _),
+    "stream_upsert" -> (streamUpsert _),
     "stream_ohlc" -> (streamOhlc _),
     "stream_stateful" -> (streamStateful _),
     "stream_tws" -> (streamTws _),
@@ -346,6 +373,14 @@ object Streams extends QueryPack {
   // interval join emits every match, and the session aggregation
   // emits every fully-merged session — both equal their batch twins.
   def oracle: Map[String, String] = Map(
+    // the upserted warehouse's final state is batch-boundary-invariant
+    // (commutative count/cents monoid, last-writer-wins per key), so
+    // plain batch GROUP BY is its exact twin
+    "stream_upsert" ->
+      s"""SELECT user_id, count(*) AS n,
+        |  ${graft.util.Det.sqlSumMoney("value")} AS val_sum
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "stream_ohlc" ->
       """WITH e AS (
         |  SELECT event_type AS sym,

@@ -64,8 +64,15 @@ object TextOps extends QueryPack {
     // per-doc shingle-set size and per-shingle doc frequency ride
     // along as window counts, so the expensive shingle subtree appears
     // only twice in the plan (the two join sides) instead of six times
-    // (sides + two size joins + two df joins); the (source, sh) window
-    // partitioning matches the join keys, so its exchange is reused
+    // (sides + two size joins + two df joins). The LAZY localCheckpoint
+    // then collapses even those two to one: the self-join's sides share
+    // one RDD, so explode+distinct+windows run once and the second side
+    // reads the materialized blocks (lazy, not eager, so merely
+    // CONSTRUCTING the query — PlanSpec does — executes nothing). The
+    // cache is the df-capped shingle table: sized by corpus shingles,
+    // partitioned, MEMORY_AND_DISK — the standard space-for-recompute
+    // trade, and strictly smaller than recomputing two window passes
+    // over it per consumer.
     val sh = docs(s, dir)
       .withColumn("w", split($"text", " "))
       .select($"doc_id", $"source",
@@ -76,6 +83,7 @@ object TextOps extends QueryPack {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"sh")))
       .where($"df" <= hotShingleCap)
+      .localCheckpoint(false)
     val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"),
                       $"sh", $"sz".as("sz_a"))
     val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"),
@@ -380,29 +388,12 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** Connected components over the duplicate-pair graph: exact pairs
-    * (same normalized text, star edges to the group min) unioned with
-    * near pairs (3-gram Jaccard ≥ 0.6), then min-label propagation to
-    * a fixed point — every doc gets cluster_id = the smallest doc_id
-    * reachable through any chain of duplicate relations. Survivor
-    * selection keeps one doc per PAIR; cluster assignment is what a
-    * real dedup pipeline ships (pick one per transitive class, audit
-    * cluster sizes).
-    *
-    * Scale shape: each iteration is one equi-join (labels ⋈ edges, keyed
-    * on vertex) + one min-aggregate — all shuffles key on doc_id, no
-    * driver-side data. Iterations = graph diameter; dup clusters are
-    * near-cliques hanging off a hub, so the fixed point lands in 2-3
-    * passes (a long-chain adversary would call for large-star/small-star
-    * contraction at O(log n) — same join shape, more bookkeeping).
-    * Labels are localCheckpoint'd each pass: the state is one row per
-    * doc, and truncating lineage keeps pass k from replaying passes
-    * 1..k-1. Change detection rides the SAME aggregate that computes
-    * the new labels: the self-row carries the previous label as a
-    * side column, so `changed` is a count over the already-checkpointed
-    * pass output — no second join, no extra shuffle, one action per
-    * pass. */
-  /** Forwarder — the implementation lives with the other graph
+  /** Connected components over the duplicate-pair graph — every doc
+    * gets cluster_id = the smallest doc_id reachable through any chain
+    * of duplicate relations. Survivor selection keeps one doc per PAIR;
+    * cluster assignment is what a real dedup pipeline ships (pick one
+    * per transitive class, audit cluster sizes). Forwarder — the
+    * implementation and its scale notes live with the other graph
     * primitives in [[graft.graph.Graph.connectedComponents]]. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxPasses: Int = 15): DataFrame =

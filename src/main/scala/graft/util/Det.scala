@@ -31,8 +31,22 @@ object Det {
   def avgMoney(c: Column): Column =
     sum(cents(c)).cast("double") / 100 / count(lit(1))
 
+  /** Deterministic per-row sampling hash (Knuth multiplicative,
+    * uniform in [0, 2³²)): the rand()-free coin behind the weighted /
+    * per-group / mix samplers. The id is pre-reduced mod 2³¹ BEFORE
+    * the multiply: id·2654435761 silently wraps Int64 in Spark for
+    * id ≳ 3.5e9 while DuckDB raises out-of-range — engine divergence
+    * exactly in the 100 TB id regime. (2³¹−1)·2654435761 ≈ 5.7e18
+    * stays inside Int64 in BOTH engines, and ids < 2³¹ hash
+    * identically to the unreduced form. */
+  def knuthHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+
   /** SQL-side mirrors (DuckDB dialect), kept next to the Scala forms so
     * the two can be reviewed for equivalence in one place. */
+  def sqlKnuthHash(id: String): String =
+    s"((($id) % 2147483648) * 2654435761) % 4294967296"
+
   def sqlCents(x: String): String = s"CAST(round(($x)*100) AS BIGINT)"
   def sqlSumMoney(x: String): String =
     s"CAST(sum(${sqlCents(x)}) AS DOUBLE)/100"

@@ -272,6 +272,30 @@ object VectorOps extends QueryPack {
       .withColumn("sig", expr(
         s"transform(sequence(1, $nHashes), k -> array_min(transform(shingles, sh -> xxhash64(k, sh))))"))
 
+  /** Transitive near-dup clusters over the MinHash/LSH candidate
+    * graph — the corpus-scale composition a 100 TB dedup pipeline
+    * actually ships: banded-LSH candidate pairs (equi-join on band
+    * buckets, never all-pairs), exact-Jaccard verification of the
+    * candidates only, then connected components so every doc gets
+    * cluster_id = the min doc_id transitively reachable over verified
+    * near-dup edges. `dedup_clusters` is the exact-tier twin (its
+    * edges come from exact-norm + full n-gram Jaccard and it is
+    * DuckDB-oracled); this one generates edges probabilistically, so
+    * it is no-oracle — planted duplicate chains in VectorOpsSpec pin
+    * the transitivity. */
+  def clustersFromMinhash(docs: DataFrame): DataFrame = {
+    val edges = minhashPairs(docs, nHashes = 16, bands = 4, minJaccard = 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.graph.Graph
+      .connectedComponents(docs.select(col("doc_id").as("v")), edges)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("csize"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupClustersLsh(s: SparkSession, dir: String): DataFrame =
+    clustersFromMinhash(t(s, dir, "documents"))
+
   /** 64-bit SimHash per doc: weighted bit-majority over token hashes,
     * one fold per doc (no explode). No oracle; Hamming-neighbor
     * detection on planted dups in tests. */
@@ -300,8 +324,14 @@ object VectorOps extends QueryPack {
     * parallel at any scale. Zero vectors quantize to all-zero codes
     * with scale 0 (no 0/0). Both engines evaluate the same per-element
     * double expressions in the same order, so the oracle hash-matches
-    * bit-exact. Reconstruction error is bounded in VectorOpsSpec. */
-  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    * bit-exact. Reconstruction error is bounded in VectorOpsSpec.
+    *
+    * The scored shape is posexplode'd to one (vec_id, pos, q) row per
+    * code: the array-valued `qvec` column crashed the driver's pandas
+    * comparator (ndarray cells aren't sortable/hashable), and scalar
+    * rows are also the shape a downstream integer-dot kernel scans.
+    * `quantizedVecs` keeps the per-row array form for library use. */
+  def quantizedVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "embeddings")
       .withColumn("emb", col("embedding").cast(ArrayType(DoubleType)))
@@ -311,7 +341,14 @@ object VectorOps extends QueryPack {
           .otherwise(transform($"emb",
             x => round(x / $"mx" * 127).cast("int"))))
       .select($"vec_id", $"label", $"qvec", ($"mx" / 127).as("scale"))
-      .orderBy($"vec_id")
+  }
+
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantizedVecs(s, dir)
+      .select($"vec_id", $"label", $"scale", posexplode($"qvec"))
+      .select($"vec_id", $"label", $"pos", $"col".as("q"), $"scale")
+      .orderBy($"vec_id", $"pos")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -322,14 +359,17 @@ object VectorOps extends QueryPack {
     "dedup_embed" -> (dedupEmbed _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_near" -> (dedupNear _),
+    "dedup_clusters_lsh" -> (dedupClustersLsh _),
     "dedup_simhash" -> (dedupSimhash _))
 
   def oracle: Map[String, String] = Map(
     "embed_quantize" ->
       """SELECT vec_id, label,
-        |  CASE WHEN mx = 0 THEN list_transform(emb, x -> 0)
-        |       ELSE list_transform(emb,
-        |              x -> CAST(round(x / mx * 127) AS INTEGER)) END AS qvec,
+        |  unnest(list_transform(range(len(emb)),
+        |    i -> CAST(i AS INTEGER))) AS pos,
+        |  unnest(CASE WHEN mx = 0 THEN list_transform(emb, x -> 0)
+        |         ELSE list_transform(emb,
+        |                x -> CAST(round(x / mx * 127) AS INTEGER)) END) AS q,
         |  mx / 127 AS scale
         |FROM (
         |  SELECT vec_id, label,
@@ -337,7 +377,7 @@ object VectorOps extends QueryPack {
         |    list_max(list_transform(embedding,
         |      x -> abs(CAST(x AS DOUBLE)))) AS mx
         |  FROM embeddings)
-        |ORDER BY vec_id""".stripMargin,
+        |ORDER BY vec_id, pos""".stripMargin,
     "sim_search" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         |c AS (

@@ -72,13 +72,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(sessions == List((1L, 1L), (1L, 3L), (2L, 1L)))
   }
 
-  test("HLL sketch estimates are exact at small cardinalities and merge correctly") {
-    val rows = graft.ops.Aggregates.aggHllSketch(spark, SparkSpec.sfDir)
+  // sketch-guarantee suites run at TWO scale factors: an ε/rank bound
+  // that only ever saw one input size is a weak verification of a
+  // "no-oracle" query — the second size catches guarantees that
+  // accidentally depended on fixture cardinality
+  private val sketchSfs =
+    Seq(SparkSpec.sfDir, "/root/testdata/sf0.01")
+
+  for (sf <- sketchSfs)
+  test(s"HLL sketch estimates are exact at small cardinalities and merge correctly ($sf)") {
+    val rows = graft.ops.Aggregates.aggHllSketch(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val exactPerNation = graft.io.Tables.t(spark, SparkSpec.sfDir, "supplier")
+    val exactPerNation = graft.io.Tables.t(spark, sf, "supplier")
       .groupBy($"s_nationkey").agg(countDistinct($"s_suppkey").as("d"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val exactTotal = graft.io.Tables.t(spark, SparkSpec.sfDir, "supplier")
+    val exactTotal = graft.io.Tables.t(spark, sf, "supplier")
       .select($"s_suppkey").distinct().count()
     // lgK=12 HLL is exact far beyond fixture cardinalities
     exactPerNation.foreach { case (k, d) =>
@@ -226,10 +234,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("STRING"), e.getMessage)
   }
 
-  test("CmsEstimate respects the one-sided CMS error bound vs exact counts") {
-    val rows = graft.text.TextOps.textCmsTokens(spark, SparkSpec.sfDir)
+  for (sf <- sketchSfs)
+  test(s"CmsEstimate respects the one-sided CMS error bound vs exact counts ($sf)") {
+    val rows = graft.text.TextOps.textCmsTokens(spark, sf)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-    val toks = graft.io.Tables.t(spark, SparkSpec.sfDir, "documents")
+    val toks = graft.io.Tables.t(spark, sf, "documents")
       .select($"source", explode(split($"text", " ")).as("tok"))
       .as[(String, String)].collect()
     val nBySource = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
@@ -243,6 +252,32 @@ class OperatorSpec extends AnyFunSuite {
       assert(est <= bound, s"($src,$probe): est $est > bound $bound")
     }
     assert(rows.nonEmpty)
+  }
+
+  for (sf <- sketchSfs)
+  test(s"textHotTokens honors the Misra-Gries guarantee on the corpus ($sf)") {
+    val got = graft.text.TextOps.textHotTokens(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(2)), r.getLong(3)))
+    val bySource = got.groupBy(_._1._1)
+    val toks = graft.io.Tables.t(spark, sf, "documents")
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .as[(String, String)].collect()
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    toks.groupBy(_._1).foreach { case (src, ts) =>
+      val n = ts.size.toLong
+      val surfaced = bySource.getOrElse(src, Array.empty).map(_._1._2).toSet
+      // the MG guarantee: every token with freq > n/(k+1), k=8, MUST
+      // be in the summary, at ANY corpus size
+      exact.collect { case ((s, tok), f) if s == src && f > n / 9 =>
+        assert(surfaced.contains(tok),
+          s"$src: token '$tok' (freq $f > ${n / 9}) missing from MG summary")
+      }
+      // and every reported count is a lower bound on the truth
+      got.filter(_._1._1 == src).foreach { case ((_, tok), est) =>
+        assert(est <= exact((src, tok)), s"$src/'$tok': $est overcounts")
+      }
+    }
   }
 
   test("approx_percentile estimates respect the rank-error bound vs exact") {

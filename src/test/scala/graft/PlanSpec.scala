@@ -136,6 +136,24 @@ class PlanSpec extends AnyFunSuite {
       "quadratic join strategy in: " + offenders.mkString(", "))
   }
 
+  test("sim_search_ivf probes inverted lists via a cell-equi join with broadcast queries") {
+    // the IVF contract at scale: candidate generation is an EQUI-join
+    // on cell id (corpus shuffles once on cell at most, pair space
+    // never materializes) and the model-sized sides (centroids for
+    // assignment, nprobe-expanded queries for the probe) broadcast.
+    // k-means training is deterministic (key-modulo sample, fixed
+    // seeds) so this plan shape is stable run-to-run.
+    val p = plan("sim_search_ivf")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe/assign lost the broadcast:\n" + p.take(800))
+    // `cell` is the probe's only equi key; it must appear as a
+    // BroadcastHashJoin key, not inside a filter after a loop join
+    assert(p.split("BroadcastHashJoin").exists(_.take(200).contains("cell")),
+      "no broadcast join keyed on cell:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "model-sized side fell off broadcast reach:\n" + p.take(800))
+  }
+
   test("graph_triangles closes wedges against a broadcast edge hash") {
     val p = plan("graph_triangles")
     // the wedge stream (Σ outdeg² rows) must never shuffle toward the

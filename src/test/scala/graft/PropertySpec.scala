@@ -161,6 +161,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStar equals a union-find reference on random graphs") {
+    import spark.implicits._
+    val n = 40
+    for (i <- 1 to 4) {
+      val raw = Gen.listOfN(35,
+          Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+        .apply(Gen.Parameters.default, rng.Seed(77L + i)).get
+        .filter { case (a, b) => a != b }
+      val got = graft.graph.Graph.connectedComponentsStar(
+          (0L until n).toDF("v"), raw.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).groupBy(find).values
+        .flatMap { vs => val m = vs.min.toLong; vs.map(_.toLong -> m) }.toMap
+      assert(got == expect, s"case $i: $got vs $expect")
+    }
+  }
+
+  test("connectedComponentsStar handles the long-chain adversary min-label refuses") {
+    import spark.implicits._
+    // a 200-vertex path has diameter 199: min-label propagation at its
+    // default maxPasses=15 must refuse LOUDLY (partial labels are wrong
+    // labels), while star contraction halves chains per round and lands
+    // well inside its default cap
+    val n = 200L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val verts = (0L until n).toDF("v")
+    assertThrows[IllegalArgumentException] {
+      graft.text.TextOps.connectedComponents(verts, chain).collect()
+    }
+    val got = graft.graph.Graph.connectedComponentsStar(verts, chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "every chain vertex joins component 0")
+  }
+
   test("sessionize_batch: sessions partition each user's events at the 30-min gap") {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -22,7 +22,7 @@ class VectorOpsSpec extends AnyFunSuite {
   }
 
   test("embed_quantize: int8 codes in range, reconstruction error within half a quantization step") {
-    val q = VectorOps.embedQuantize(spark, SparkSpec.sfDir)
+    val q = VectorOps.quantizedVecs(spark, SparkSpec.sfDir)
     val orig = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
     val joined = q.join(orig, "vec_id")
@@ -42,6 +42,21 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_quantize scored shape is scalar-only and covers every (vec, pos)") {
+    // the driver's comparator sorts every output column; array cells
+    // crash it (r6's only red row) — lock the exploded scalar shape
+    val out = VectorOps.embedQuantize(spark, SparkSpec.sfDir)
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    out.schema.fields.foreach { f =>
+      assert(!f.dataType.isInstanceOf[ArrayType] &&
+             !f.dataType.isInstanceOf[MapType] &&
+             !f.dataType.isInstanceOf[StructType],
+        s"scored column ${f.name} must be scalar, got ${f.dataType}")
+    }
+    val nVecs = VectorOps.quantizedVecs(spark, SparkSpec.sfDir).count()
+    assert(out.count() == nVecs * 64)
+  }
+
   test("minhash pairs find planted near-duplicates") {
     val pairs = VectorOps.minhashPairs(corpusWithPlants, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -59,6 +74,28 @@ class VectorOpsSpec extends AnyFunSuite {
     }
     val exact = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 9001L)
     assert(exact.exists(_.getDouble(2) == 1.0))
+  }
+
+  test("LSH clusters: planted duplicate chain lands in ONE transitive cluster") {
+    // chain: 1 —(exact)— 9001 —(near)— 9003; plus the separate near
+    // pair 2 — 9002. Pairwise LSH edges must compose transitively.
+    val base = graft.io.Tables.t(spark, SparkSpec.sfDir, "documents")
+      .select($"doc_id", $"text")
+    val d1c = base.where($"doc_id" === 1).select(lit(9001L).as("doc_id"), $"text")
+    val d1n = base.where($"doc_id" === 1)
+      .select(lit(9003L).as("doc_id"), concat($"text", lit(" tailwordy")).as("text"))
+    val d2n = base.where($"doc_id" === 2)
+      .select(lit(9002L).as("doc_id"), concat($"text", lit(" extrawordx")).as("text"))
+    val corpus = base.unionByName(d1c).unionByName(d1n).unionByName(d2n)
+    val got = VectorOps.clustersFromMinhash(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(9001L) == ((1L, 3L)), s"exact copy: ${got(9001L)}")
+    assert(got(9003L) == ((1L, 3L)), s"chained near copy: ${got(9003L)}")
+    assert(got(1L) == ((1L, 3L)), s"chain root: ${got(1L)}")
+    assert(got(9002L)._1 == 2L, s"separate pair: ${got(9002L)}")
+    assert(got(2L) == got(9002L))
+    // untouched docs stay singletons labeled by themselves
+    assert(got(3L) == ((3L, 1L)))
   }
 
   test("simhash: identical docs hash identically, near-dups are close") {
