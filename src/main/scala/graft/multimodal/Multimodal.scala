@@ -130,13 +130,40 @@ object Multimodal extends QueryPack {
       .orderBy($"doc_id", $"win_no")
   }
 
+  /** Content-addressed dedup of binary media payloads — THE image/
+    * audio dedup pattern at 100 TB: no perceptual decode, just a
+    * digest of the raw bytes, group, keep the min id. Hashing runs on
+    * the PAYLOAD (header stripped: the fake header encodes doc_id, so
+    * byte-identical content still differs there — exactly like EXIF /
+    * container metadata on real media). Map-only digest + one
+    * pre-aggregated shuffle on the digest (one row per distinct
+    * payload crosses the wire, not one per copy); digests are
+    * uniform, so the shuffle is skew-free by construction. */
+  def multimodalHashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFrame(s, dir)
+      .withColumn("digest",
+        md5(expr("substring(media, 7, length(media) - 6)")))
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_hash_dedup" -> (multimodalHashDedup _),
     "multimodal_audio_window" -> (multimodalAudioWindow _),
     "multimodal_cols" -> (multimodalCols _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_framesample" -> (multimodalFramesample _))
 
   def oracle: Map[String, String] = Map(
+    // the stripped payload is exactly the utf-8 text bytes, so
+    // DuckDB's md5(text) hashes the identical byte stream
+    "multimodal_hash_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin,
     "multimodal_audio_window" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) AS n FROM documents

@@ -326,6 +326,32 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id", $"chunk_ix")
   }
 
+  /** Sequence packing — the step between chunking and batching in an
+    * LLM data pipeline: concatenate each source's docs in doc_id order
+    * and split the token stream into fixed 2048-token context windows.
+    * pack_id = floor(tokens_before / budget), pack_off = the doc's
+    * start offset inside its window — a pure prefix sum, so the pack
+    * assignment is a deterministic function of (source, doc_id order)
+    * and integer token counts (no float anywhere). Locally one window
+    * cumsum per source; at 100 TB the same prefix sum runs as the
+    * classic two-pass form (per-partition token subtotals — a
+    * model-sized table — broadcast back as partition base offsets), so
+    * nothing ever single-partitions. */
+  def textPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 2048
+    docs(s, dir)
+      .select($"doc_id", $"source",
+              size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(
+        sum($"n_tok").over(Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"source", $"n_tok",
+        expr(s"cum_before div $budget").as("pack_id"),
+        ($"cum_before" % budget).as("pack_off"))
+      .orderBy($"doc_id")
+  }
+
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = 1000000007L
@@ -399,27 +425,55 @@ object TextOps extends QueryPack {
                           maxPasses: Int = 15): DataFrame =
     graft.graph.Graph.connectedComponents(vertices, edges, maxPasses)
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** The verified duplicate-pair edge set both clusterers consume:
+    * exact-norm star edges (to the group min) ∪ n-gram-Jaccard ≥ 0.6
+    * near pairs. */
+  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir)
-    val exactE = d.withColumn("norm", normCol)
+    val exactE = docs(s, dir).withColumn("norm", normCol)
       .select($"doc_id", $"norm")
       .withColumn("m", min($"doc_id").over(Window.partitionBy($"norm")))
       .where($"doc_id" =!= $"m")
       .select($"m".as("a"), $"doc_id".as("b"))
     val nearE = dedupNgram(s, dir).where($"jaccard" >= 0.6)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
-    connectedComponents(d.select($"doc_id".as("v")),
-                        exactE.unionByName(nearE))
+    exactE.unionByName(nearE)
+  }
+
+  private def clusterShape(labeled: DataFrame): DataFrame = {
+    val s = labeled.sparkSession
+    import s.implicits._
+    labeled
       .withColumn("csize", count(lit(1)).over(Window.partitionBy($"lbl")))
       .select($"v".as("doc_id"), $"lbl".as("cluster_id"), $"csize")
       .orderBy($"doc_id")
+  }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clusterShape(connectedComponents(
+      docs(s, dir).select($"doc_id".as("v")), dupEdges(s, dir)))
+  }
+
+  /** Same dup graph, clustered by the O(log² n) large-star/small-star
+    * contraction instead of min-label propagation. Shares
+    * `dedup_clusters`' recursive-CTE oracle, so the differential
+    * proves star-contraction ≡ min-label ≡ transitive closure on the
+    * real corpus — not just on the PropertySpec toys. The variant to
+    * reach for when the dup graph's diameter is unknown (mirror
+    * chains, template cascades) rather than near-clique. */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clusterShape(graft.graph.Graph.connectedComponentsStar(
+      docs(s, dir).select($"doc_id".as("v")), dupEdges(s, dir)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub" -> (textScrub _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_star" -> (dedupClustersStar _),
+    "text_pack" -> (textPack _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_fuzzy" -> (dedupFuzzy _),
@@ -433,6 +487,50 @@ object TextOps extends QueryPack {
     "text_chunk" -> (textChunk _),
     "text_contamination" -> (textContamination _),
     "doc_fingerprint" -> (docFingerprint _))
+
+  /** Shared by dedup_clusters AND dedup_clusters_star: the recursive
+    * CTE states cluster = all docs reachable over dup edges, and both
+    * clusterers must converge to this same fixed point. */
+  private val clustersClosureSql =
+    s"""WITH RECURSIVE
+      |n AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      |  FROM documents),
+      |exact_e AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b FROM n a JOIN n b
+      |    ON a.norm = b.norm AND a.doc_id < b.doc_id),
+      |w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |ix AS (SELECT doc_id, source, w,
+      |         unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
+      |shc AS (SELECT s.doc_id, s.source, s.sh FROM sh s
+      |        JOIN df USING (source, sh) WHERE df <= $hotShingleCap),
+      |near_e AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |    FROM shc a JOIN shc b
+      |      ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) p
+      |  JOIN sz za ON p.doc_a = za.doc_id
+      |  JOIN sz zb ON p.doc_b = zb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.6),
+      |edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT a AS src, b AS dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a),
+      |lbl AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS csize
+      |FROM lbl ORDER BY doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // generate_series is inclusive-end in DuckDB too; both engines
@@ -510,47 +608,25 @@ object TextOps extends QueryPack {
     // (cluster = all docs reachable over dup edges); the Spark side
     // must converge its label propagation to the same fixed point.
     // Exact edges here are all same-norm pairs (a<b) — same components
-    // as the engine's star edges to the group min.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE
-        |n AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+    // as the engine's star edges to the group min. dedup_clusters_star
+    // shares the text: BOTH clusterers must land on this closure.
+    "dedup_clusters" -> clustersClosureSql,
+    "dedup_clusters_star" -> clustersClosureSql,
+    "text_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |  FROM documents),
-        |exact_e AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b FROM n a JOIN n b
-        |    ON a.norm = b.norm AND a.doc_id < b.doc_id),
-        |w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-        |ix AS (SELECT doc_id, source, w,
-        |         unnest(generate_series(1, len(w) - 2)) AS i FROM w),
-        |sh AS (SELECT DISTINCT doc_id, source,
-        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
-        |shc AS (SELECT s.doc_id, s.source, s.sh FROM sh s
-        |        JOIN df USING (source, sh) WHERE df <= $hotShingleCap),
-        |near_e AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |    FROM shc a JOIN shc b
-        |      ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
-        |    GROUP BY 1, 2) p
-        |  JOIN sz za ON p.doc_a = za.doc_id
-        |  JOIN sz zb ON p.doc_b = zb.doc_id
-        |  WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.6),
-        |edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
-        |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-        |reach(src, dst) AS (
-        |  SELECT a AS src, b AS dst FROM sym
-        |  UNION
-        |  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a),
-        |lbl AS (
-        |  SELECT d.doc_id,
-        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
-        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        |  GROUP BY d.doc_id)
-        |SELECT doc_id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS csize
-        |FROM lbl ORDER BY doc_id""".stripMargin,
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tok) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        |  FROM d)
+        |SELECT doc_id, source, n_tok,
+        |  cum_before // 2048 AS pack_id,
+        |  cum_before % 2048 AS pack_off
+        |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_fuzzy" ->
       """WITH n AS (
         |  SELECT doc_id, source,
