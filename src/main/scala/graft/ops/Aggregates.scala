@@ -458,6 +458,27 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** argmin/argmax aggregates (min_by/max_by): per market segment, the
+    * customer holding the extreme balance — "which row attains the
+    * aggregate" without a self-join back. One hash agg with map-side
+    * partials (the by-key is a monoid under max/min). Ties broken
+    * deterministically: the comparison key is the exact integer
+    * cents·10⁷ + custkey, unique per row, so both engines pick the
+    * same customer no matter the fold order (bare max_by on a tied
+    * balance is partition-order nondeterministic — the classic silent
+    * divergence). */
+  def aggArgminmax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = graft.util.Det.cents($"c_acctbal") * lit(10000000L) + $"c_custkey"
+    t(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(max_by($"c_custkey", key).as("richest_cust"),
+           round(max($"c_acctbal"), 2).as("max_bal"),
+           min_by($"c_custkey", key).as("poorest_cust"),
+           round(min($"c_acctbal"), 2).as("min_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Weighted Bernoulli document sampling — upweight long documents
     * into a training mix with per-row keep probability
     * p = min(1, n_chars/2000), decided by a DETERMINISTIC hash of the
@@ -538,6 +559,7 @@ object Aggregates extends QueryPack {
     "agg_retention" -> (aggRetention _),
     "sample_weighted" -> (sampleWeighted _),
     "agg_bool" -> (aggBool _),
+    "agg_argminmax" -> (aggArgminmax _),
     "agg_corr" -> (aggCorr _),
     "agg_timebucket" -> (aggTimebucket _),
     "agg_mode" -> (aggMode _),
@@ -588,6 +610,18 @@ object Aggregates extends QueryPack {
         |  count(*) AS n_ticks
         |FROM r GROUP BY sym, hour_us
         |ORDER BY sym, hour_us""".stripMargin,
+    "agg_argminmax" ->
+      """SELECT c_mktsegment,
+        |  arg_max(c_custkey,
+        |    CAST(round(c_acctbal*100) AS BIGINT)*10000000 + c_custkey)
+        |    AS richest_cust,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  arg_min(c_custkey,
+        |    CAST(round(c_acctbal*100) AS BIGINT)*10000000 + c_custkey)
+        |    AS poorest_cust,
+        |  round(min(c_acctbal), 2) AS min_bal
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "agg_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

@@ -284,7 +284,31 @@ object Windows extends QueryPack {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    * user (streaks) via the row_number-difference trick — day−rn is
+    * constant exactly within a consecutive run, so one window plus one
+    * grouped agg finds every island with no self-join and no
+    * iteration. All-integer (epoch days), so run boundaries are
+    * engine-exact. Shape at scale: distinct (user, day) first — the
+    * log shrinks to user-days before any window — then both the
+    * window and the agg key on user_id: one shuffle, reused. */
+  def winIslands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = t(s, dir, "events")
+      .select($"user_id",
+              expr("CAST(unix_date(to_date(ts)) AS BIGINT)").as("d"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy($"user_id").orderBy($"d"))
+    ud.withColumn("grp", $"d" - rn)
+      .groupBy($"user_id", $"grp")
+      .agg(min($"d").as("start_d"), max($"d").as("end_d"),
+           count(lit(1)).as("len"))
+      .select($"user_id", $"start_d", $"end_d", $"len")
+      .orderBy($"user_id", $"start_d")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_islands" -> (winIslands _),
     "win_nav" -> (winNav _),
     "win_scd2" -> (winScd2 _),
     "sessionize_batch" -> (sessionizeBatch _),
@@ -298,6 +322,17 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "win_islands" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY d) AS rn FROM ud)
+        |SELECT user_id, min(d) AS start_d, max(d) AS end_d,
+        |  count(*) AS len
+        |FROM r GROUP BY user_id, d - rn
+        |ORDER BY user_id, start_d""".stripMargin,
     "win_rolling_stats" ->
       """WITH e AS (
         |  SELECT event_type AS sym, event_id, epoch_us(ts) AS us,

@@ -315,6 +315,40 @@ object VectorOps extends QueryPack {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashOf(t(s, dir, "documents"))
 
+  /** SimHash PAIRING — the step `dedup_simhash` feeds: near-dup
+    * candidates are pairs within Hamming distance 3 of each other's
+    * 64-bit signature. Pigeonhole banding makes it an equi-join: split
+    * the signature into 4 disjoint 16-bit bands — ≤3 flipped bits
+    * cannot touch all 4 bands, so every qualifying pair shares at
+    * least one band verbatim. Candidates = join on (band_ix,
+    * band_val); verify = one codegen'd bit_count(xor) per candidate.
+    * The only shuffle keys on band value (near-uniform — SimHash bits
+    * are hash-mixed), and pair space scales with true collisions, not
+    * corpus². No oracle (xxhash64 signatures have no DuckDB twin);
+    * planted-dup recall + the Hamming bound in VectorOpsSpec. */
+  def simhashPairsOf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashOf(docs).select(col("doc_id"), col("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(simhash, b*16) & 65535)"
+      )).as(Seq("band_ix", "band_val")))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"), col("band_ix"), col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"), col("band_ix"), col("band_val"))
+    a.join(b, Seq("band_ix", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(t(s, dir, "documents"))
+
   /** Symmetric int8 quantization per embedding — the storage lever for
     * 100 TB vector tables: 4-byte floats become 1-byte codes plus one
     * double scale per row (≈4× smaller, dot products run on integers
@@ -360,7 +394,8 @@ object VectorOps extends QueryPack {
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_near" -> (dedupNear _),
     "dedup_clusters_lsh" -> (dedupClustersLsh _),
-    "dedup_simhash" -> (dedupSimhash _))
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _))
 
   def oracle: Map[String, String] = Map(
     "embed_quantize" ->

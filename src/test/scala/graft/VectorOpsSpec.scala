@@ -115,6 +115,27 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(hamming <= 16, s"near-dup hamming too large: $hamming")
   }
 
+  test("simhash banding finds EXACTLY the Hamming<=3 pairs (pigeonhole completeness)") {
+    // 4 disjoint 16-bit bands: <=3 flipped bits can't touch all 4, so
+    // banding is EXACT at this radius — the banded equi-join must
+    // equal brute force, not approximate it
+    val sigs = VectorOps.simhashOf(corpusWithPlants).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (i, si) <- sigs
+      (j, sj) <- sigs
+      if i < j
+      h = java.lang.Long.bitCount(si ^ sj)
+      if h <= 3
+    } yield (i, j, h)).toSet
+    val got = VectorOps.simhashPairsOf(corpusWithPlants)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect,
+      s"banded=${got.size} brute=${expect.size}; diff=${(got diff expect) ++ (expect diff got)}")
+    assert(got.exists { case (a, b, h) => a == 1L && b == 9001L && h == 0 },
+      s"planted exact copy missing: $got")
+  }
+
   test("LSH bucketing: identical vectors share a bucket (self-recall)") {
     val out = VectorOps.simSearchLsh(spark, SparkSpec.sfDir)
     // every query must at least appear (its own bucket is non-empty)
