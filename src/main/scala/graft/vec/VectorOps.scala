@@ -298,8 +298,11 @@ object VectorOps extends QueryPack {
 
   /** 64-bit SimHash per doc: weighted bit-majority over token hashes,
     * one fold per doc (no explode). No oracle; Hamming-neighbor
-    * detection on planted dups in tests. */
-  def simhashOf(docs: DataFrame): DataFrame =
+    * detection on planted dups in tests. The fold is the expensive
+    * part (tokens × 64 vote updates per doc), so `simhashSig` — the
+    * unsorted signature table the pairing join consumes — is what
+    * heavy consumers should reuse. */
+  private def simhashSig(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("votes", expr(
@@ -310,7 +313,9 @@ object VectorOps extends QueryPack {
       .withColumn("simhash", expr(
         "aggregate(zip_with(votes, sequence(0, 63), (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"))
       .select(col("doc_id"), col("simhash"), size(col("toks")).as("n_tok"))
-      .orderBy(col("doc_id"))
+
+  def simhashOf(docs: DataFrame): DataFrame =
+    simhashSig(docs).orderBy(col("doc_id"))
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashOf(t(s, dir, "documents"))
@@ -327,7 +332,11 @@ object VectorOps extends QueryPack {
     * corpus². No oracle (xxhash64 signatures have no DuckDB twin);
     * planted-dup recall + the Hamming bound in VectorOpsSpec. */
   def simhashPairsOf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashOf(docs).select(col("doc_id"), col("simhash"))
+    // the tokens×64 vote fold is ~all the query's cost, and the
+    // self-join would evaluate it once per side — LAZY checkpoint so
+    // both sides read one materialization (the dedupNgram pattern)
+    val sig = simhashSig(docs).select(col("doc_id"), col("simhash"))
+      .localCheckpoint(false)
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b*16) & 65535)"
