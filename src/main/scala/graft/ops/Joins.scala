@@ -146,6 +146,36 @@ object Joins extends QueryPack {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** Forward as-of join — the mirror of [[joinAsof]]: for each
+    * purchase, the EARLIEST click by the same user at-or-after it
+    * (attribution windows, "next action after X" lookups). Same
+    * union + window trick, flipped: first(ignoreNulls) over
+    * [current, unbounded following], with purchases sorted before
+    * same-timestamp clicks (kind desc) so an equal-ts click
+    * qualifies — mirroring the oracle's inclusive p.ts <= c.ts. One
+    * user-keyed shuffle, one sort, no join state. */
+  def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val clicks = e.where($"event_type" === "click")
+      .groupBy($"user_id", $"ts") // unique (user,ts) so tie-break is engine-independent
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts", lit(0).as("kind"),
+              lit(null).cast("long").as("p_id"), $"click_id")
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("kind"),
+              $"event_id".as("p_id"), lit(null).cast("long").as("click_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"kind".desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_click", first($"click_id", ignoreNulls = true).over(w))
+      .where($"kind" === 1)
+      .select($"user_id", $"p_id".as("purchase_id"), $"ts",
+              $"next_click".as("click_id"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** Range (band) self-join AT SCALE: pairs of events by the same user
     * within 5 minutes of each other. The naive formulation is a
     * non-equi join → BNLJ → quadratic; the scale-safe one quantizes
@@ -353,7 +383,8 @@ object Joins extends QueryPack {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_theta" -> (joinTheta _),
-    "join_asof" -> (joinAsof _))
+    "join_asof" -> (joinAsof _),
+    "join_asof_forward" -> (joinAsofForward _))
 
   def oracle: Map[String, String] = Map(
     // the bloom prefilter is semantics-preserving: the oracle is the
@@ -502,5 +533,15 @@ object Joins extends QueryPack {
         |SELECT p.user_id, p.event_id AS purchase_id, p.ts, c.click_id
         |FROM purchases p
         |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id AS purchase_id, p.ts, c.click_id
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.user_id, purchase_id""".stripMargin)
 }

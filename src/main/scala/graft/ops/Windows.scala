@@ -307,7 +307,30 @@ object Windows extends QueryPack {
       .orderBy($"user_id", $"start_d")
   }
 
+  /** Exact running median of each customer's order totals — an
+    * order-statistic over a growing frame, where mean-based rollups
+    * mislead on skewed spend. The percentile evaluates on exact
+    * integer CENTS and divides once at the end: the only non-integer
+    * op either engine performs is the midpoint (a+b)/2 on
+    * exactly-representable doubles, so Spark's percentile and
+    * DuckDB's quantile_cont land bit-equal. Frames are per-customer
+    * (10-15 rows) — the window never sees an unpartitioned sort, and
+    * the shuffle keys on o_custkey like every other per-customer op. */
+  def winRunningMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("pc", cents($"o_totalprice"))
+      .select($"o_custkey", $"o_orderkey",
+              ($"pc".cast("double") / 100).as("price"),
+              (expr("percentile(pc, 0.5)").over(w) / 100).as("run_median"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_running_median" -> (winRunningMedian _),
     "win_islands" -> (winIslands _),
     "win_nav" -> (winNav _),
     "win_scd2" -> (winScd2 _),
@@ -322,6 +345,18 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "win_running_median" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS pc
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(pc AS DOUBLE)/100 AS price,
+        |  quantile_cont(pc, 0.5) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100
+        |    AS run_median
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_islands" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id,
