@@ -97,6 +97,48 @@ object TextOps extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Containment dedup — quoted/embedded copies, not just near-twins:
+    * doc A is contained in doc B when EVERY rare shingle of A appears
+    * in B (quoted emails, boilerplate-wrapped reposts, excerpt pages).
+    * Jaccard misses these: a short doc quoted inside a long one has
+    * low union similarity but full containment. Condition inter =
+    * |A_capped| with |B_capped| > |A_capped| (proper containment —
+    * equal sets are exact-dup territory) over the same df-capped
+    * shingle join as [[dedupNgram]]; sizes here are CAPPED set sizes
+    * on both sides so the predicate is exact over what the join can
+    * see. Same scale shape: one shingle-keyed shuffle, skew bounded
+    * by the cap, lazy-checkpointed so the self-join sides share one
+    * materialization. */
+  def containedPairs(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val sh = d
+      .withColumn("w", split($"text", " "))
+      .select($"doc_id", $"source",
+        explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+        )).as("sh"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"sh")))
+      .where($"df" <= hotShingleCap)
+      .withColumn("szc", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .localCheckpoint(false)
+    val a = sh.select($"doc_id".as("id_a"), $"source".as("src_a"),
+                      $"sh", $"szc".as("sz_a"))
+    val b = sh.select($"doc_id".as("id_b"), $"source".as("src_b"),
+                      $"sh", $"szc".as("sz_b"))
+    a.join(b, a("sh") === b("sh") && $"src_a" === $"src_b" && $"id_a" =!= $"id_b")
+      .groupBy($"id_a", $"id_b", $"sz_a", $"sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .where($"inter" === $"sz_a" && $"sz_b" > $"sz_a" && $"sz_a" >= 3)
+      .select($"id_a".as("contained_id"), $"id_b".as("container_id"),
+              $"sz_a".as("n_shingles"), $"sz_b".as("container_sz"))
+      .orderBy($"contained_id", $"container_id")
+  }
+
+  def dedupContained(s: SparkSession, dir: String): DataFrame =
+    containedPairs(docs(s, dir))
+
   /** Benchmark decontamination — the third job the shingle machinery
     * pays for (after near-dup pairs and survivor carving): flag
     * TRAINING docs that share ≥3 rare word-3-grams with any doc of a
@@ -476,6 +518,7 @@ object TextOps extends QueryPack {
     "text_pack" -> (textPack _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_contained" -> (dedupContained _),
     "dedup_fuzzy" -> (dedupFuzzy _),
     "text_hot_tokens" -> (textHotTokens _),
     "text_cms_tokens" -> (textCmsTokens _),
@@ -627,6 +670,26 @@ object TextOps extends QueryPack {
         |  cum_before // 2048 AS pack_id,
         |  cum_before % 2048 AS pack_off
         |FROM c ORDER BY doc_id""".stripMargin,
+    "dedup_contained" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, source, w,
+        |         unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
+        |df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
+        |shc AS (SELECT s.doc_id, s.source, s.sh FROM sh s
+        |        JOIN df USING (source, sh) WHERE df <= $hotShingleCap),
+        |szc AS (SELECT doc_id, count(*) AS szc FROM shc GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM shc a JOIN shc b
+        |        ON a.sh = b.sh AND a.source = b.source AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a AS contained_id, id_b AS container_id,
+        |       za.szc AS n_shingles, zb.szc AS container_sz
+        |FROM p JOIN szc za ON id_a = za.doc_id
+        |       JOIN szc zb ON id_b = zb.doc_id
+        |WHERE inter = za.szc AND zb.szc > za.szc AND za.szc >= 3
+        |ORDER BY contained_id, container_id""".stripMargin,
     "dedup_fuzzy" ->
       """WITH n AS (
         |  SELECT doc_id, source,

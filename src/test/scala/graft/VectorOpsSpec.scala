@@ -115,6 +115,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(hamming <= 16, s"near-dup hamming too large: $hamming")
   }
 
+  test("containment dedup flags a planted quoted excerpt (low Jaccard, full containment)") {
+    import graft.text.TextOps
+    // 9005 = the middle third of doc 5's text: every shingle of the
+    // excerpt appears in the original, but the union-based Jaccard is
+    // far below any near-dup threshold — only containment catches it
+    val base = graft.io.Tables.t(spark, SparkSpec.sfDir, "documents")
+      .select($"doc_id", $"source", $"text")
+    val excerpt = base.where($"doc_id" === 5)
+      .select(lit(9005L).as("doc_id"), $"source",
+        expr("concat_ws(' ', slice(split(text, ' '), CAST(size(split(text,' '))/3 AS INT), CAST(size(split(text,' '))/3 AS INT)))").as("text"))
+    val corpus = base.unionByName(excerpt)
+    val pairs = TextOps.containedPairs(corpus)
+      .select($"contained_id", $"container_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((9005L, 5L)), s"planted excerpt not flagged: $pairs")
+  }
+
   test("simhash banding finds EXACTLY the Hamming<=3 pairs (pigeonhole completeness)") {
     // 4 disjoint 16-bit bands: <=3 flipped bits can't touch all 4, so
     // banding is EXACT at this radius — the banded equi-join must
