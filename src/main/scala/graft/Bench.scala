@@ -49,7 +49,8 @@ object Bench {
     // costs carry ±30% noise unrelated to the plan).
     def head(qs: String, omitted: Int, errs: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""streaming_policy":"readStream: min of 2 drains, 2nd excluded","queries":$qs,""" +
+      s""""streaming_policy":"readStream: min of 2 drains, 2nd excluded",""" +
+      s""""heavy_policy":"dedup_/graph_ batch tail: min of 2 runs, 2nd excluded","queries":$qs,""" +
       s""""queries_omitted":$omitted,"full":"$fullPath","errors":$errs,"n_err":$nErr,"sf":"$sfDir"}"""
     val full = head(results.sortBy(_._1).map(entry).mkString("{", ",", "}"), 0, errJson(Int.MaxValue))
     // stdout: slowest-first, greedily packed under the budget; the fast
@@ -93,9 +94,16 @@ object Bench {
       // (checkpoint dir, state-store instances, micro-batch spin-up)
       // that dominate at bench scale and carry ±30% run-to-run noise;
       // report the min of two drains so the number reflects the plan,
-      // not the scheduler's mood
+      // not the scheduler's mood. The dedup_/graph_ heavy batch tail
+      // gets the same min-of-2 (round-6 verdict protocol item): host
+      // contention lands hardest on the longest-running queries, and
+      // a flat contention multiplier on a 5 s CC loop has repeatedly
+      // read as a plan regression. Both runs' wall-clock is spent;
+      // only the faster is billed — declared in-band (heavy_policy).
+      val minOf2 = streaming(name) ||
+        name.startsWith("dedup_") || name.startsWith("graph_")
       val (t, err) =
-        if (e1.isEmpty && streaming(name)) { val (t2, e2) = once(); (math.min(t1, t2), e2.orElse(e1)) }
+        if (e1.isEmpty && minOf2) { val (t2, e2) = once(); (math.min(t1, t2), e2.orElse(e1)) }
         else (t1, e1)
       (name, t, err)
     }

@@ -394,8 +394,40 @@ object VectorOps extends QueryPack {
       .orderBy($"vec_id", $"pos")
   }
 
+  /** Retrieval over the int8-QUANTIZED table — what a 100 TB vector
+    * store actually serves from: scoring runs on 1-byte codes (4×
+    * less scan I/O than float32) as a pure integer dot product per
+    * pair, with the two per-row scales applied in ONE deferred double
+    * multiply. The integer fold is exact and order-free, so the only
+    * doubles are a deterministic 3-term product per pair — the oracle
+    * reproduces the identical int8 codes (embed_quantize's math) and
+    * hash-matches the ranking bit-for-bit. Top-k via the BoundedTopK
+    * heap (map-side reduction, ties to the smaller id — mirrored by
+    * the oracle's vec_id ASC), query side broadcast: the quantized
+    * corpus never shuffles. VectorOpsSpec bounds the quantized
+    * ranking's recall against exact float search. */
+  def simSearchQuant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = quantizedVecs(s, dir).select($"vec_id", $"qvec", $"scale")
+    val q = qv.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"qvec".as("q_qvec"),
+              $"scale".as("q_scale"))
+    qv.crossJoin(broadcast(q))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("dot_i", expr(
+        "aggregate(zip_with(qvec, q_qvec, (x, y) -> CAST(x AS BIGINT) * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("score", $"dot_i".cast("double") * $"scale" * $"q_scale")
+      .groupBy($"q_id")
+      .agg(graft.functions.BoundedTopK.boundedTopK($"score", $"vec_id", 10).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.id".as("vec_id"),
+        round($"col.ord", 6).as("score"), ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"q_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_quantize" -> (embedQuantize _),
+    "sim_search_quant" -> (simSearchQuant _),
     "sim_search" -> (simSearch _),
     "sim_search_lsh" -> (simSearchLsh _),
     "sim_search_ivf" -> (simSearchIvf _),
@@ -422,6 +454,31 @@ object VectorOps extends QueryPack {
         |      x -> abs(CAST(x AS DOUBLE)))) AS mx
         |  FROM embeddings)
         |ORDER BY vec_id, pos""".stripMargin,
+    "sim_search_quant" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(emb, x -> 0)
+        |         ELSE list_transform(emb,
+        |                x -> CAST(round(x / mx * 127) AS INTEGER)) END AS qvec,
+        |    mx / 127 AS scale
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |          list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |q AS (SELECT vec_id AS q_id, qvec AS q_qvec, scale AS q_scale
+        |      FROM qz WHERE vec_id < 5),
+        |c AS (SELECT q_id, vec_id,
+        |        CAST(list_sum(list_transform(range(1, len(qvec)+1),
+        |          i -> CAST(qvec[i] AS BIGINT) * q_qvec[i])) AS DOUBLE)
+        |          * scale * q_scale AS score
+        |      FROM qz CROSS JOIN q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, score,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rk
+        |      FROM c)
+        |SELECT q_id, vec_id, round(score, 6) AS score, rk FROM r
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
     "sim_search" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         |c AS (

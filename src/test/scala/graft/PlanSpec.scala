@@ -122,6 +122,7 @@ class PlanSpec extends AnyFunSuite {
       "pipeline_mix",      // crossJoin of the 1-row min-count aggregate
       "graph_triangles",   // crossJoin of three 1-row count aggregates
       "sim_search",        // broadcast 5-row query set × corpus (by design)
+      "sim_search_quant",  // same broadcast query-set shape, int8 codes
       "sim_search_ivf",    // broadcast 16-row centroid table for assign
       "text_cms_tokens",   // broadcast model-sized per-source sketches
       "text_tfidf")        // crossJoin of the 1-row corpus doc count

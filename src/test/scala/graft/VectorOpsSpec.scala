@@ -57,6 +57,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out.count() == nVecs * 64)
   }
 
+  test("quantized search recalls most of the exact float top-10") {
+    // int8 max-abs quantization perturbs cosines slightly; the ranking
+    // must still substantially agree with exact float search (the
+    // 4×-cheaper scan is only useful if it finds the same neighbors)
+    val exact = VectorOps.simSearch(spark, SparkSpec.sfDir)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = VectorOps.simSearchQuant(spark, SparkSpec.sfDir)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (q, s) =>
+      quant(q).intersect(s).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean quantized recall $mean below floor")
+  }
+
   test("minhash pairs find planted near-duplicates") {
     val pairs = VectorOps.minhashPairs(corpusWithPlants, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
