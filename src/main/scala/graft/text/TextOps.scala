@@ -153,6 +153,8 @@ object TextOps extends QueryPack {
   def textContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val evalSrc = "src0"
+    // train and eval sides both derive from this subtree — lazy
+    // checkpoint so explode+distinct runs once, not once per side
     val sh = docs(s, dir)
       .withColumn("w", split($"text", " "))
       .select($"doc_id", $"source",
@@ -160,6 +162,7 @@ object TextOps extends QueryPack {
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
         )).as("sh"))
       .distinct()
+      .localCheckpoint(false)
     val trainSh = sh.where($"source" =!= evalSrc)
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
       .where($"df" <= hotShingleCap)

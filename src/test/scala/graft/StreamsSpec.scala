@@ -188,6 +188,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 15L, 2L -> 20L, 3L -> 7L), s"got $got")
   }
 
+  test("stream_upsert's final state is micro-batch-boundary invariant (4-batch drain)") {
+    import spark.implicits._
+    // the oracle claim: the upserted warehouse equals batch GROUP BY
+    // under ANY micro-batch split. The scored query drains the single
+    // fixture file in one batch; this forces FOUR batches
+    // (maxFilesPerTrigger=1 over a 4-file copy) and demands the same
+    // final state.
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_mb").toString
+    val (src, path, ckpt) = (s"$root/src", s"$root/table", s"$root/ckpt")
+    val ev = graft.io.Tables.t(spark, SparkSpec.sfDir, "events")
+      .select($"user_id", round($"value" * 100).cast("long").as("cents"))
+    ev.repartition(4).write.parquet(src)
+    val agg = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+      .select($"user_id", $"n",
+              ($"cents_sum".cast("double") / 100).as("val_sum"))
+    Streams.upsertForeachBatch(agg, "user_id", path, ckpt)
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+           (sum($"cents").cast("double") / 100).as("v"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want, s"multi-batch upsert diverged from batch GROUP BY")
+  }
+
   /** Pins the append-mode eviction predicate for session windows:
     * Spark emits a session when `session.end <= watermark` (boundary
     * INCLUSIVE) — the stream_session_rs oracle's HAVING mirrors this
