@@ -127,6 +127,46 @@ object Ingest extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** Partition backfill via DYNAMIC partition overwrite — the
+    * correction pattern every warehouse runs when late data lands: a
+    * stale daily rollup (built from a half-ingested world) is healed
+    * by overwriting ONLY the partitions from the cutoff day onward;
+    * the write replaces exactly the partitions it produces and never
+    * touches (or lists) the rest of the table. At 100 TB this is the
+    * difference between rewriting 15 directories and rewriting the
+    * table: backfill cost scales with the DIRTY date range, not
+    * history. The read-back proves the heal: days ≥ cutoff match the
+    * full rollup, days before remain stale — which is exactly what
+    * the oracle states with the same cutoff and the same even-id
+    * staleness predicate. */
+  def ingestBackfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(dir, "backfill_daily")
+    val cutoff = "2024-01-16"
+    def rollup(src: DataFrame): DataFrame = src
+      .groupBy(expr("to_date(ts)").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(round($"value" * 100).cast("long")).as("cents"))
+    val ev = Tables.t(s, dir, "events")
+    // 1. stale world: only even event ids have arrived
+    rollup(ev.where(pmod($"event_id", lit(2)) === 0))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    // 2. late data lands for the tail of the range: recompute ONLY
+    //    days >= cutoff and dynamic-overwrite those partitions
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rollup(ev).where($"day" >= lit(cutoff).cast("date"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(path)
+      .select($"day", $"event_type", $"n",
+              ($"cents".cast("double") / 100).as("val_sum"))
+      .orderBy($"day", $"event_type")
+  }
+
   /** Bucketed tables: write orders and lineitem bucketed (and sorted)
     * by order key into the session warehouse, then join them
     * WITHOUT ANY EXCHANGE — both sides' bucketed layout satisfies the
@@ -353,6 +393,7 @@ object Ingest extends QueryPack {
     "ingest_orc" -> (ingestOrc _),
     "ingest_partitioned" -> (ingestPartitioned _),
     "ingest_compact" -> (ingestCompact _),
+    "ingest_backfill" -> (ingestBackfill _),
     "ingest_bucketed" -> (ingestBucketed _))
 
   // Oracles run on the ORIGINAL parquet tables: a hash match proves the
@@ -403,6 +444,22 @@ object Ingest extends QueryPack {
         |  ${sqlSumMoney("value")} AS val_sum,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the healed table: stale (even-id) rollup before the cutoff,
+    // full rollup from it onward — precisely what dynamic partition
+    // overwrite must leave behind
+    "ingest_backfill" ->
+      """WITH stale AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS val_sum
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY day, event_type),
+        |healed AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS val_sum
+        |  FROM events GROUP BY day, event_type)
+        |SELECT * FROM stale WHERE day < DATE '2024-01-16'
+        |UNION ALL
+        |SELECT * FROM healed WHERE day >= DATE '2024-01-16'
+        |ORDER BY day, event_type""".stripMargin,
     "ingest_bucketed" ->
       s"""SELECT o_orderstatus, count(*) AS n,
         |  ${sqlSumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue
