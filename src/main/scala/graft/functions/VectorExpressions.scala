@@ -112,6 +112,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** int_dot(a, b) = Σ (long) a_i * b_i over array<int> — the scoring
+  * kernel for the int8-quantized vector table (sim_search_quant).
+  * Integer math is exact and order-free, so this is bit-identical to
+  * the HOF `aggregate(zip_with(...))` it replaces — but the HOF runs
+  * interpreted with per-element boxing, while this stays a primitive
+  * loop inside whole-stage codegen. 64-dim int8 codes bound |Σ| by
+  * 64·127² ≈ 10⁶, so a long accumulator can never overflow even at
+  * 4096 dims of full-range int32. */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int_dot expects array<int> arguments, got " +
+        Seq(left, right).map(_.dataType.simpleString).mkString(", "))
+  }
+  override def prettyName: String = "int_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (long) $a.getInt($i) * $b.getInt($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** l2_norm(a) = sqrt(Σ a_i²). */
 case class L2Norm(child: Expression) extends UnaryExpression {
   import VecExpr._
@@ -236,6 +301,8 @@ object VecFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(e(a), e(b)))
+  def intDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntDotProduct(e(a), e(b)))
   def l2Norm(a: Column): Column =
     GraftColumnBridge.column(L2Norm(e(a)))
   def cosineSim(a: Column, b: Column): Column =

@@ -414,8 +414,11 @@ object VectorOps extends QueryPack {
               $"scale".as("q_scale"))
     qv.crossJoin(broadcast(q))
       .where($"vec_id" =!= $"q_id")
-      .withColumn("dot_i", expr(
-        "aggregate(zip_with(qvec, q_qvec, (x, y) -> CAST(x AS BIGINT) * y), 0L, (acc, v) -> acc + v)"))
+      // native codegen'd integer dot (graft.functions.IntDotProduct) —
+      // exact, so bit-identical to the HOF zip_with fold, minus the
+      // per-element interpretation and boxing
+      .withColumn("dot_i",
+        graft.functions.VecFunctions.intDot($"qvec", $"q_qvec"))
       .withColumn("score", $"dot_i".cast("double") * $"scale" * $"q_scale")
       .groupBy($"q_id")
       .agg(graft.functions.BoundedTopK.boundedTopK($"score", $"vec_id", 10).as("top"))

@@ -29,6 +29,26 @@ class VectorExprSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("int_dot equals the HOF integer fold and handles null/mismatch") {
+    import graft.functions.VecFunctions.intDot
+    val ip = Seq(
+      (Seq(1, 2, 3), Seq(4, 5, 6)),
+      (Seq(-127, 127, 0), Seq(127, -127, 64)),
+      (Seq(Int.MaxValue, 1), Seq(2, 1))   // per-term long widening
+    ).toDF("a", "b")
+    val rows = ip.select(intDot($"a", $"b").as("native"), expr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS BIGINT) * y), 0L, (acc, v) -> acc + v)").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // length mismatch and null array => null
+    val edge = Seq((Seq(1, 2), Seq(1, 2, 3))).toDF("a", "b")
+      .select(intDot($"a", $"b")).collect()
+    assert(edge.head.isNullAt(0))
+    val nullArr = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<INT>) AS a, array(1, 2) AS b")
+    assert(nullArr.select(intDot(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("l2_norm and cosine_sim match HOF formulation bitwise") {
     val rows = pairs
       .select(l2Norm($"a").as("nn"), hofNorm("a").as("hn"),
@@ -92,5 +112,8 @@ class VectorExprSpec extends AnyFunSuite {
     val expect = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
     assert(c == expect)
     assert(graft.functions.L2Norm(a).eval(null) == math.sqrt(14.0))
+    val ia = Literal.create(Array(1, 2, 3))
+    val ib = Literal.create(Array(4, 5, 6))
+    assert(graft.functions.IntDotProduct(ia, ib).eval(null) == 32L)
   }
 }
