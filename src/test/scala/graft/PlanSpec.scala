@@ -49,7 +49,8 @@ class PlanSpec extends AnyFunSuite {
   // both reformulated onto BoundedTopK in round 6: the scored product /
   // group rows must reduce map-side, never sort under a window
   test("sim_search and sample_group_k select top-k via the heap aggregate, not a window") {
-    Seq("sim_search", "sim_search_lsh", "sample_group_k").foreach { name =>
+    Seq("sim_search", "sim_search_lsh", "sim_search_quant",
+        "sample_group_k").foreach { name =>
       val p = plan(name)
       assert(p.contains("ObjectHashAggregate"), s"$name:\n" + p.take(800))
       assert(!p.contains("Window"), s"$name fell back to a window sort:\n" + p.take(800))
