@@ -117,9 +117,13 @@ case class DotProduct(left: Expression, right: Expression)
   * Integer math is exact and order-free, so this is bit-identical to
   * the HOF `aggregate(zip_with(...))` it replaces — but the HOF runs
   * interpreted with per-element boxing, while this stays a primitive
-  * loop inside whole-stage codegen. 64-dim int8 codes bound |Σ| by
-  * 64·127² ≈ 10⁶, so a long accumulator can never overflow even at
-  * 4096 dims of full-range int32. */
+  * loop inside whole-stage codegen. Overflow envelope: each product is
+  * at most 2⁶² in magnitude, so the long accumulator is EXACT for
+  * |a_i|,|b_i| ≤ 2³¹⁻ᵏ/√d... concretely, safe whenever
+  * d · max|a_i| · max|b_i| < 2⁶³ — int8 codes (|x| ≤ 127) are exact to
+  * d ≈ 5.7e14, and |x| ≤ 2¹⁵ is exact to d = 4096. Full-range int32
+  * inputs can WRAP (one product alone reaches ~4.6e18); don't use
+  * int_dot for those without a wider accumulator. */
 case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -97,6 +97,25 @@ object Streams extends QueryPack {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Creates a temp directory and registers it for RECURSIVE deletion
+    * at JVM exit. Streaming queries that stage on-disk state (the
+    * upsert warehouse + its checkpoint) return DataFrames that read
+    * the staged files lazily, so the earliest safe delete point is
+    * shutdown — but "never" (the pre-r8 behavior) leaked a full table
+    * copy per invocation under the bench's min-of-2 policy. */
+  private def tempRootDeletedOnExit(prefix: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles()
+        if (kids != null) kids.foreach(rm)
+        p.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root.toString
+  }
+
   private def drain(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val q = df.writeStream.format("memory").queryName(name)
@@ -159,8 +178,12 @@ object Streams extends QueryPack {
   def streamUpsert(s: SparkSession, dir: String): DataFrame =
     graft.config.Sessions.withShufflePartitionsCap(s, 4) {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_stream_upsert").toString
+      // the returned DataFrame reads `path` lazily for the rest of the
+      // session, so the temp table can't be deleted inline — register
+      // the root for recursive removal at JVM exit instead (round-7
+      // advice: min-of-2 bench drains were leaking two table+checkpoint
+      // copies per pass with no cleanup at all)
+      val root = tempRootDeletedOnExit("graft_stream_upsert")
       val (path, ckpt) = (s"$root/table", s"$root/ckpt")
       val agg = eventStream(s, dir)
         .select($"user_id", round($"value" * 100).cast("long").as("cents"))

@@ -43,9 +43,16 @@ object Det {
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
 
   /** SQL-side mirrors (DuckDB dialect), kept next to the Scala forms so
-    * the two can be reviewed for equivalence in one place. */
+    * the two can be reviewed for equivalence in one place. The inner
+    * reduction is written `((x % m) + m) % m` because DuckDB's `%`
+    * follows the dividend's sign while Spark's `pmod` is always
+    * non-negative — without the `+ m` re-fold a NEGATIVE id would hash
+    * differently in the two engines (round-7 advice). The re-fold stays
+    * in range (max intermediate (2³¹−1)+2³¹ < 2³²) and is an identity
+    * for id ≥ 0; the outer `%` sees a non-negative dividend, where `%`
+    * and pmod already agree. */
   def sqlKnuthHash(id: String): String =
-    s"((($id) % 2147483648) * 2654435761) % 4294967296"
+    s"((((($id) % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296"
 
   def sqlCents(x: String): String = s"CAST(round(($x)*100) AS BIGINT)"
   def sqlSumMoney(x: String): String =
