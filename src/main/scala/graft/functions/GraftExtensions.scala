@@ -88,6 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_freq", "topk_freq(expr, k) - Misra-Gries heavy hitters per group"),
       (args: Seq[Expression]) => TopKFreq(args(0), literalK(args(1)))))
     ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - generator: sliding word n-grams over a space tokenization"),
+      (args: Seq[Expression]) =>
+        WordNGrams(args(0), literalK(args(1), "word_ngrams"))))
+    ext.injectFunction((
       FunctionIdentifier("bounded_topk"),
       info("bounded_topk", "bounded_topk(ord, id, k) - exact top-k (ord DESC, id ASC) per group in O(k) state"),
       (args: Seq[Expression]) =>

@@ -74,11 +74,15 @@ object TextOps extends QueryPack {
     // trade, and strictly smaller than recomputing two window passes
     // over it per consumer.
     val sh = docs(s, dir)
-      .withColumn("w", split($"text", " "))
+      // native word_ngrams Generator (graft.functions.WordNGrams): one
+      // Generate node straight off the text column — replaces the
+      // split→sequence→transform→explode chain, which materialized the
+      // words array AND the grams array per row before exploding, and
+      // which ERRORED under ANSI on sub-3-word docs. Identical output
+      // on the >= 3-word domain (differential in WordNGramsSpec); the
+      // DuckDB oracles still spell the HOF form.
       .select($"doc_id", $"source",
-        explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-        )).as("sh"))
+        graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))
       .distinct()
       .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"sh")))
@@ -113,11 +117,14 @@ object TextOps extends QueryPack {
     val s = d.sparkSession
     import s.implicits._
     val sh = d
-      .withColumn("w", split($"text", " "))
+      // native word_ngrams Generator (graft.functions.WordNGrams): one
+      // Generate node straight off the text column — replaces the
+      // split→sequence→transform→explode chain, which materialized the
+      // words array AND the grams array per row before exploding.
+      // Bit-identical semantics (incl. the <3-word degenerate case);
+      // the DuckDB oracles still spell the HOF form.
       .select($"doc_id", $"source",
-        explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-        )).as("sh"))
+        graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))
       .distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"sh")))
       .where($"df" <= hotShingleCap)
@@ -156,11 +163,14 @@ object TextOps extends QueryPack {
     // train and eval sides both derive from this subtree — lazy
     // checkpoint so explode+distinct runs once, not once per side
     val sh = docs(s, dir)
-      .withColumn("w", split($"text", " "))
+      // native word_ngrams Generator (graft.functions.WordNGrams): one
+      // Generate node straight off the text column — replaces the
+      // split→sequence→transform→explode chain, which materialized the
+      // words array AND the grams array per row before exploding.
+      // Bit-identical semantics (incl. the <3-word degenerate case);
+      // the DuckDB oracles still spell the HOF form.
       .select($"doc_id", $"source",
-        explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-        )).as("sh"))
+        graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))
       .distinct()
       .localCheckpoint(false)
     val trainSh = sh.where($"source" =!= evalSrc)
