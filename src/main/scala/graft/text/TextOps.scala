@@ -523,6 +523,49 @@ object TextOps extends QueryPack {
       docs(s, dir).select($"doc_id".as("v")), dupEdges(s, dir)))
   }
 
+  /** Chunk-level dedup — the CCNet/RefinedWeb-style verdict real LLM
+    * pipelines use where whole-doc hashing is too blunt: documents
+    * share PASSAGES (syndicated paragraphs, quoted sections, template
+    * bodies) without being near-twins, so the unit of comparison is
+    * the chunk, and the doc-level signal is the FRACTION of its
+    * chunks seen elsewhere. Reuses [[textChunk]]'s exact windows
+    * (width 200 / stride 150); a chunk is "dup" when its fingerprint
+    * (md5 of the window) appears in more than one distinct doc; a doc
+    * is flagged when ≥ half its chunks are dup. Scale shape: one
+    * shuffle keyed on fingerprint for the doc-frequency count, then
+    * the chunk table re-joins that model-sized side on the same key —
+    * co-partitioned, no second wide shuffle; nothing is quadratic
+    * because no chunk-pair is ever materialized. The MinHash
+    * per-chunk variant (near-dup chunks, not exact) composes from
+    * [[graft.vec.VectorOps.minhashPairs]] over this same chunk table;
+    * the exact form is the one with a DuckDB oracle.
+    */
+  def chunkDupStats(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val width = 200
+    val stride = 150
+    val ch = d
+      .select($"doc_id", $"text", length($"text").as("len"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest($"len" - 1, lit(0)), lit(stride))))
+      .select($"doc_id",
+        md5(expr(s"substring(text, start + 1, $width)")).as("fp"))
+    val fpDocs = ch.groupBy($"fp")
+      .agg(countDistinct($"doc_id").as("nd"))
+    ch.join(fpDocs, Seq("fp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        round($"n_dup_chunks".cast("double") / $"n_chunks", 6).as("dup_frac"),
+        ($"n_dup_chunks" * 2 >= $"n_chunks").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  def dedupChunks(s: SparkSession, dir: String): DataFrame =
+    chunkDupStats(docs(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub" -> (textScrub _),
     "dedup_survivors" -> (dedupSurvivors _),
@@ -541,6 +584,7 @@ object TextOps extends QueryPack {
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "text_chunk" -> (textChunk _),
+    "dedup_chunks" -> (dedupChunks _),
     "text_contamination" -> (textContamination _),
     "doc_fingerprint" -> (docFingerprint _))
 
@@ -591,6 +635,20 @@ object TextOps extends QueryPack {
   def oracle: Map[String, String] = Map(
     // generate_series is inclusive-end in DuckDB too; both engines
     // substring 1-based over all-ASCII fixture text
+    "dedup_chunks" ->
+      """WITH ch AS (
+        |  SELECT doc_id, md5(substring(text, s + 1, 200)) AS fp
+        |  FROM documents,
+        |    unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS u(s)),
+        |fpd AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp),
+        |per AS (SELECT c.doc_id, count(*) AS n_chunks,
+        |          CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_dup_chunks
+        |        FROM ch c JOIN fpd f USING (fp) GROUP BY c.doc_id)
+        |SELECT doc_id, n_chunks, n_dup_chunks,
+        |  round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_frac,
+        |  n_dup_chunks * 2 >= n_chunks AS is_dup
+        |FROM per ORDER BY doc_id""".stripMargin,
     "text_chunk" ->
       """SELECT doc_id, s // 150 AS chunk_ix,
         |  substring(text, s + 1, 200) AS chunk,

@@ -428,12 +428,82 @@ object VectorOps extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Two-stage ANN — the production retrieval shape: a CHEAP coarse
+    * stage casts a wide net, an EXACT stage re-ranks only the
+    * shortlist. Stage 1 probes twice as many IVF cells as
+    * [[simSearchIvf]] (nprobe 4 vs 2 — affordable because scoring
+    * runs on int8 codes via the codegen'd IntDotProduct kernel, 4×
+    * less scan I/O than float) and keeps a 50-candidate shortlist per
+    * query through the BoundedTopK heap. Stage 2 fetches the float
+    * vectors for those ≤ 50·|Q| candidates — a broadcast semi-join
+    * against the corpus, so the corpus never shuffles (on a bucketed
+    * 100 TB table the fetch also prunes files) — and re-scores them
+    * exactly, final top-10 through the same heap. Quantization error
+    * can only demote a true neighbor if it falls off a 50-deep
+    * shortlist after surviving a 4-cell probe, so recall dominates
+    * the raw IVF path's (bounded in VectorOpsSpec); the exact
+    * re-score means reported cosines carry NO quantization error at
+    * all. No oracle (k-means cells); cos parity + recall floor in
+    * VectorOpsSpec.
+    */
+  def simSearchRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kCent = 16; val nprobe = 4; val shortlist = 50
+    val e = emb(s, dir)
+    val cent = kmeansCentroids(e, kCent, iters = 2)
+    // corpus → cell, plus int8 codes derived map-side (on a real
+    // vector store these are precomputed columns, not a join)
+    val corpus = assignCells(e, cent)
+      .withColumn("mx", array_max(transform($"emb", x => abs(x))))
+      .withColumn("qvec",
+        when($"mx" === 0.0, transform($"emb", _ => lit(0)))
+          .otherwise(transform($"emb",
+            x => round(x / $"mx" * 127).cast("int"))))
+      .withColumn("scale", $"mx" / 127)
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+      .withColumn("q_mx", array_max(transform($"q_emb", x => abs(x))))
+      .withColumn("q_qvec",
+        when($"q_mx" === 0.0, transform($"q_emb", _ => lit(0)))
+          .otherwise(transform($"q_emb",
+            x => round(x / $"q_mx" * 127).cast("int"))))
+      .withColumn("q_scale", $"q_mx" / 127)
+    val wProbe = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"cent_id".asc)
+    val qCells = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos", dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where($"rn" <= nprobe)
+      .select($"q_id", $"q_qvec", $"q_scale", $"cent_id".as("cell"))
+    // stage 1: int8 scoring over the probed cells → 50-deep shortlist
+    val cand = corpus.join(broadcast(qCells), Seq("cell"))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("score_q",
+        graft.functions.VecFunctions.intDot($"qvec", $"q_qvec")
+          .cast("double") * $"scale" * $"q_scale")
+      .groupBy($"q_id")
+      .agg(graft.functions.BoundedTopK
+        .boundedTopK($"score_q", $"vec_id", shortlist).as("top"))
+      .select($"q_id", explode($"top.id").as("vec_id"))
+    // stage 2: fetch float vectors for the shortlist only (broadcast
+    // fetch join — the corpus side never shuffles) and re-rank EXACTLY
+    val qExact = q.select($"q_id", $"q_emb", $"q_nrm")
+    e.join(broadcast(cand.join(qExact, Seq("q_id"))), Seq("vec_id"))
+      .withColumn("cos", dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm"))
+      .groupBy($"q_id")
+      .agg(graft.functions.BoundedTopK.boundedTopK($"cos", $"vec_id", 10).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.id".as("vec_id"),
+        round($"col.ord", 6).as("cos"), ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"q_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_quantize" -> (embedQuantize _),
     "sim_search_quant" -> (simSearchQuant _),
     "sim_search" -> (simSearch _),
     "sim_search_lsh" -> (simSearchLsh _),
     "sim_search_ivf" -> (simSearchIvf _),
+    "sim_search_rerank" -> (simSearchRerank _),
     "dedup_embed" -> (dedupEmbed _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_near" -> (dedupNear _),

@@ -47,6 +47,47 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(fj.get("queries_omitted").asInt() == 0)
   }
 
+  test("contention flag: >=5 consecutive 2x-breaches flag the run; scattered breaches don't") {
+    val rs = fake(20)
+    val ref = rs.map { case (n, t, _) => n -> t }.toMap
+    // clean run vs itself: no streak
+    assert(Bench.contentionStreak(rs, ref) == 0)
+    val (cleanLine, _) = Bench.render(rs, "/sf", "/f", ref)
+    assert(mapper.readTree(cleanLine).get("contention_suspect").asBoolean() == false)
+    // a contiguous 6-query contention window at 3x
+    val contended = rs.zipWithIndex.map { case ((n, t, e), i) =>
+      if (i >= 7 && i < 13) (n, t * 3, e) else (n, t, e)
+    }
+    assert(Bench.contentionStreak(contended, ref) == 6)
+    val (line, full) = Bench.render(contended, "/sf", "/f", ref)
+    val j = mapper.readTree(line)
+    assert(j.get("contention_suspect").asBoolean() == true)
+    assert(j.get("contention_streak").asInt() == 6)
+    assert(mapper.readTree(full).get("contention_suspect").asBoolean() == true)
+    // scattered breaches (every 3rd query): real regressions, not host noise
+    val scattered = rs.zipWithIndex.map { case ((n, t, e), i) =>
+      if (i % 3 == 0) (n, t * 3, e) else (n, t, e)
+    }
+    assert(Bench.contentionStreak(scattered, ref) < Bench.ContentionStreak)
+    // sub-threshold reference rows neither count nor break a streak
+    val tinyRef = ref.map { case (k, _) => k -> 0.01 }
+    assert(Bench.contentionStreak(contended, tinyRef) == 0)
+    // new queries with no reference row are skipped without resetting
+    val sparseRef = ref.filterNot { case (k, _) => k.endsWith("0") }
+    assert(Bench.contentionStreak(contended, sparseRef) >= 4)
+  }
+
+  test("parseRefTimes reads the queries map out of a committed BENCH_FULL.json") {
+    val rs = fake(12)
+    val (_, full) = Bench.render(rs, "/sf", "/f")
+    val parsed = Bench.parseRefTimes(full)
+    assert(parsed.size == 12)
+    rs.foreach { case (n, t, _) =>
+      assert(math.abs(parsed(n) - t) < 5e-4, s"$n: ${parsed.get(n)} vs $t") }
+    assert(Bench.parseRefTimes("not json").isEmpty)
+    assert(Bench.parseRefTimes("""{"queries":{}}""").isEmpty)
+  }
+
   test("errors always survive into the stdout line") {
     val rs = fake(200) :+ (("exploding_query", 0.01, Some("java.lang.RuntimeException: boom \"x\"")))
     val (line, _) = Bench.render(rs, "/sf", "/f")

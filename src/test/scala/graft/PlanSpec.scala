@@ -125,6 +125,8 @@ class PlanSpec extends AnyFunSuite {
       "sim_search",        // broadcast 5-row query set × corpus (by design)
       "sim_search_quant",  // same broadcast query-set shape, int8 codes
       "sim_search_ivf",    // broadcast 16-row centroid table for assign
+      "sim_search_rerank", // same centroid/query-side broadcasts; the
+                           // rerank fetch itself is a broadcast HASH join
       "text_cms_tokens",   // broadcast model-sized per-source sketches
       "text_tfidf")        // crossJoin of the 1-row corpus doc count
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -290,4 +290,42 @@ class PropertySpec extends AnyFunSuite {
       assert(got.distinct == got, s"case $i: duplicate pairs emitted")
     }
   }
+
+  test("differential: recursive-CTE reachability closure == both CC implementations") {
+    import spark.implicits._
+    import graft.graph.Graph
+    // planted graph: two chains, a triangle, a singleton — diameter <= 3
+    val edges = Seq((2L, 1L), (3L, 2L), (11L, 10L), (12L, 11L),
+        (21L, 20L), (22L, 21L), (22L, 20L), (31L, 30L))
+      .toDF("a", "b")
+    val verts = edges.select($"a".as("v"))
+      .union(edges.select($"b".as("v")))
+      .union(Seq(99L).toDF("v")).distinct()
+    edges.createOrReplaceTempView("diff_edges")
+    verts.createOrReplaceTempView("diff_verts")
+    // min reachable id per vertex by bounded recursive expansion over
+    // the symmetrized edges — a THIRD, independent implementation of
+    // the same semantics the two CC operators compute
+    val viaCte = spark.sql(
+      """WITH RECURSIVE reach(v, w, d) AS (
+        |  SELECT v, v, 0 FROM diff_verts
+        |  UNION ALL
+        |  SELECT r.v, e.y, r.d + 1
+        |  FROM reach r
+        |  JOIN (SELECT a AS x, b AS y FROM diff_edges
+        |        UNION ALL SELECT b, a FROM diff_edges) e
+        |    ON r.w = e.x
+        |  WHERE r.d < 8)
+        |SELECT v, min(w) AS lbl FROM reach GROUP BY v""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    val viaMinLabel = Graph.connectedComponents(verts, edges)
+      .select($"v", $"lbl").as[(Long, Long)].collect().toSet
+    val viaStar = Graph.connectedComponentsStar(verts, edges)
+      .select($"v", $"lbl").as[(Long, Long)].collect().toSet
+    assert(viaCte == viaMinLabel,
+      s"CTE vs min-label: ${viaCte.diff(viaMinLabel)} / ${viaMinLabel.diff(viaCte)}")
+    assert(viaCte == viaStar,
+      s"CTE vs star: ${viaCte.diff(viaStar)} / ${viaStar.diff(viaCte)}")
+    assert(viaCte.contains((99L, 99L)), "singleton must label itself")
+  }
 }

@@ -74,6 +74,56 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(mean >= 0.7, s"mean quantized recall $mean below floor")
   }
 
+  test("two-stage rerank: exact cosines, recall >= the raw IVF path") {
+    val exactRows = VectorOps.simSearch(spark, SparkSpec.sfDir)
+      .select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    val exactCos = exactRows.map { case (q, v, c) => ((q, v), c) }.toMap
+    val exactSets = exactRows.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val rr = VectorOps.simSearchRerank(spark, SparkSpec.sfDir)
+      .select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(rr.map(_._1).distinct.length == 5, "every query must answer")
+    // stage 2 re-scores with FLOAT math — any pair shared with exact
+    // search must carry the identical cosine (zero quantization error)
+    rr.foreach { case (q, v, c) =>
+      exactCos.get((q, v)).foreach(e => assert(e == c, s"($q,$v): $c != $e"))
+    }
+    val rrSets = rr.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfSets = VectorOps.simSearchIvf(spark, SparkSpec.sfDir)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def mean(m: Map[Long, Set[Long]]): Double =
+      exactSets.map { case (q, s) =>
+        m.getOrElse(q, Set.empty[Long]).intersect(s).size / 10.0 }
+        .sum / exactSets.size
+    val (rrRecall, ivfRecall) = (mean(rrSets), mean(ivfSets))
+    // the 4-cell int8 coarse net is strictly wider than IVF's 2-cell
+    // exact one, and the 50-deep shortlist + exact re-rank can only
+    // drop a true neighbor that BOTH nets missed
+    assert(rrRecall >= ivfRecall,
+      s"rerank recall $rrRecall below raw IVF $ivfRecall")
+  }
+
+  test("chunk dedup: partial-overlap docs flagged at the half-chunks threshold") {
+    import graft.text.TextOps
+    val rnd = new scala.util.Random(42)
+    def s(len: Int): String =
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val a = s(600)                  // chunks at 0,150,300,450
+    val b = a.substring(0, 450) + s(150) // shares chunks 0,150 → 2/4 dup
+    val d = a.substring(0, 200) + s(400) // shares chunk 0 only → 1/4 dup
+    val c = s(600)                  // fully distinct → 0/4
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val out = TextOps.chunkDupStats(docs)
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks", $"is_dup")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 2L, true)), s"A: ${out(1L)}")  // 0,150 shared w/ B
+    assert(out(2L) == ((4L, 2L, true)), s"B: ${out(2L)}")
+    assert(out(3L) == ((4L, 0L, false)), s"C: ${out(3L)}")
+    assert(out(4L) == ((4L, 1L, false)), s"D: ${out(4L)}") // 1/4 < half
+  }
+
   test("minhash pairs find planted near-duplicates") {
     val pairs = VectorOps.minhashPairs(corpusWithPlants, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
