@@ -566,6 +566,54 @@ object TextOps extends QueryPack {
   def dedupChunks(s: SparkSession, dir: String): DataFrame =
     chunkDupStats(docs(s, dir))
 
+  /** Chunk-level NEAR-dup verdict — the MinHash tier of
+    * [[chunkDupStats]]. Exact window fingerprints structurally miss
+    * UNALIGNED copies: a plagiarized passage shifted by one sentence
+    * shares ZERO 200-char windows with its source but nearly all its
+    * word-3-grams. So each chunk gets a MinHash signature, banded LSH
+    * proposes candidate chunk pairs (equi-join on band buckets, never
+    * all-pairs), exact shingle-Jaccard verifies candidates only, and a
+    * chunk is dup when a verified pair crosses DOCUMENT boundaries.
+    * Doc verdict = the same ≥-half rule as the exact tier. The chunk
+    * key packs (doc_id, chunk_ix) into one long (chunk_ix < 2²⁰ —
+    * docs are far below 2²⁰·150 chars) so the doc-level minhash
+    * machinery applies unchanged. No oracle (xxhash64 MinHash);
+    * planted SHIFTED-copy docs in VectorOpsSpec prove exactly the
+    * recall the exact tier lacks. Scale shape: shuffles key on band
+    * hash then chunk key — both high-cardinality; pair volume scales
+    * with true collisions. */
+  def chunkNearDupStats(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val width = 200
+    val stride = 150
+    val keyBase = 1048576L // 2^20
+    val keyed = d
+      .select($"doc_id", $"text", length($"text").as("len"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest($"len" - 1, lit(0)), lit(stride))))
+      .select(($"doc_id" * keyBase + expr(s"start div $stride")).as("doc_id"),
+              expr(s"substring(text, start + 1, $width)").as("text"))
+    val pairs = graft.vec.VectorOps
+      .minhashPairs(keyed, nHashes = 16, bands = 4, minJaccard = 0.6)
+      .where(expr(s"doc_a div $keyBase") =!= expr(s"doc_b div $keyBase"))
+    val dupKeys = pairs.select($"doc_a".as("ck"))
+      .unionByName(pairs.select($"doc_b".as("ck"))).distinct()
+    val totals = keyed.groupBy(expr(s"doc_id div $keyBase").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val dups = dupKeys.groupBy(expr(s"ck div $keyBase").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_chunks"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .withColumn("n_dup_chunks", coalesce($"n_dup_chunks", lit(0L)))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        round($"n_dup_chunks".cast("double") / $"n_chunks", 6).as("dup_frac"),
+        ($"n_dup_chunks" * 2 >= $"n_chunks").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  def dedupChunksNear(s: SparkSession, dir: String): DataFrame =
+    chunkNearDupStats(docs(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub" -> (textScrub _),
     "dedup_survivors" -> (dedupSurvivors _),
@@ -585,6 +633,7 @@ object TextOps extends QueryPack {
     "token_count" -> (tokenCount _),
     "text_chunk" -> (textChunk _),
     "dedup_chunks" -> (dedupChunks _),
+    "dedup_chunks_near" -> (dedupChunksNear _),
     "text_contamination" -> (textContamination _),
     "doc_fingerprint" -> (docFingerprint _))
 

@@ -263,12 +263,17 @@ object VectorOps extends QueryPack {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Per-doc MinHash signature array from word-3-gram shingles. */
+  /** Per-doc MinHash signature array from word-3-gram shingles.
+    * Tokens are read with null-safe `get()` (not `w[i]`, which RAISES
+    * under ANSI when the text has fewer than 3 words — the doc fixture
+    * never trips it, but chunk-level callers feed short trailing
+    * windows); `concat_ws` skips the nulls, so a short text
+    * degenerates to its all-words gram, same as the non-ANSI HOF. */
   def minhashSignatures(docs: DataFrame, nHashes: Int): DataFrame =
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(0, greatest(size(w)-3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+        "array_distinct(transform(sequence(0, greatest(size(w)-3, 0)), i -> concat_ws(' ', get(w, i), get(w, i+1), get(w, i+2))))"))
       .withColumn("sig", expr(
         s"transform(sequence(1, $nHashes), k -> array_min(transform(shingles, sh -> xxhash64(k, sh))))"))
 

@@ -124,6 +124,32 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 1L, false)), s"D: ${out(4L)}") // 1/4 < half
   }
 
+  test("chunk near-dedup catches SHIFTED copies the exact tier misses") {
+    import graft.text.TextOps
+    val rnd = new scala.util.Random(7)
+    def words(n: Int): String =
+      (0 until n).map(_ => (0 until 4).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    val a = words(120)                    // ~600 chars, 4 chunks
+    val b = "zq zq " + a                  // SHIFTED copy: offsets +6 chars
+    val c = words(120)                    // fully distinct
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // exact tier: zero shared 200-char windows (every window shifted)
+    val exact = TextOps.chunkDupStats(docs)
+      .select($"doc_id", $"n_dup_chunks").as[(Long, Long)].collect().toMap
+    assert(exact(1L) == 0L && exact(2L) == 0L,
+      s"shifted copy unexpectedly aligned: $exact")
+    // near tier: chunk shingle sets survive the shift → both flagged
+    val near = TextOps.chunkNearDupStats(docs)
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks", $"is_dup")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(near(1L)._3 == true, s"source doc not flagged: ${near(1L)}")
+    assert(near(2L)._3 == true, s"shifted copy not flagged: ${near(2L)}")
+    assert(near(3L)._2 == 0L && near(3L)._3 == false,
+      s"distinct doc false-flagged: ${near(3L)}")
+  }
+
   test("minhash pairs find planted near-duplicates") {
     val pairs = VectorOps.minhashPairs(corpusWithPlants, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
