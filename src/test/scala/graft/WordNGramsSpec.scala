@@ -57,6 +57,59 @@ class WordNGramsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("a b", "b c", "c d"))
   }
 
+  test("property: generator multiset == scala reference for random texts, n in 1..5") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // scala reference: the documented semantics, written independently
+    def ref(text: String, n: Int): Seq[String] = {
+      val w = text.split(" ", -1)
+      if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toSeq
+      else Seq.fill(n - w.length + 1)(w.mkString(" "))
+    }
+    val rnd = new scala.util.Random(3)
+    val alphabet = "ab ,.x  y"
+    val texts = (0 until 200).map { _ =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "" :+ " " :+ "  " :+ "a b c d e"
+    for (t <- texts; n <- 1 to 5) {
+      val arr = graft.functions.WordNGramsUtil.terms(UTF8String.fromString(t), n)
+      val got = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      assert(got == ref(t, n), s"text='$t' n=$n got=$got want=${ref(t, n)}")
+    }
+  }
+
+  test("interpreted eval path agrees with the codegen helper") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    // eval() drives generator rows off the same helper the generated
+    // Java calls — assert the row shape AND values once, directly
+    val g = graft.functions.WordNGrams(Literal.create("p q r s", StringType), 3)
+    val rows = g.eval(InternalRow.empty).iterator.toSeq
+    assert(rows.map(_.getUTF8String(0).toString) == Seq("p q r", "q r s"))
+    val nullChild = graft.functions.WordNGrams(
+      Literal.create(null, StringType), 3)
+    assert(nullChild.eval(InternalRow.empty).iterator.isEmpty,
+      "null text must generate zero rows")
+  }
+
+  test("GenerateExec parity: interpreted path (codegen off) == codegen path") {
+    val docs = graft.io.Tables.t(spark, SparkSpec.sfDir, "documents")
+      .limit(50).select($"doc_id", $"text")
+    def run(): Array[(Long, String)] = docs
+      .select($"doc_id", graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))
+      .as[(Long, String)].collect().sorted
+    val withCodegen = run()
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val interpreted = try run() finally spark.conf.set(key, prev)
+    assert(withCodegen.sameElements(interpreted),
+      "interpreted GenerateExec diverged from the codegen path")
+    assert(withCodegen.nonEmpty)
+  }
+
   test("plan lock: one Generate node, inside whole-stage codegen, no CodegenFallback") {
     val df = graft.io.Tables.t(spark, SparkSpec.sfDir, "documents")
       .select(graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))
