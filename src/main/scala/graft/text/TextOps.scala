@@ -545,12 +545,17 @@ object TextOps extends QueryPack {
     import s.implicits._
     val width = 200
     val stride = 150
+    // the fingerprint table feeds BOTH the doc-frequency aggregate and
+    // the verdict re-join — lazy localCheckpoint (house pattern, see
+    // dedupNgram) so the Generate+md5 pass over the full text corpus
+    // runs once and the second consumer reads the materialized blocks
     val ch = d
       .select($"doc_id", $"text", length($"text").as("len"))
       .withColumn("start",
         explode(sequence(lit(0), greatest($"len" - 1, lit(0)), lit(stride))))
       .select($"doc_id",
         md5(expr(s"substring(text, start + 1, $width)")).as("fp"))
+      .localCheckpoint(false)
     val fpDocs = ch.groupBy($"fp")
       .agg(countDistinct($"doc_id").as("nd"))
     ch.join(fpDocs, Seq("fp"))
@@ -595,7 +600,12 @@ object TextOps extends QueryPack {
       .select(($"doc_id" * keyBase + expr(s"start div $stride")).as("doc_id"),
               expr(s"substring(text, start + 1, $width)").as("text"))
     val pairs = graft.vec.VectorOps
-      .minhashPairs(keyed, nHashes = 16, bands = 4, minJaccard = 0.6)
+      // maxBucket: boilerplate chunks (headers, license blocks) put an
+      // identical signature in every band — cap the bucket so one hot
+      // chunk can't form a k² join group (the stop-bucket trade; see
+      // minhashPairs)
+      .minhashPairs(keyed, nHashes = 16, bands = 4, minJaccard = 0.6,
+        maxBucket = 200)
       .where(expr(s"doc_a div $keyBase") =!= expr(s"doc_b div $keyBase"))
     val dupKeys = pairs.select($"doc_a".as("ck"))
       .unionByName(pairs.select($"doc_b".as("ck"))).distinct()

@@ -243,12 +243,29 @@ object VectorOps extends QueryPack {
   /** Candidate near-dup pairs from banded MinHash + exact-Jaccard
     * verification of candidates only (the full LSH dedup pipeline). */
   def minhashPairs(docs: DataFrame, nHashes: Int = 16, bands: Int = 4,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val sig = minhashSignatures(docs, nHashes)
     val rows = nHashes / bands
-    val banded = sig.select(col("doc_id"), col("shingles"),
+    val bandedAll = sig.select(col("doc_id"), col("shingles"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(b, slice(sig, b*$rows + 1, $rows)))"))
         .as(Seq("band_id", "band_hash")))
+    // stop-bucket cap, the banding twin of TextOps.hotShingleCap: a
+    // boilerplate text shared by k inputs puts an IDENTICAL signature
+    // in every band, making one k² join group per band. Buckets larger
+    // than maxBucket carry no near-dup signal worth a quadratic group
+    // (their members still pair through their other, rarer bands) and
+    // are dropped from candidate generation. Default = uncapped so the
+    // doc-level callers' outputs are unchanged; chunk-level callers
+    // pass a cap because boilerplate CHUNKS (headers, licenses) are
+    // routine at corpus scale.
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else bandedAll
+        .withColumn("bsz", count(lit(1))
+          .over(Window.partitionBy(col("band_id"), col("band_hash"))))
+        .where(col("bsz") <= maxBucket)
+        .drop("bsz")
     val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
                           col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),

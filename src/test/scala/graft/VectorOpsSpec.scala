@@ -150,6 +150,29 @@ class VectorOpsSpec extends AnyFunSuite {
       s"distinct doc false-flagged: ${near(3L)}")
   }
 
+  test("minhash stop-bucket cap drops boilerplate cliques, keeps rare pairs") {
+    val rnd = new scala.util.Random(11)
+    def words(n: Int): String =
+      (0 until n).map(_ => (0 until 4).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    val boiler = words(40)
+    val base = words(40)
+    val docs = ((1L to 25L).map(i => (i, boiler)) ++
+      Seq((100L, base), (101L, base + " tail extra"))).toDF("doc_id", "text")
+    // uncapped: the 25-doc boilerplate clique pairs quadratically
+    val uncapped = VectorOps.minhashPairs(docs, minJaccard = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((100L, 101L)))
+    assert(uncapped.count { case (a, b) => a <= 25 && b <= 25 } == 25 * 24 / 2)
+    // capped at 10: every boilerplate band bucket holds 25 > 10 members
+    // and is dropped; the rare (100,101) pair still surfaces
+    val capped = VectorOps.minhashPairs(docs, minJaccard = 0.5, maxBucket = 10)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)), s"rare pair lost: $capped")
+    assert(!capped.exists { case (a, b) => a <= 25 && b <= 25 },
+      s"boilerplate clique survived the cap: $capped")
+  }
+
   test("minhash pairs find planted near-duplicates") {
     val pairs = VectorOps.minhashPairs(corpusWithPlants, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
