@@ -21,18 +21,25 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-    * (`nanosAsLong`) and truncate to a microsecond TIMESTAMP_NTZ —
-    * matching both DuckDB's ns→µs truncation and the NTZ flavor the
-    * other fixture timestamps get (isAdjustedToUTC=false footers).
-    * Integer `div` keeps the math exact (ns epochs exceed 2^53, so a
-    * double division would corrupt low bits).
-    */
+  /** `events.ts` has shipped in two parquet flavors across fixture
+    * generations: TIMESTAMP(NANOS) — which Spark's reader rejects
+    * outright (PARQUET_TYPE_ILLEGAL) unless read as raw nanos via
+    * `nanosAsLong` and truncated to microseconds — and plain
+    * TIMESTAMP(MICROS). Adapt on the observed footer type: a LongType
+    * `ts` is raw nanos (integer `div` keeps the math exact; ns epochs
+    * exceed 2^53, so a double division would corrupt low bits), a
+    * timestamp `ts` is read natively. Both normalize to the
+    * microsecond TIMESTAMP_NTZ the other fixture timestamps get
+    * (isAdjustedToUTC=false footers; session tz is pinned UTC so the
+    * NTZ cast is value-preserving either way). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      else col("ts").cast("timestamp_ntz")
+    raw.withColumn("ts", ts)
   }
 }

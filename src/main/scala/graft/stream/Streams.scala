@@ -80,21 +80,31 @@ class CountWithTtlProcessor(ttlMs: Long)
   */
 object Streams extends QueryPack {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos (nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def eventsSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the fixture's ts flavor varies by generation (raw-nanos LONG vs
+    // native TIMESTAMP(MICROS) — see graft.io.Tables.events); a file
+    // stream needs an explicit schema, so probe the footer type with a
+    // metadata-only batch read and declare the matching stream schema.
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // file-stream source needs a directory or glob basePath; the
     // single-char glob class makes it treat $dir as the base dir.
-    s.readStream.schema(eventsSchema)
+    val raw = s.readStream.schema(eventsSchema(tsType))
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // both flavors normalize to the session-UTC TimestampType the
+    // streaming windows have always run on (micro precision)
+    if (tsType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Creates a temp directory and registers it for RECURSIVE deletion

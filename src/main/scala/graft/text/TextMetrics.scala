@@ -1,0 +1,245 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.io.Tables.t
+
+/** SURVEY.md §2.10 — corpus-quality metrics and the winnowing dedup
+  * tier: the per-document statistics an LLM-data pipeline filters on
+  * BEFORE any model-based scoring (Gopher-style repetition fractions,
+  * lexical diversity, robust length outliers), plus the
+  * winnowing-fingerprint near-dup pairing of Schleimer et al.
+  * (SIGMOD'03) that plagiarism/overlap detectors ship.
+  *
+  * Same engineering contract as [[TextOps]]: codegen'd built-ins and
+  * HOFs only (no UDFs), per-doc work map-side, shuffles keyed on
+  * high-cardinality values (doc_id, fingerprint, word), every float
+  * a single deterministic division of exact integers so the DuckDB
+  * differential hash-matches bit-for-bit.
+  */
+object TextMetrics extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  /** Winnowing near-dup pairs — the MOSS fingerprint scheme: per doc,
+    * Karp–Rabin hashes of every 8-char-gram of the normalized text
+    * (the [[TextOps.docFingerprint]] kernel, verbatim), then the MIN
+    * hash of each window of 4 consecutive grams. Winnowing guarantees
+    * any shared substring of length ≥ k+w−1 = 11 chars yields at least
+    * one shared fingerprint, at ~2/(w+1) the density of full k-gram
+    * sets — the sample-but-never-miss property that makes it the
+    * overlap detector of record. Verdict is PROPORTIONAL
+    * (shared / min set size ≥ 0.5), not an absolute count: template
+    * corpora share boilerplate fingerprints linearly in corpus size,
+    * and an absolute threshold drowns in them (measured: 300k pairs
+    * at sf0.1 for ≥5-shared vs 15 real near-dups at ≥50%).
+    *
+    * Scale shape: per-position hashes are one map-only HOF fold per
+    * doc; the array then EXPLODES to (doc, position, hash) rows and
+    * the per-window minimum runs as a codegen'd sliding window
+    * function (4-row frame) over the position order — NOT as a nested
+    * HOF over the hash array, which CollapseProject would inline into
+    * the per-window lambda and re-evaluate the whole O(L) hash array
+    * once per window (O(L²) interpreted per doc; measured: minutes at
+    * 500 docs). The candidate join is an equi-join on (source, fp) —
+    * high-cardinality mod-1e9+7 values, skew bounded by the same df ≤
+    * [[TextOps.hotShingleCap]] cap (and the same cap-after-size
+    * ordering) as dedup_ngram; set sizes stay exact. The winnowed
+    * table is lazily checkpointed so the self-join's two sides share
+    * one materialization. */
+  def winnowPairs(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val M = 1000000007L
+    val byPos = Window.partitionBy($"doc_id").orderBy($"i")
+    val sh = d
+      .withColumn("norm", TextOps.normCol)
+      .where(length($"norm") >= 11)
+      // one Karp–Rabin fold per char position (map-only, evaluated
+      // once per row), then 1→N into per-position rows
+      .select($"doc_id", $"source", posexplode(expr(
+        s"""transform(sequence(1, length(norm) - 7),
+           |  i -> aggregate(filter(split(substr(norm, i, 8), ''), c -> c != ''),
+           |                 0L, (acc, c) -> (acc * 31 + ascii(c)) % $M))""".stripMargin))
+        .as(Seq("i", "h")))
+      // sliding 4-window min; the count and min windows share the one
+      // doc_id-keyed sort, and only full windows survive
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("fp", min($"h").over(byPos.rowsBetween(0, 3)))
+      .where($"i" <= $"n" - 4)
+      .select($"doc_id", $"source", $"fp").distinct()
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"fp")))
+      .where($"df" <= TextOps.hotShingleCap)
+      .localCheckpoint(false)
+    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"),
+                      $"fp", $"sz".as("sz_a"))
+    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"),
+                      $"fp", $"sz".as("sz_b"))
+    a.join(b, a("fp") === b("fp") && $"src_a" === $"src_b" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("winnow_sim",
+        $"n_shared".cast("double") / least($"sz_a", $"sz_b").cast("double"))
+      .where($"winnow_sim" >= 0.5)
+      .select($"doc_a", $"doc_b", $"n_shared", $"winnow_sim")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def dedupWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowPairs(docs(s, dir))
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1): the
+    * fraction of a doc's word-2-grams occupied by its most frequent
+    * 2-gram and by all duplicated 2-grams — the signal that kills
+    * keyword-stuffed / template / degenerate-generation pages.
+    * Per-doc counts only: one (doc_id, gram) hash agg with map-side
+    * partials, then one doc_id agg; fractions are single divisions of
+    * exact longs, so the oracle hash-matches. */
+  def repetition(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    d
+      .where(size(split($"text", " ")) >= 2)
+      .select($"doc_id",
+        graft.functions.TextFunctions.wordNGrams($"text", 2).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_grams"),
+           max($"c").as("top_count"),
+           coalesce(sum(when($"c" > 1, $"c")), lit(0L)).as("dupc"))
+      .select($"doc_id", $"n_grams", $"top_count",
+        ($"top_count".cast("double") / $"n_grams".cast("double")).as("top_frac"),
+        ($"dupc".cast("double") / $"n_grams".cast("double")).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    repetition(docs(s, dir))
+
+  /** Robust length-outlier flagging: a doc is an outlier within its
+    * source when its length deviates from the source MEDIAN by more
+    * than 3× the median absolute deviation — the quality filter that
+    * survives skewed length distributions where mean/stddev rules
+    * drown (one 100 MB page drags a mean; it cannot drag a median).
+    * Two stacked percentile windows SHARE the one source-keyed
+    * shuffle; n_chars is integer so median/MAD land on exactly
+    * representable halves and the strict > is engine-stable. */
+  def outlierMad(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+    d
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("med", expr("percentile(n_chars, 0.5)").over(w))
+      .withColumn("dev", abs($"n_chars" - $"med"))
+      .withColumn("mad", expr("percentile(dev, 0.5)").over(w))
+      .select($"doc_id", $"source", $"n_chars", $"med", $"mad",
+              ($"dev" > $"mad" * 3).as("is_outlier"))
+      .orderBy($"doc_id")
+  }
+
+  def filterOutlierMad(s: SparkSession, dir: String): DataFrame =
+    outlierMad(docs(s, dir))
+
+  /** Lexical diversity: tokens, types (distinct words), hapax
+    * legomena (words occurring once), type/token ratio and hapax
+    * fraction — the cheap vocabulary-richness scores that separate
+    * natural prose from boilerplate and tag soup. Two-level hash agg
+    * (word then doc), both with map-side partials; ratios are single
+    * exact-int divisions. */
+  def lexdiv(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    d
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           count(when($"c" === 1, 1)).as("n_hapax"))
+      .select($"doc_id", $"n_tokens", $"n_types", $"n_hapax",
+        ($"n_types".cast("double") / $"n_tokens".cast("double")).as("ttr"),
+        ($"n_hapax".cast("double") / $"n_types".cast("double")).as("hapax_frac"))
+      .orderBy($"doc_id")
+  }
+
+  def textLexdiv(s: SparkSession, dir: String): DataFrame =
+    lexdiv(docs(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow" -> (dedupWinnow _),
+    "text_repetition" -> (textRepetition _),
+    "filter_outlier_mad" -> (filterOutlierMad _),
+    "text_lexdiv" -> (textLexdiv _))
+
+  def oracle: Map[String, String] = Map(
+    "dedup_winnow" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, source, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    list_transform(generate_series(1, length(norm) - 7),
+        |      i -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(string_split(substring(norm, i, 8), ''), c -> ascii(c))),
+        |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |  FROM n WHERE length(norm) >= 11),
+        |f AS (
+        |  SELECT DISTINCT doc_id, source, fp FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(generate_series(1, len(hs) - 3),
+        |        j -> list_min(hs[j:j+3]))) AS fp
+        |    FROM h)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM f GROUP BY 1),
+        |df AS (SELECT source, fp, count(*) AS df FROM f GROUP BY 1, 2),
+        |fc AS (SELECT f.doc_id, f.source, f.fp FROM f
+        |       JOIN df USING (source, fp) WHERE df <= ${TextOps.hotShingleCap}),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM fc a JOIN fc b
+        |    ON a.fp = b.fp AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE) AS winnow_sim
+        |FROM p JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id
+        |WHERE CAST(n_shared AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |      FROM (SELECT doc_id, w,
+        |              unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(max(c) AS BIGINT) AS top_count,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+        |  CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "filter_outlier_mad" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, n_chars,
+        |    quantile_cont(n_chars, 0.5) OVER (PARTITION BY source) AS med
+        |  FROM documents),
+        |d AS (SELECT *, abs(n_chars - med) AS dev FROM m),
+        |x AS (SELECT *, quantile_cont(dev, 0.5) OVER (PARTITION BY source) AS mad FROM d)
+        |SELECT doc_id, source, n_chars, med, mad, (dev > 3 * mad) AS is_outlier
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "text_lexdiv" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+        |  CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hapax_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -23,7 +23,7 @@ object TextOps extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
 
-  private def normCol: Column =
+  private[text] def normCol: Column =
     lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
   /** Exact dedup on normalized text; deterministic survivor = min

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextMetrics
+
+/** Hand-computed expectations for the corpus-quality metrics pack
+  * (winnowing dedup, repetition, MAD outliers, lexical diversity).
+  * The full-corpus runs are oracled by DuckDB through Verify; these
+  * pin the SEMANTICS on planted fixtures small enough to hand-check.
+  */
+class TextMetricsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def corpus(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+
+  test("winnowing flags a planted near-copy and ignores unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green bottles stand quietly on the old stone wall near town"
+    val nearCopy = base.replace("seventeen", "nineteen")
+    val unrelated1 = "completely different subject matter about maritime " +
+      "navigation charts and the care of vintage sextants in humid climates"
+    val unrelated2 = "a third text concerning the taxonomy of alpine " +
+      "wildflowers and their pollinators at various elevations in spring"
+    val pairs = TextMetrics.winnowPairs(corpus(Seq(
+      (1L, "s", base), (2L, "s", nearCopy),
+      (3L, "s", unrelated1), (4L, "s", unrelated2))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the planted pair, got ${pairs.mkString(",")}")
+    assert(pairs.head._3 >= 0.5)
+  }
+
+  test("winnowing guarantee: identical docs across sources share every fingerprint") {
+    // same text, different sources -> no pair (join is within-source),
+    // same text same source -> sim exactly 1.0
+    val t = "winnowing selects the minimum hash of each window of four " +
+      "consecutive eight character grams over the normalized text body"
+    val got = TextMetrics.winnowPairs(corpus(Seq(
+      (1L, "s", t), (2L, "s", t), (3L, "other", t))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), s"got ${got.mkString(",")}")
+  }
+
+  test("repetition fractions on a hand-built degenerate doc") {
+    // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b]
+    //   n=5, top("a b")=3 -> top_frac 0.6; all grams duplicated -> dup 1.0
+    // "x y z": 2-grams [x y, y z], none repeated
+    val got = TextMetrics.repetition(corpus(Seq(
+      (1L, "s", "a b a b a b"), (2L, "s", "x y z"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 3L, 0.6, 1.0),
+      (2L, 2L, 1L, 0.5, 0.0)), s"got ${got.mkString(",")}")
+  }
+
+  test("MAD outlier flags the planted giant, not the mild deviants") {
+    // lengths 8,9,10,11,100: med=10, devs 2,1,0,1,90, mad=1 -> only 90>3
+    val rows = Seq(
+      (1L, "s", "x" * 8), (2L, "s", "x" * 9), (3L, "s", "x" * 10),
+      (4L, "s", "x" * 11), (5L, "s", "x" * 100))
+    val got = TextMetrics.outlierMad(corpus(rows))
+      .select($"doc_id", $"is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false,
+                      4L -> false, 5L -> true), s"got $got")
+  }
+
+  test("lexical diversity counts tokens, types, hapax exactly") {
+    // "a a b c": 4 tokens, 3 types, hapax {b,c} -> ttr .75, hapax 2/3
+    val got = TextMetrics.lexdiv(corpus(Seq((1L, "s", "a a b c"))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+                           r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((4L, 3L, 2L, 0.75, 2.0 / 3.0)),
+      s"got ${got.mkString(",")}")
+  }
+}
