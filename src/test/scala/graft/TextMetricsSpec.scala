@@ -70,6 +70,26 @@ class TextMetricsSpec extends AnyFunSuite {
                       4L -> false, 5L -> true), s"got $got")
   }
 
+  test("quality gate drops each planted offender for its own reason") {
+    val prose = "the merchant weighed every crate of oranges before the " +
+      "harbor master signed the manifest and the crew loaded them aboard"
+    val repeats = Array.fill(12)("buy cheap pills now").mkString(" ")
+    val lowdiv = Array.fill(30)("spam").mkString(" ")
+    val rows = (1L to 7L).map(i => (i, "s", prose + " " + i)) ++ Seq(
+      (8L, "s", repeats),                  // r_repetition
+      (9L, "s", lowdiv),                   // r_lowdiv (and likely rep)
+      (10L, "s", prose * 12))              // r_length (MAD outlier)
+    val got = TextMetrics.qualityGate(corpus(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    for (i <- 1L to 7L)
+      assert(got(i) == ((false, false, false, true)), s"doc $i: ${got(i)}")
+    assert(got(8L)._1 && !got(8L)._4, s"doc 8: ${got(8L)}")
+    assert(got(9L)._2 && !got(9L)._4, s"doc 9: ${got(9L)}")
+    assert(got(10L)._3 && !got(10L)._4, s"doc 10: ${got(10L)}")
+  }
+
   test("lexical diversity counts tokens, types, hapax exactly") {
     // "a a b c": 4 tokens, 3 types, hapax {b,c} -> ttr .75, hapax 2/3
     val got = TextMetrics.lexdiv(corpus(Seq((1L, "s", "a a b c"))))
