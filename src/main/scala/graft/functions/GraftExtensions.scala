@@ -98,6 +98,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         KGramHashes(args(0), literalK(args(1), "kgram_hashes"))))
     ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints", "winnow_fingerprints(text, k, w) - generator: distinct winnowing fingerprints (min rolling k-gram hash per window of w)"),
+      (args: Seq[Expression]) =>
+        WinnowFingerprints(args(0), literalK(args(1), "winnow_fingerprints"),
+          literalK(args(2), "winnow_fingerprints"))))
+    ext.injectFunction((
       FunctionIdentifier("bounded_topk"),
       info("bounded_topk", "bounded_topk(ord, id, k) - exact top-k (ord DESC, id ASC) per group in O(k) state"),
       (args: Seq[Expression]) =>

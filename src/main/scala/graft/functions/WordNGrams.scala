@@ -137,4 +137,8 @@ object TextFunctions {
   def kgramHashes(text: Column, k: Int): Column =
     GraftColumnBridge.column(
       KGramHashes(GraftColumnBridge.expression(text), k))
+
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(
+      WinnowFingerprints(GraftColumnBridge.expression(text), k, w))
 }

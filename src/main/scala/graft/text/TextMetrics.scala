@@ -37,14 +37,16 @@ object TextMetrics extends QueryPack {
     * and an absolute threshold drowns in them (measured: 300k pairs
     * at sf0.1 for ≥5-shared vs 15 real near-dups at ≥50%).
     *
-    * Scale shape: per-position hashes are one map-only HOF fold per
-    * doc; the array then EXPLODES to (doc, position, hash) rows and
-    * the per-window minimum runs as a codegen'd sliding window
-    * function (4-row frame) over the position order — NOT as a nested
-    * HOF over the hash array, which CollapseProject would inline into
-    * the per-window lambda and re-evaluate the whole O(L) hash array
-    * once per window (O(L²) interpreted per doc; measured: minutes at
-    * 500 docs). The candidate join is an equi-join on (source, fp) —
+    * Scale shape: the whole front end (rolling hash → sliding min →
+    * dedupe) is ONE map-side O(L) Generator call per doc
+    * ([[graft.functions.WinnowFingerprints]]), so the first wide op
+    * already runs on the winnowed sample, not on per-character rows.
+    * (Two rejected spellings, both measured: a nested HOF — transform
+    * over the hash array — gets inlined by CollapseProject and
+    * re-evaluates the O(L) array per window, O(L²) interpreted; the
+    * relational explode + sliding-min window burned a corpus-sized
+    * doc_id shuffle+sort before sampling.)
+    * The candidate join is an equi-join on (source, fp) —
     * high-cardinality mod-1e9+7 values, skew bounded by the same df ≤
     * [[TextOps.hotShingleCap]] cap (and the same cap-after-size
     * ordering) as dedup_ngram; set sizes stay exact. The winnowed
@@ -53,25 +55,20 @@ object TextMetrics extends QueryPack {
   def winnowPairs(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val byPos = Window.partitionBy($"doc_id").orderBy($"i")
     val sh = d
       .withColumn("norm", TextOps.normCol)
       .where(length($"norm") >= 11)
-      // native rolling Karp–Rabin (graft.functions.KGramHashes): the
-      // whole per-position hash array in one O(L) codegen'd call —
-      // the HOF-fold spelling re-hashed 8 chars per position in ~12M
-      // interpreted lambda frames at sf0.1 and dominated the query.
-      // Identical residues (differential in KGramHashesSpec); the
-      // DuckDB oracle still spells the per-position list_reduce.
+      // native winnow_fingerprints Generator
+      // (graft.functions.WinnowFingerprints): rolling Karp–Rabin +
+      // monotonic-deque sliding min + dedupe in ONE O(L) map-side
+      // pass, emitting only the ~2/(w+1)-density winnowed set. The
+      // relational spelling exploded every k-gram hash (~L rows/doc)
+      // and burned a doc_id shuffle+sort on count/sliding-min windows
+      // plus a distinct before any real work; set-identical output
+      // (differential in KGramHashesSpec), oracle unchanged.
       .select($"doc_id", $"source",
-        posexplode(graft.functions.TextFunctions.kgramHashes($"norm", 8))
-          .as(Seq("i", "h")))
-      // sliding 4-window min; the count and min windows share the one
-      // doc_id-keyed sort, and only full windows survive
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-      .withColumn("fp", min($"h").over(byPos.rowsBetween(0, 3)))
-      .where($"i" <= $"n" - 4)
-      .select($"doc_id", $"source", $"fp").distinct()
+        graft.functions.TextFunctions.winnowFingerprints($"norm", 8, 4)
+          .as("fp"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"fp")))
       .where($"df" <= TextOps.hotShingleCap)

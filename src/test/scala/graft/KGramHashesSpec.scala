@@ -47,6 +47,40 @@ class KGramHashesSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_fingerprints == relational explode + sliding-min window + distinct") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(s"${SparkSpec.sfDir}/documents.parquet")
+      .select($"doc_id",
+        lower(trim(regexp_replace($"text", "\\s+", " "))).as("t"))
+      .where(length($"t") >= 11)
+    val native = df.select($"doc_id",
+        TextFunctions.winnowFingerprints($"t", 8, 4).as("fp"))
+      .groupBy($"doc_id").agg(sort_array(collect_set($"fp")).as("fps"))
+    val relational = df
+      .select($"doc_id",
+        posexplode(TextFunctions.kgramHashes($"t", 8)).as(Seq("i", "h")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("fp", min($"h").over(
+        Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, 3)))
+      .where($"i" <= $"n" - 4)
+      .groupBy($"doc_id").agg(sort_array(collect_set($"fp")).as("fps"))
+    val bad = native.as("a").join(relational.as("b"), "doc_id")
+      .where(not($"a.fps" <=> $"b.fps")).count()
+    assert(bad == 0, s"$bad docs diverge between generator and relational winnow")
+    assert(native.count() == df.count())
+  }
+
+  test("winnow_fingerprints emits distinct values, one row each") {
+    // 'aaaaaaaaaaaa': every 8-gram hashes identically -> exactly one fp
+    val one = spark.sql(
+      "SELECT winnow_fingerprints('aaaaaaaaaaaa', 8, 4) AS f").collect()
+    assert(one.length == 1)
+    // shorter than k+w-1 = 11 chars: no full window -> zero rows
+    val none = spark.sql(
+      "SELECT winnow_fingerprints('abcdefghij', 8, 4) AS f").collect()
+    assert(none.isEmpty)
+  }
+
   test("sub-k strings yield an empty array; null stays null") {
     assert(KGramHashesUtil.hashes(UTF8String.fromString("abc"), 8)
       .numElements() == 0)
