@@ -168,6 +168,63 @@ object TextMetrics extends QueryPack {
   def textLexdiv(s: SparkSession, dir: String): DataFrame =
     lexdiv(docs(s, dir))
 
+  /** Per-doc word-unigram Shannon entropy, H = ln(n) − Σ c·ln(c) / n
+    * nats — the distributional quality proxy that separates natural
+    * prose (high H) from degenerate repetition (H → 0) without a
+    * model. Same plan family as [[lexdiv]] (two hash aggs, map-side
+    * partials). Float discipline: the only transcendental is ln, and
+    * the result rounds to 6 decimals on both engines (the text_tfidf
+    * precedent) to absorb libm/summation-order last-bit drift. */
+  def entropy(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    d.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+           sum($"c".cast("double") * log($"c".cast("double"))).as("clnc"))
+      .select($"doc_id", $"n_tokens",
+        round(log($"n_tokens".cast("double")) -
+          $"clnc" / $"n_tokens".cast("double"), 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    entropy(docs(s, dir))
+
+  /** Per-source Zipf diagnostics: OLS slope and R² of ln(freq) vs
+    * ln(rank) over each source's top-100 words — natural language
+    * tracks slope ≈ −1 with high R²; generated/templated corpora
+    * (like this fixture, slope ≈ −0.3) flunk visibly. Rank ties break
+    * on the word itself, so ranking is deterministic in both engines.
+    * Scale shape: word counts aggregate map-side; the rank window runs
+    * on one row per DISTINCT (source, word) — the model-sized side —
+    * and the top-100 cap bounds the regression input per source
+    * regardless of vocabulary size. regr_slope/regr_r2 round to 6
+    * decimals (text_tfidf float discipline). */
+  def zipf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    d.select($"source", explode(split($"text", " ")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"source").orderBy($"c".desc, $"w")))
+      .where($"rnk" <= 100)
+      .groupBy($"source")
+      .agg(
+        round(expr(
+          "regr_slope(ln(cast(c as double)), ln(cast(rnk as double)))"), 6)
+          .as("zipf_slope"),
+        round(expr(
+          "regr_r2(ln(cast(c as double)), ln(cast(rnk as double)))"), 6)
+          .as("r2"),
+        count(lit(1)).as("n_ranks"))
+      .orderBy($"source")
+  }
+
+  def textZipf(s: SparkSession, dir: String): DataFrame =
+    zipf(docs(s, dir))
+
   /** The curation funnel composed: one keep/drop verdict per doc from
     * the three orthogonal quality signals — repetition (dup_frac >
     * 0.2), lexical diversity (ttr < 0.3), robust length outlier
@@ -209,6 +266,8 @@ object TextMetrics extends QueryPack {
     "text_repetition" -> (textRepetition _),
     "filter_outlier_mad" -> (filterOutlierMad _),
     "text_lexdiv" -> (textLexdiv _),
+    "text_entropy" -> (textEntropy _),
+    "text_zipf" -> (textZipf _),
     "text_quality_gate" -> (textQualityGate _))
 
   def oracle: Map[String, String] = Map(
@@ -267,6 +326,27 @@ object TextMetrics extends QueryPack {
         |x AS (SELECT *, quantile_cont(dev, 0.5) OVER (PARTITION BY source) AS mad FROM d)
         |SELECT doc_id, source, n_chars, med, mad, (dev > 3 * mad) AS is_outlier
         |FROM x ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |        - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_zipf" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, c,
+        |        row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+        |      FROM c)
+        |SELECT source,
+        |  round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+        |    AS zipf_slope,
+        |  round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS r2,
+        |  count(*) AS n_ranks
+        |FROM r WHERE rnk <= 100
+        |GROUP BY source ORDER BY source""".stripMargin,
     "text_quality_gate" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

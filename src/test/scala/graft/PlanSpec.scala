@@ -171,6 +171,28 @@ class PlanSpec extends AnyFunSuite {
       "fuzzy dedup fell back to all-pairs:\n" + p.take(800))
   }
 
+  test("winnow front end is one map-side Generate: no Exchange, no Window, no HOF") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"${SparkSpec.sfDir}/documents.parquet")
+      .withColumn("norm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.winnowFingerprints(col("norm"), 8, 4)
+          .as("fp"))
+    val p = d.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("winnow_fingerprints"), p.take(600))
+    assert(p.contains("Generate"), p.take(600))
+    // sampling happens before ANY wide operator: the per-character
+    // stream must never hit a shuffle or a per-doc window sort
+    assert(!p.contains("Exchange") && !p.contains("Window"), p.take(900))
+  }
+
+  test("dedup_winnow candidate join is an equi-join, never all-pairs") {
+    val p = plan("dedup_winnow")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "winnow pairing fell back to all-pairs:\n" + p.take(800))
+  }
+
   test("join_range_auto: BandJoinRule injects bucket keys into the naive text") {
     val df = SparkEntry.queries("join_range_auto")(spark, SparkSpec.sfDir)
     val p = df.queryExecution.optimizedPlan.toString

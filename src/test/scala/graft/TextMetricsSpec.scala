@@ -90,6 +90,31 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(got(10L)._3 && !got(10L)._4, s"doc 10: ${got(10L)}")
   }
 
+  test("entropy: uniform doc hits ln(n), degenerate doc hits 0") {
+    // "a b c d": 4 distinct -> H = ln(4); "x x x x": H = 0
+    val h = TextMetrics.entropy(corpus(Seq(
+      (1L, "s", "a b c d"), (2L, "s", "x x x x"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(h(1L) == BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(h(2L) == 0.0)
+  }
+
+  test("zipf: a perfect power law scores slope -1 with r2 = 1") {
+    // word i repeated round(64 / i) times, i = 1,2,4,8: freq = 64/rank
+    // exactly at ranks 1,2,3,4 after sorting -> ln f = ln64 - ln r ...
+    // ranks are 1..4 but freqs 64,32,16,8 = 64/2^(r-1): ln f linear in
+    // ln 2^(r-1), NOT in ln r -> use freqs k/r directly instead
+    val words = Seq((1, 12), (2, 6), (3, 4), (4, 3)) // f = 12/r exactly
+      .flatMap { case (i, f) => Seq.fill(f)(s"w$i") }
+    val got = TextMetrics.zipf(corpus(Seq((1L, "s", words.mkString(" ")))))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 1)
+    val (_, slope, r2) = got.head
+    assert(slope == -1.0, s"slope $slope")
+    assert(r2 == 1.0, s"r2 $r2")
+  }
+
   test("lexical diversity counts tokens, types, hapax exactly") {
     // "a a b c": 4 tokens, 3 types, hapax {b,c} -> ttr .75, hapax 2/3
     val got = TextMetrics.lexdiv(corpus(Seq((1L, "s", "a a b c"))))
