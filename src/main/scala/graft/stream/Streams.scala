@@ -14,6 +14,10 @@ case class UserState(n: Long, cents: Long, minTs: Long, maxTs: Long)
 case class UserSummary(user_id: Long, n: Long, val_sum: Double,
                        first_us: Long, last_us: Long)
 
+/** Per-band-bucket admission verdict for the streaming near-dedup:
+  * one row per (doc, band) with the bucket's admitted owner. */
+case class BandVerdict(doc_id: Long, band_id: Int, owner_id: Long)
+
 /** transformWithState processor: per-user running event count + exact
   * value sum, kept in a typed ValueState. Updates are commutative, so
   * results are input-order independent. */
@@ -388,9 +392,73 @@ object Streams extends QueryPack {
         .orderBy($"user_id", $"event_type", $"w_start")
     }
 
+  /** The stateful core of [[streamDedupNear]], shaped for both the
+    * declared query and the differential spec: per (band_id,
+    * band_hash) bucket, the ADMITTED OWNER is the minimum doc_id ever
+    * seen there; every arrival is emitted with its bucket's owner, so
+    * a doc is a near-dup candidate iff some band's owner has a lower
+    * id. State per bucket is ONE long — admission control never
+    * stores signatures or members, so a boilerplate bucket of 10⁶
+    * docs costs 8 bytes, not a join group (contrast the batch path's
+    * stop-bucket cap, which exists precisely because pairing is
+    * quadratic; admission is not). In-order delivery (doc_id ascending
+    * across batches, the fixture file's layout) makes the verdict
+    * equal to the batch rule "bucket contains a lower id" under ANY
+    * micro-batch split — StreamsSpec proves streaming == batch on a
+    * planted multi-batch corpus. */
+  def nearDedupBandVerdicts(docs: DataFrame): Dataset[BandVerdict] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.vec.VectorOps.minhashSignatures(docs, nHashes = 16)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> hash(b, slice(sig, b*4 + 1, 4)))"))
+        .as(Seq("band_id", "band_hash")))
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val owner = state.getOption.fold(ids.head)(math.min(_, ids.head))
+          state.update(owner)
+          ids.iterator.map(id => BandVerdict(id, key._1, owner))
+      }
+  }
+
+  /** Streaming NEAR-dedup — online MinHash/LSH admission control, the
+    * streaming twin of dedup_near the way [[streamDedup]] twins
+    * dedup_exact: documents arrive as a file stream, each is banded
+    * (16 minhashes, 4 bands × 4 rows — dedup_near's exact index), and
+    * a doc is flagged when any band bucket was already claimed by an
+    * earlier doc. This is the ingestion-time shape: admit-or-flag at
+    * arrival with O(1) state per bucket, no pairing, no reprocessing
+    * of the accepted corpus. NO ORACLE (xxhash64 signatures);
+    * StreamsSpec pins planted cross-batch near-copies AND agreement
+    * with the batch banding. */
+  def streamDedupNear(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val docs = s.readStream.schema(docSchema)
+        .parquet(s"$dir/documents.parque[t]")
+      val verdicts = nearDedupBandVerdicts(docs)
+      drain(verdicts.toDF(), "graft_stream_dedup_near", OutputMode.Append())
+        .groupBy($"doc_id")
+        .agg(max(($"owner_id" < $"doc_id").cast("int")).cast("boolean")
+               .as("is_dup"),
+             sum(($"owner_id" < $"doc_id").cast("long")).as("n_bands_hit"))
+        .orderBy($"doc_id")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark" -> (streamWatermark _),
     "stream_dedup" -> (streamDedup _),
+    "stream_dedup_near" -> (streamDedupNear _),
     "stream_upsert" -> (streamUpsert _),
     "stream_ohlc" -> (streamOhlc _),
     "stream_stateful" -> (streamStateful _),

@@ -249,4 +249,56 @@ class StreamsSpec extends AnyFunSuite {
       s"session ending at watermark 130 not emitted; got $emitted")
     assert(!emitted.exists(_._1 == 2L), s"open session emitted: $emitted")
   }
+
+  test("stream_dedup_near: cross-batch copies flagged, streaming == batch banding") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green bottles stand quietly on the old stone wall near the harbor " +
+      "where fishing boats unload their morning catch before the market opens"
+    val other = "completely different subject matter about maritime " +
+      "navigation charts and the care of vintage sextants in humid climates"
+    val third = "a further text concerning the taxonomy of alpine " +
+      "wildflowers and their pollinators at various elevations in spring"
+    val nearCopy = base.replace("seventeen", "nineteen")
+    val mem = MemoryStream[(Long, String)]
+    val verdicts = Streams.nearDedupBandVerdicts(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = verdicts.toDF().writeStream.format("memory")
+      .queryName("graft_sdn_spec").outputMode("append").start()
+    try {
+      mem.addData((1L, base), (2L, other))          // batch 1: originals
+      q.processAllAvailable()
+      mem.addData((11L, nearCopy), (12L, third),    // batch 2: dups + fresh
+                  (13L, base))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dup = spark.table("graft_sdn_spec")
+      .groupBy($"doc_id")
+      .agg(max(($"owner_id" < $"doc_id").cast("int")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
+    assert(dup(13L), "exact cross-batch copy must always band-match")
+    assert(dup(11L), "planted near-copy not flagged (xxhash64 is " +
+      "deterministic: if this passed once, a failure means code change)")
+    assert(!dup(1L) && !dup(2L) && !dup(12L), s"false positives: $dup")
+
+    // differential: the online verdict equals the batch rule
+    // "some band bucket contains a lower doc_id" on the same corpus
+    // (valid because doc_ids arrived in ascending order)
+    val corpus = Seq((1L, base), (2L, other), (11L, nearCopy),
+                     (12L, third), (13L, base)).toDF("doc_id", "text")
+    val batchFlags = graft.vec.VectorOps
+      .minhashSignatures(corpus, nHashes = 16)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, 3), b -> hash(b, slice(sig, b*4 + 1, 4)))"))
+        .as(Seq("band_id", "band_hash")))
+      .withColumn("owner", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"band_id", $"band_hash")))
+      .groupBy($"doc_id")
+      .agg(max(($"owner" < $"doc_id").cast("int")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
+    assert(dup == batchFlags,
+      s"streaming admission diverged from batch banding: $dup vs $batchFlags")
+  }
 }
