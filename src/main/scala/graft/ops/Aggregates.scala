@@ -140,6 +140,36 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Third-moment distribution shape per segment: mean, population
+    * variance, and population skewness of customer balances — the
+    * moment [[aggStats]] stops short of, and the one that catches
+    * asymmetric drift (a fat tail of debtors) that mean/variance
+    * monitoring misses. Float discipline: all three raw moments
+    * accumulate EXACT integer cents (c³ ≤ 10¹⁸ fits a Long per row;
+    * the sums ride decimal(38,0) / HUGEINT, both exact), so the only
+    * doubles are the identical closed-form arithmetic both engines run
+    * on identical inputs — order-free, partition-proof. skew carries
+    * the one transcendental (pow 1.5), rounded to 6 (text_tfidf
+    * discipline). Scale: one hash agg, map-side partials, five rows
+    * out. */
+  def aggMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = cents($"c_acctbal")
+    val n = count(lit(1)).cast("double")
+    val s1 = sum(c.cast("decimal(38,0)")).cast("double")
+    val s2 = sum((c * c).cast("decimal(38,0)")).cast("double")
+    val s3 = sum((c * c * c).cast("decimal(38,0)")).cast("double")
+    t(s, dir, "customer")
+      .groupBy($"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).as("n"),
+           (s1 / n / 100).as("mean_bal"),
+           ((s2 / n - (s1 / n) * (s1 / n)) / 10000).as("var_bal"),
+           round((s3 / n - lit(3.0) * (s1 / n) * (s2 / n) +
+                  lit(2.0) * (s1 / n) * (s1 / n) * (s1 / n)) /
+                 pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6).as("skew"))
+      .orderBy($"seg")
+  }
+
   /** Mergeable Apache DataSketches HLL: per-nation supplier sketches
     * plus their UNION re-aggregated from the serialized sketches — the
     * 100 TB distinct-count pattern (build partial sketches per
@@ -581,7 +611,8 @@ object Aggregates extends QueryPack {
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_gsets" -> (aggGsets _),
-    "agg_stats" -> (aggStats _))
+    "agg_stats" -> (aggStats _),
+    "agg_moments" -> (aggMoments _))
 
   private val geoCte =
     """WITH cust_geo AS (
@@ -758,6 +789,20 @@ object Aggregates extends QueryPack {
         |SELECT l_returnflag, 'taxed', taxed FROM wide
         |ORDER BY l_returnflag, metric""".stripMargin,
     "agg_hash" -> aggHashSql,
+    "agg_moments" ->
+      """WITH x AS (SELECT c_mktsegment AS seg,
+        |             CAST(round(c_acctbal*100) AS BIGINT) AS c FROM customer),
+        |s AS (SELECT seg, count(*) AS n,
+        |        CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+        |        CAST(sum(CAST(c AS HUGEINT)*c) AS DOUBLE) AS s2,
+        |        CAST(sum(CAST(c AS HUGEINT)*c*c) AS DOUBLE) AS s3
+        |      FROM x GROUP BY seg)
+        |SELECT seg, n,
+        |  s1/n/100 AS mean_bal,
+        |  (s2/n - (s1/n)*(s1/n)) / 10000 AS var_bal,
+        |  round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+        |        / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skew
+        |FROM s ORDER BY seg""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,

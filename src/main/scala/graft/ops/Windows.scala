@@ -329,7 +329,39 @@ object Windows extends QueryPack {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Truncated EWMA (α = 0.2, 20-lag) of each customer's order totals
+    * over the (date, key)-ordered series — the recency-weighted
+    * baseline trading/monitoring rollups use where a plain rolling
+    * mean lags regime changes. EWMA is inherently recursive, which SQL
+    * windows can't express directly, and the closed form Σ α(1−α)^k·x
+    * needs pow(1−α, −j) factors that overflow at corpus row counts —
+    * so the frame's values are collected (bounded: 20 longs) and the
+    * recursion runs as a per-row HOF fold. Float discipline: both
+    * engines fold the SAME 20 values in the SAME order with the same
+    * three IEEE ops per step (seed = oldest/100, acc·0.8 + 0.2·(x/100))
+    * — bit-identical without rounding, the same local-fold determinism
+    * doc_fingerprint relies on. The frame list is an attribute (window
+    * output), so the fold can't be CollapseProject-inlined into
+    * anything (the dedup_winnow lesson). One customer-keyed shuffle,
+    * frames never exceed 20 rows. */
+  def winEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+              cents($"o_totalprice").as("pc"))
+      .withColumn("xs", collect_list($"pc").over(w.rowsBetween(-19, 0)))
+      .withColumn("ewma", expr(
+        """aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),
+          |  cast(element_at(xs, 1) as double) / 100,
+          |  (acc, x) -> acc * 0.8 + 0.2 * (cast(x as double) / 100))""".stripMargin))
+      .select($"o_custkey", $"o_orderkey", $"ewma")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ewma" -> (winEwma _),
     "win_running_median" -> (winRunningMedian _),
     "win_islands" -> (winIslands _),
     "win_nav" -> (winNav _),
@@ -345,6 +377,21 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "win_ewma" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS pc
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    list(pc) OVER (PARTITION BY o_custkey
+        |                   ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM o)
+        |SELECT o_custkey, o_orderkey,
+        |  list_reduce(list_transform(xs, x -> CAST(x AS DOUBLE)/100),
+        |              (acc, x) -> acc * 0.8 + 0.2 * x) AS ewma
+        |FROM f ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_running_median" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate,

@@ -9,6 +9,24 @@ class OperatorSpec extends AnyFunSuite {
   lazy val spark = SparkSpec.session
   import spark.implicits._
 
+  test("win_ewma recursion: seed = oldest, then acc*0.8 + 0.2*x per step") {
+    // totals 1.00, 2.00, 3.00 -> ewma 1.0, 1.2, 0.8*1.2+0.6=1.56
+    val df = Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.00),
+                 (1L, 11L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2.00),
+                 (1L, 12L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 3.00))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    df.write.parquet(s"$dir/orders.parquet")
+    val got = graft.ops.Windows.winEwma(spark, dir)
+      .collect().map(_.getDouble(2)).toSeq
+    // expectations computed with the SAME IEEE ops the fold runs —
+    // 0.8*1.0 + 0.2*2.0 is 1.2000000000000002, not 1.2
+    val e1 = 1.0
+    val e2 = e1 * 0.8 + 0.2 * 2.0
+    val e3 = e2 * 0.8 + 0.2 * 3.0
+    assert(got == Seq(e1, e2, e3), s"got $got")
+  }
+
   test("Det.sumMoney is exact and partition-order independent") {
     val vals = Seq(0.01, 0.02, 0.03, 10.10, 99.99, 0.005, 1.004)
     val expected = vals.map(v => math.round(v * 100)).sum.toDouble / 100
