@@ -65,6 +65,36 @@ object VectorOps extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** k-NN JOIN: every vector's top-3 cosine neighbors within its
+    * label block — the k-NN GRAPH construction that semantic dedup,
+    * clustering, and retrieval-eval pipelines all start from
+    * ([[simSearch]] answers 5 queries; this answers ALL of them).
+    * Blocking key here is the label (exact, oracle-able); at 100 TB
+    * the same plan runs with LSH/IVF bucket ids as the block — the
+    * machinery [[dedupEmbedLsh]]/[[simSearchIvf]] already ship. The
+    * heap aggregate bounds what shuffles to k rows per vector (the
+    * [[simSearch]] argument, but applied corpus-wide: the window
+    * formulation would sort |block|² scored pairs; the heap reduces
+    * each scan partition to k-bounded summaries map-side). DuckDB
+    * runs the window row_number formulation — the differential proves
+    * heap ≡ full sort on every neighbor list. */
+  def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val a = e.select($"vec_id".as("id_a"), $"label",
+                     $"emb".as("emb_a"), $"nrm".as("nrm_a"))
+    val b = e.select($"vec_id".as("id_b"), $"label",
+                     $"emb".as("emb_b"), $"nrm".as("nrm_b"))
+    a.join(b, Seq("label")).where($"id_a" =!= $"id_b")
+      .withColumn("cos", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
+      .groupBy($"id_a", $"label")
+      .agg(graft.functions.BoundedTopK.boundedTopK($"cos", $"id_b", 3).as("top"))
+      .select($"id_a", $"label", posexplode($"top"))
+      .select($"id_a", $"label", $"col.id".as("id_b"),
+        round($"col.ord", 6).as("cos"), ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"id_a", $"rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * Brute-force within-label here (exact, oracle-able); the LSH
     * variant below is the 100 TB path. */
@@ -527,6 +557,7 @@ object VectorOps extends QueryPack {
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_rerank" -> (simSearchRerank _),
     "dedup_embed" -> (dedupEmbed _),
+    "sim_knn_join" -> (simKnnJoin _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_near" -> (dedupNear _),
     "dedup_clusters_lsh" -> (dedupClustersLsh _),
@@ -585,6 +616,18 @@ object VectorOps extends QueryPack {
         |      FROM c)
         |SELECT q_id, vec_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,
+    "sim_knn_join" ->
+      """WITH c AS (
+        |  SELECT a.vec_id AS id_a, a.label, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT id_a, label, id_b, cos,
+        |        CAST(row_number() OVER (PARTITION BY id_a
+        |          ORDER BY cos DESC, id_b ASC) AS INTEGER) AS rk
+        |      FROM c)
+        |SELECT id_a, label, id_b, round(cos, 6) AS cos, rk FROM r
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin,
     "dedup_embed" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
