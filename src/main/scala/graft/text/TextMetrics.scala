@@ -261,6 +261,70 @@ object TextMetrics extends QueryPack {
   def textQualityGate(s: SparkSession, dir: String): DataFrame =
     qualityGate(docs(s, dir))
 
+  /** The WHOLE curation funnel, end to end, with a per-source audit —
+    * what a training-data team actually reviews before a run: raw →
+    * quality gate ([[qualityGate]]) → exact dedup (min-id survivor per
+    * normalized text) → near-dup carving (3-gram Jaccard ≥ 0.6 within
+    * source, dedup_survivors' loser rule) → docs and chars remaining
+    * per source. Every stage reuses the exact semantics of its
+    * standalone query, and the DuckDB oracle recomposes all four
+    * stages in one CTE chain — so the differential proves the
+    * COMPOSITION, not just the parts.
+    *
+    * Scale shape: stage hand-offs are doc_id joins against model-sized
+    * keep-lists (quality verdicts, exact survivors, near losers), each
+    * co-partitioned after its first shuffle; the only corpus-sized
+    * shuffles are the ones the standalone stages already pay (gram /
+    * word aggs, the df-capped shingle self-join). The audit is five
+    * one-row-per-source aggregates joined on source. */
+  def curateFull(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val keepQ = qualityGate(d).where($"keep").select($"doc_id")
+    val q = d.join(keepQ, Seq("doc_id"))
+    val exactSurv = q
+      .withColumn("norm", TextOps.normCol)
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"norm")))
+      .where($"doc_id" === $"keep_id")
+      .select($"doc_id", $"source", $"text", $"n_chars")
+    val sh = exactSurv
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))
+      .distinct()
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"sh")))
+      .where($"df" <= TextOps.hotShingleCap)
+      .localCheckpoint(false)
+    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"),
+                      $"sh", $"sz".as("sz_a"))
+    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"),
+                      $"sh", $"sz".as("sz_b"))
+    val losers = a
+      .join(b, a("sh") === b("sh") && $"src_a" === $"src_b" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .where($"inter".cast("double") /
+             ($"sz_a" + $"sz_b" - $"inter").cast("double") >= 0.6)
+      .select($"doc_b".as("doc_id")).distinct()
+    val finalSurv = exactSurv.join(losers, Seq("doc_id"), "left_anti")
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_raw"), sum($"n_chars").as("chars_raw"))
+      .join(q.groupBy($"source").agg(count(lit(1)).as("nq")), Seq("source"), "left")
+      .join(exactSurv.groupBy($"source").agg(count(lit(1)).as("ne")), Seq("source"), "left")
+      .join(finalSurv.groupBy($"source")
+              .agg(count(lit(1)).as("nf"), sum($"n_chars").as("cf")),
+            Seq("source"), "left")
+      .select($"source", $"n_raw", $"chars_raw",
+        coalesce($"nq", lit(0L)).as("n_quality"),
+        coalesce($"ne", lit(0L)).as("n_exact"),
+        coalesce($"nf", lit(0L)).as("n_final"),
+        coalesce($"cf", lit(0L)).as("chars_final"))
+      .orderBy($"source")
+  }
+
+  def pipelineCurateFull(s: SparkSession, dir: String): DataFrame =
+    curateFull(docs(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (dedupWinnow _),
     "text_repetition" -> (textRepetition _),
@@ -268,7 +332,8 @@ object TextMetrics extends QueryPack {
     "text_lexdiv" -> (textLexdiv _),
     "text_entropy" -> (textEntropy _),
     "text_zipf" -> (textZipf _),
-    "text_quality_gate" -> (textQualityGate _))
+    "text_quality_gate" -> (textQualityGate _),
+    "pipeline_curate_full" -> (pipelineCurateFull _))
 
   def oracle: Map[String, String] = Map(
     "dedup_winnow" ->
@@ -326,6 +391,69 @@ object TextMetrics extends QueryPack {
         |x AS (SELECT *, quantile_cont(dev, 0.5) OVER (PARTITION BY source) AS mad FROM d)
         |SELECT doc_id, source, n_chars, med, mad, (dev > 3 * mad) AS is_outlier
         |FROM x ORDER BY doc_id""".stripMargin,
+    "pipeline_curate_full" ->
+      s"""WITH w0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w0)),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g0 GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |          CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+        |            / CAST(sum(c) AS DOUBLE) AS dup_frac
+        |        FROM gc GROUP BY 1),
+        |t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM t0 GROUP BY 1, 2),
+        |lex AS (SELECT doc_id,
+        |          CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+        |        FROM tc GROUP BY 1),
+        |madz AS (SELECT doc_id,
+        |           (dev > 3 * quantile_cont(dev, 0.5) OVER (PARTITION BY source)) AS is_outlier
+        |         FROM (SELECT doc_id, source,
+        |                 abs(n_chars - quantile_cont(n_chars, 0.5) OVER (PARTITION BY source)) AS dev
+        |               FROM documents)),
+        |q_keep AS (
+        |  SELECT d.doc_id FROM documents d
+        |  JOIN rep USING (doc_id) JOIN lex USING (doc_id) JOIN madz USING (doc_id)
+        |  WHERE NOT (dup_frac > 0.2 OR ttr < 0.3 OR is_outlier)),
+        |q AS (SELECT d.* FROM documents d JOIN q_keep USING (doc_id)),
+        |n AS (SELECT doc_id, source, n_chars, text,
+        |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM q),
+        |ex AS (SELECT doc_id, source, n_chars, text FROM
+        |        (SELECT n.*, min(doc_id) OVER (PARTITION BY norm) AS keep_id FROM n)
+        |       WHERE doc_id = keep_id),
+        |w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM ex),
+        |ix AS (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
+        |shc AS (SELECT s.doc_id, s.source, s.sh FROM sh s
+        |        JOIN df USING (source, sh) WHERE df <= ${TextOps.hotShingleCap}),
+        |near_b AS (
+        |  SELECT DISTINCT doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |    FROM shc a JOIN shc b
+        |      ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sz za ON p.doc_a = za.doc_id
+        |  JOIN sz zb ON p.doc_b = zb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.6),
+        |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM near_b)),
+        |raw AS (SELECT source, count(*) AS n_raw, CAST(sum(n_chars) AS BIGINT) AS chars_raw
+        |        FROM documents GROUP BY source),
+        |qs AS (SELECT source, count(*) AS n_quality FROM q GROUP BY source),
+        |exs AS (SELECT source, count(*) AS n_exact FROM ex GROUP BY source),
+        |fins AS (SELECT source, count(*) AS n_final, CAST(sum(n_chars) AS BIGINT) AS chars_final
+        |         FROM fin GROUP BY source)
+        |SELECT r.source, n_raw, chars_raw,
+        |  CAST(coalesce(n_quality, 0) AS BIGINT) AS n_quality,
+        |  CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+        |  CAST(coalesce(n_final, 0) AS BIGINT) AS n_final,
+        |  CAST(coalesce(chars_final, 0) AS BIGINT) AS chars_final
+        |FROM raw r
+        |LEFT JOIN qs USING (source) LEFT JOIN exs USING (source)
+        |LEFT JOIN fins USING (source)
+        |ORDER BY r.source""".stripMargin,
     "text_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)

@@ -328,4 +328,28 @@ class PropertySpec extends AnyFunSuite {
       s"CTE vs star: ${viaCte.diff(viaStar)} / ${viaStar.diff(viaCte)}")
     assert(viaCte.contains((99L, 99L)), "singleton must label itself")
   }
+
+  test("winnowing guarantee: every shared >= k+w-1 substring yields a shared fingerprint") {
+    // Schleimer et al.'s correctness property, checked directly on the
+    // kernel: plant a common substring of length k+w-1 = 11 into pairs
+    // of otherwise-random strings; the winnowed sets MUST intersect.
+    // (Deterministic seed: the property is exhaustive over these 40
+    // planted cases, not sampled anew per run.)
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 8; val w = 4
+    for (trial <- 1 to 40) {
+      val shared = randStr(k + w - 1)
+      val s1 = randStr(rnd.nextInt(30)) + shared + randStr(rnd.nextInt(30))
+      val s2 = randStr(rnd.nextInt(30)) + shared + randStr(rnd.nextInt(30))
+      def fps(t: String): Set[Long] = {
+        val a = graft.functions.WinnowFingerprintsUtil.fingerprints(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), k, w)
+        (0 until a.numElements()).map(a.getLong).toSet
+      }
+      val inter = fps(s1) intersect fps(s2)
+      assert(inter.nonEmpty,
+        s"trial $trial: shared 11-char substring produced no shared fingerprint")
+    }
+  }
 }
