@@ -176,6 +176,47 @@ object Joins extends QueryPack {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** Nearest as-of join — the third member of the family: for each
+    * purchase, the click by the same user minimizing |Δt|, ties to
+    * the EARLIER click. One union pass, ONE user-keyed sort (ts asc,
+    * clicks before equal-ts purchases): the backward candidate is
+    * last(ignoreNulls) over [unbounded, current] (inclusive at equal
+    * ts), the forward candidate first(ignoreNulls) over [current,
+    * unbounded] (exclusive at equal ts — harmless, the backward side
+    * already holds that row at Δ=0 and the tie rule prefers it). Both
+    * windows share the single exchange+sort; distances compare as
+    * exact integer microseconds. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val clicks = e.where($"event_type" === "click")
+      .groupBy($"user_id", $"ts") // unique (user,ts): engine-free tie-break
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts", lit(0).as("kind"),
+              lit(null).cast("long").as("p_id"), $"click_id")
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("kind"),
+              $"event_id".as("p_id"), lit(null).cast("long").as("click_id"))
+    val ord = Window.partitionBy($"user_id").orderBy($"ts".asc, $"kind".asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val c = when($"kind" === 0,
+      struct(unix_micros($"ts".cast("timestamp")).as("us"), $"click_id"))
+    clicks.unionByName(purchases)
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("prev", last(c, ignoreNulls = true).over(back))
+      .withColumn("next", first(c, ignoreNulls = true).over(fwd))
+      .where($"kind" === 1)
+      .withColumn("take_prev", $"prev".isNotNull &&
+        ($"next".isNull || ($"us" - $"prev.us") <= ($"next.us" - $"us")))
+      .select($"user_id", $"p_id".as("purchase_id"), $"ts",
+        when($"take_prev", $"prev.click_id")
+          .otherwise($"next.click_id").as("click_id"),
+        when($"take_prev", $"us" - $"prev.us")
+          .otherwise($"next.us" - $"us").as("dt_us"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** Range (band) self-join AT SCALE: pairs of events by the same user
     * within 5 minutes of each other. The naive formulation is a
     * non-equi join → BNLJ → quadratic; the scale-safe one quantizes
@@ -384,7 +425,8 @@ object Joins extends QueryPack {
     "join_anti" -> (joinAnti _),
     "join_theta" -> (joinTheta _),
     "join_asof" -> (joinAsof _),
-    "join_asof_forward" -> (joinAsofForward _))
+    "join_asof_forward" -> (joinAsofForward _),
+    "join_asof_nearest" -> (joinAsofNearest _))
 
   def oracle: Map[String, String] = Map(
     // the bloom prefilter is semantics-preserving: the oracle is the
@@ -543,5 +585,28 @@ object Joins extends QueryPack {
         |SELECT p.user_id, p.event_id AS purchase_id, p.ts, c.click_id
         |FROM purchases p
         |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
-        |ORDER BY p.user_id, purchase_id""".stripMargin)
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT p.user_id, p.event_id AS purchase_id, p.ts, c.click_id AS b_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS b_dt
+        |  FROM purchases p
+        |  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (
+        |  SELECT p.user_id, p.event_id AS purchase_id, c.click_id AS f_id,
+        |    epoch_us(c.ts) - epoch_us(p.ts) AS f_dt
+        |  FROM purchases p
+        |  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.user_id, b.purchase_id, b.ts,
+        |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_dt <= f_dt)
+        |       THEN b_id ELSE f_id END AS click_id,
+        |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_dt <= f_dt)
+        |       THEN b_dt ELSE f_dt END AS dt_us
+        |FROM b JOIN f USING (user_id, purchase_id)
+        |ORDER BY user_id, purchase_id""".stripMargin)
 }

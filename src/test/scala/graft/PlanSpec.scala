@@ -187,6 +187,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange") && !p.contains("Window"), p.take(900))
   }
 
+  test("join_asof_nearest: both directions fuse into ONE window pass, no join") {
+    val p = plan("join_asof_nearest")
+    // backward last() and forward first() carry different frames, so
+    // Spark plans two Window nodes — but they share the same
+    // (user_id; ts, kind) ordering, so the second must stack DIRECTLY
+    // on the first with no re-sort of the event stream between them:
+    // exactly two Sorts in the whole plan (the shared window sort +
+    // the final orderBy), and never an actual join operator
+    val sorts = "\\(\\d+\\) Sort".r.findAllIn(p).length
+    assert(sorts == 2, s"expected 2 Sort nodes (window + output), got $sorts")
+    assert(!p.contains("Join"), "as-of emulation must not plan a join:\n" +
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("dedup_winnow candidate join is an equi-join, never all-pairs") {
     val p = plan("dedup_winnow")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
