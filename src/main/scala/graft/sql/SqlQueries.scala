@@ -613,7 +613,30 @@ object SqlQueries extends QueryPack {
     s.sql(recursiveSql)
   }
 
+  /** Correlated LATERAL subquery — "top-2 orders per customer" as the
+    * SQL-standard lateral derived table: the one subquery shape the
+    * rest of the pack doesn't reach (EXISTS/IN/scalar are predicates;
+    * LATERAL is a correlated TABLE). Catalyst plans it through
+    * LateralJoin + DecorrelateInnerQuery, rewriting the per-row
+    * ORDER BY + LIMIT into a partitioned window — the decorrelation
+    * surface this query pins. Selection carries a total order
+    * (o_totalprice DESC, o_orderkey), so the kept 2 rows are
+    * engine-identical under ties. */
+  def sqlLateral(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(lateralSql)
+  }
+
+  private val lateralSql =
+    """SELECT c.c_custkey, o.o_orderkey, o.tp
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS tp FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, tp DESC, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_lateral" -> (sqlLateral _),
     "sql_recursive" -> (sqlRecursive _),
     "sql_exists" -> (sqlExists _),
     "sql_corr_scalar" -> (sqlCorrScalar _),
@@ -650,6 +673,7 @@ object SqlQueries extends QueryPack {
     "sql_tpch_q15" -> q15Sql,
     "sql_tpch_q17" -> q17Sql,
     "sql_tpch_q22" -> q22Sql,
+    "sql_lateral" -> lateralSql,
     "sql_tpch_q3" -> q3Sql,
     "sql_tpch_q5" -> q5Sql,
     "sql_tpch_q7" -> q7Sql,
