@@ -115,6 +115,34 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(r2 == 1.0, s"r2 $r2")
   }
 
+  test("cross-query invariant: 0 <= entropy <= ln(n_types) on every fixture doc") {
+    // the uniform distribution maximizes Shannon entropy, so H must
+    // sit in [0, ln(types)] — a differential between two independent
+    // aggregations (entropy's c·ln c fold vs lexdiv's distinct count)
+    val docs = spark.read.parquet(s"${SparkSpec.sfDir}/documents.parquet")
+    val h = graft.text.TextMetrics.entropy(docs).select($"doc_id", $"entropy")
+    val t = graft.text.TextMetrics.lexdiv(docs).select($"doc_id", $"n_types")
+    val bad = h.join(t, "doc_id")
+      // the 6-decimal rounding can poke at most 5e-7 past the bound
+      .where($"entropy" < -1e-6 || $"entropy" > log($"n_types".cast("double")) + 1e-6)
+      .count()
+    assert(bad == 0, s"$bad docs violate the entropy bound")
+  }
+
+  test("agg_moments: symmetric data has zero skew, right tail positive") {
+    import org.apache.spark.sql.functions.{round => _, _}
+    val dir = java.nio.file.Files.createTempDirectory("graft_moments").toString
+    val rows =
+      Seq.tabulate(5)(i => (i.toLong, "SYM", Seq(-2.0, -1.0, 0.0, 1.0, 2.0)(i))) ++
+      Seq.tabulate(5)(i => (10L + i, "TAIL", Seq(0.0, 0.0, 0.0, 0.0, 10.0)(i)))
+    rows.toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = graft.ops.Aggregates.aggMoments(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("SYM") == 0.0, s"symmetric skew: ${got("SYM")}")
+    assert(got("TAIL") > 1.0, s"right-tail skew: ${got("TAIL")}")
+  }
+
   test("lexical diversity counts tokens, types, hapax exactly") {
     // "a a b c": 4 tokens, 3 types, hapax {b,c} -> ttr .75, hapax 2/3
     val got = TextMetrics.lexdiv(corpus(Seq((1L, "s", "a a b c"))))
