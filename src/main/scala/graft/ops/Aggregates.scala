@@ -170,6 +170,34 @@ object Aggregates extends QueryPack {
       .orderBy($"seg")
   }
 
+  /** Gini concentration coefficient per segment — the inequality
+    * metric a data-mix audit runs (is one source/customer hoarding the
+    * budget?): G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over
+    * ascending-sorted values. Everything is INTEGER until the one
+    * final division (ranks × cents; Σ i·x ≤ 9·10¹⁴ at sf0.1 — far
+    * inside Long), so the oracle hash-matches with no rounding. The
+    * rank window and the aggregate share one segment-keyed shuffle;
+    * the rank is a total order (cents, custkey), engine-identical
+    * under ties. Negative balances make G leave [0,1] — fine for the
+    * differential, flagged to callers in the column name staying
+    * `gini_signed`. */
+  def aggGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"seg").orderBy($"c".asc, $"k".asc)
+    t(s, dir, "customer")
+      .select($"c_mktsegment".as("seg"), cents($"c_acctbal").as("c"),
+              $"c_custkey".as("k"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"),
+           sum($"c").as("s1"),
+           sum($"i" * $"c").as("sic"))
+      .select($"seg", $"n",
+        ((lit(2L) * $"sic" - ($"n" + 1L) * $"s1").cast("double") /
+         ($"n" * $"s1").cast("double")).as("gini_signed"))
+      .orderBy($"seg")
+  }
+
   /** Mergeable Apache DataSketches HLL: per-nation supplier sketches
     * plus their UNION re-aggregated from the serialized sketches — the
     * 100 TB distinct-count pattern (build partial sketches per
@@ -612,7 +640,8 @@ object Aggregates extends QueryPack {
     "agg_cube" -> (aggCube _),
     "agg_gsets" -> (aggGsets _),
     "agg_stats" -> (aggStats _),
-    "agg_moments" -> (aggMoments _))
+    "agg_moments" -> (aggMoments _),
+    "agg_gini" -> (aggGini _))
 
   private val geoCte =
     """WITH cust_geo AS (
@@ -789,6 +818,18 @@ object Aggregates extends QueryPack {
         |SELECT l_returnflag, 'taxed', taxed FROM wide
         |ORDER BY l_returnflag, metric""".stripMargin,
     "agg_hash" -> aggHashSql,
+    "agg_gini" ->
+      """WITH x AS (SELECT c_mktsegment AS seg,
+        |             CAST(round(c_acctbal*100) AS BIGINT) AS c, c_custkey AS k
+        |           FROM customer),
+        |r AS (SELECT seg, c,
+        |        CAST(row_number() OVER (PARTITION BY seg ORDER BY c, k) AS BIGINT) AS i
+        |      FROM x),
+        |s AS (SELECT seg, count(*) AS n, sum(c) AS s1, sum(i*c) AS sic
+        |      FROM r GROUP BY seg)
+        |SELECT seg, n,
+        |  CAST(2*sic - (n+1)*s1 AS DOUBLE) / CAST(n*s1 AS DOUBLE) AS gini_signed
+        |FROM s ORDER BY seg""".stripMargin,
     "agg_moments" ->
       """WITH x AS (SELECT c_mktsegment AS seg,
         |             CAST(round(c_acctbal*100) AS BIGINT) AS c FROM customer),
