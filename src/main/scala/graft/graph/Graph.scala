@@ -195,26 +195,34 @@ object Graph {
     * Scale shape: sampling drops wedge volume by p² and closure
     * candidates by p³; orientation by (degree, id) rank caps
     * out-degree at O(√E) so hubs emit zero wedges; the closure probes
-    * a BROADCAST hash of the sampled edges, so the wedge stream — the
-    * largest intermediate — is generated, probed, and counted inside
-    * one stage. Past broadcast reach, drop the hint for a partitioned
-    * equi-join on (t1, t2).
+    * a BROADCAST hash of the sampled edges when they are provably
+    * small, so the wedge stream — the largest intermediate — is
+    * generated, probed, and counted inside one stage. The broadcast
+    * is SIZE-GATED, not assumed: the sampled edge set is counted
+    * eagerly (the count doubles as the checkpoint materialization —
+    * every downstream consumer reuses the blocks), and past
+    * `broadcastMaxEdges` the closure becomes a partitioned equi-join
+    * on (t1, t2) — same result, no driver-OOM cliff when the p-sample
+    * of a 100 TB edge set exceeds broadcast reach.
     *
     * Returns one row: (n_vertices_sampled, n_edges_sampled,
     * n_tri_sampled, est_triangles). */
-  def triangleEstimate(edges: DataFrame, hexCap: String,
-                       invP3: Long): DataFrame = {
+  def triangleEstimate(edges: DataFrame, hexCap: String, invP3: Long,
+                       broadcastMaxEdges: Long = 4000000L): DataFrame = {
     val e = edges
       .where(substring(md5(concat_ws("_", col("a"), col("b"))), 1, 2)
         < hexCap)
       .distinct()
-      // three downstream consumers (count, degree, closure) — one
-      // materialization, not three recomputes of the edge source.
-      // LAZY: the blocks persist on first compute at execution time,
-      // so constructing the DataFrame (PlanSpec does) runs no job
+      // four downstream consumers (gate count, degree, closure, edge
+      // count) — one materialization, not four recomputes of the edge
+      // source. EAGER by way of the gate count below.
       .localCheckpoint(false)
+    // ~24 bytes/edge hashed relation: 4M edges ≈ 100 MB, inside the
+    // default driver/executor broadcast comfort zone with margin
+    val nSampledEdges = e.count()
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(false)
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val oriented = e
@@ -222,12 +230,16 @@ object Graph {
       .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("f"),
               when(lowFirst, col("b")).otherwise(col("a")).as("t"))
+      // the wedge self-join consumes `oriented` twice; one compute
+      .localCheckpoint(false)
     val wedges = oriented.select(col("f"), col("t").as("t1"))
       .join(oriented.select(col("f"), col("t").as("t2")), "f")
       .where(col("t1") < col("t2"))
     // wedge pair is already canonical (t1 < t2), matching e's a < b
-    val tri = wedges.join(broadcast(e),
-      col("t1") === col("a") && col("t2") === col("b"))
+    val closeOn = col("t1") === col("a") && col("t2") === col("b")
+    val tri =
+      if (nSampledEdges <= broadcastMaxEdges) wedges.join(broadcast(e), closeOn)
+      else wedges.join(e.hint("shuffle_merge"), closeOn)
     deg.agg(count(lit(1)).as("n_vertices_sampled"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges_sampled")))
       .crossJoin(tri.agg(count(lit(1)).as("n_tri_sampled"))

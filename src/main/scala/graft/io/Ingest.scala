@@ -316,14 +316,22 @@ object Ingest extends QueryPack {
     * output file / row group covers a narrow band of BOTH columns and
     * a rectangle predicate skips on min/max stats in either dimension.
     *
-    * Bucket ids come from each dimension's max (one model-sized agg
-    * job, the same shape as Delta's range-id sampling — at 100 TB
-    * you'd sample instead of max-scan); 8 bits per dimension = 65536
-    * z-cells, plenty for 8 output files. The interleave is a fixed
-    * 16-term bitwise expression — codegen'd, no UDF. Read-back runs a
-    * rectangle query; the oracle (same rectangle on the ORIGINAL
-    * lineitem) proves the rewrite lost nothing, IngestSpec asserts
-    * the per-file min/max area is actually clustered. */
+    * Bucket ids come from each dimension's SAMPLED max — a
+    * deterministic 1-in-64 key-hash sample of only the two key
+    * columns (column-pruned scan), the same shape as Delta's range-id
+    * sampling: at 100 TB the bounds job reads two ints per sampled
+    * row, not the table, and the real systems go further and read
+    * only file-footer stats. Sampling makes the bounds an ESTIMATE,
+    * so the bucket id clamps to [0, 255]: rows above the estimated
+    * max pile into the top z-cell, which costs a sliver of clustering
+    * quality and zero correctness — the z value is only a sort key.
+    * 8 bits per dimension = 65536 z-cells, plenty for 8 output files.
+    * The interleave is a fixed 16-term bitwise expression — codegen'd,
+    * no UDF. Read-back runs a rectangle query; the oracle (same
+    * rectangle on the ORIGINAL lineitem) proves the rewrite lost
+    * nothing, IngestSpec asserts the per-file min/max area is
+    * actually clustered and that the bounds job's scan is pruned to
+    * the two key columns. */
   def ingestZorder(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val src = Tables.t(s, dir, "lineitem")
@@ -331,11 +339,11 @@ object Ingest extends QueryPack {
               $"l_quantity", $"l_extendedprice")
     val path = scratch(dir, "zorder_lineitem")
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
-      val (maxO, maxP) = src.agg(max($"l_orderkey"), max($"l_partkey"))
-        .as[(Long, Long)].head()
+      val (maxO, maxP) = boundsBySample(
+        Tables.t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       // integer `div` keeps the bucket id exact (Column `/` is double)
       def bucket(name: String, maxV: Long): Column =
-        expr(s"$name * 256 div ${maxV + 1}")
+        least(expr(s"$name * 256 div ${maxV + 1}"), lit(255L))
       val bo = bucket("l_orderkey", maxO)
       val bp = bucket("l_partkey", maxP)
       val z = (0 until 8).map { i =>
@@ -354,6 +362,25 @@ object Ingest extends QueryPack {
       .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty_sum"),
            sumMoney($"l_extendedprice").as("price_sum"))
       .orderBy($"l_returnflag")
+  }
+
+  /** Sampled per-dimension range bounds for [[ingestZorder]]: a
+    * deterministic 1-in-64 xxhash64 row sample over a scan pruned to
+    * the key columns. The sampled max underestimates the true max by
+    * at most ~the top-64 quantile gap; callers clamp bucket ids, so
+    * the estimate trades a sliver of top-cell clustering for never
+    * scanning a full column. Deterministic (hash of the keys, no RNG)
+    * → the layout, and therefore IngestSpec's clustering assertions,
+    * are stable run-to-run. */
+  private[graft] def boundsSamplePlan(t: DataFrame, c1: String, c2: String): DataFrame =
+    t.select(col(c1), col(c2))
+      .where(pmod(xxhash64(col(c1), col(c2)), lit(64)) === 0)
+      .agg(max(col(c1)), max(col(c2)))
+
+  private def boundsBySample(t: DataFrame, c1: String, c2: String): (Long, Long) = {
+    val s = t.sparkSession
+    import s.implicits._
+    boundsSamplePlan(t, c1, c2).as[(Long, Long)].head()
   }
 
   /** Schema evolution across parquet generations — the drift every

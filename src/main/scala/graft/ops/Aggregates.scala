@@ -166,7 +166,8 @@ object Aggregates extends QueryPack {
            ((s2 / n - (s1 / n) * (s1 / n)) / 10000).as("var_bal"),
            round((s3 / n - lit(3.0) * (s1 / n) * (s2 / n) +
                   lit(2.0) * (s1 / n) * (s1 / n) * (s1 / n)) /
-                 pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6).as("skew"))
+                 nullif(pow(s2 / n - (s1 / n) * (s1 / n), 1.5), lit(0.0)),
+                 6).as("skew"))
       .orderBy($"seg")
   }
 
@@ -174,13 +175,19 @@ object Aggregates extends QueryPack {
     * metric a data-mix audit runs (is one source/customer hoarding the
     * budget?): G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over
     * ascending-sorted values. Everything is INTEGER until the one
-    * final division (ranks × cents; Σ i·x ≤ 9·10¹⁴ at sf0.1 — far
-    * inside Long), so the oracle hash-matches with no rounding. The
-    * rank window and the aggregate share one segment-keyed shuffle;
-    * the rank is a total order (cents, custkey), engine-identical
-    * under ties. Negative balances make G leave [0,1] — fine for the
-    * differential, flagged to callers in the column name staying
-    * `gini_signed`. */
+    * final division: the rank-weighted sum Σ i·x widens to
+    * decimal(38,0) before summing (mirroring aggMoments) so the
+    * exact-integer claim holds at EVERY scale factor, not just the
+    * sf0.1 Long envelope (~3e6 rows/segment × 1e6 max cents would
+    * approach Long overflow silently at sf1000). The denominator is
+    * nullif-guarded: a segment whose summed cents is exactly 0 yields
+    * NULL in both engines (Spark's non-ANSI Divide nulls on zero,
+    * DuckDB's IEEE float division would produce inf — the guard
+    * aligns them). The rank window and the aggregate share one
+    * segment-keyed shuffle; the rank is a total order (cents,
+    * custkey), engine-identical under ties. Negative balances make G
+    * leave [0,1] — fine for the differential, flagged to callers in
+    * the column name staying `gini_signed`. */
   def aggGini(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"seg").orderBy($"c".asc, $"k".asc)
@@ -190,11 +197,11 @@ object Aggregates extends QueryPack {
       .withColumn("i", row_number().over(w).cast("long"))
       .groupBy($"seg")
       .agg(count(lit(1)).as("n"),
-           sum($"c").as("s1"),
-           sum($"i" * $"c").as("sic"))
+           sum($"c".cast("decimal(38,0)")).as("s1"),
+           sum(($"i" * $"c").cast("decimal(38,0)")).as("sic"))
       .select($"seg", $"n",
         ((lit(2L) * $"sic" - ($"n" + 1L) * $"s1").cast("double") /
-         ($"n" * $"s1").cast("double")).as("gini_signed"))
+         nullif(($"n" * $"s1").cast("double"), lit(0.0))).as("gini_signed"))
       .orderBy($"seg")
   }
 
@@ -825,10 +832,13 @@ object Aggregates extends QueryPack {
         |r AS (SELECT seg, c,
         |        CAST(row_number() OVER (PARTITION BY seg ORDER BY c, k) AS BIGINT) AS i
         |      FROM x),
-        |s AS (SELECT seg, count(*) AS n, sum(c) AS s1, sum(i*c) AS sic
+        |s AS (SELECT seg, count(*) AS n,
+        |        sum(CAST(c AS HUGEINT)) AS s1,
+        |        sum(CAST(i AS HUGEINT)*c) AS sic
         |      FROM r GROUP BY seg)
         |SELECT seg, n,
-        |  CAST(2*sic - (n+1)*s1 AS DOUBLE) / CAST(n*s1 AS DOUBLE) AS gini_signed
+        |  CAST(2*sic - (n+1)*s1 AS DOUBLE)
+        |    / nullif(CAST(n*s1 AS DOUBLE), 0) AS gini_signed
         |FROM s ORDER BY seg""".stripMargin,
     "agg_moments" ->
       """WITH x AS (SELECT c_mktsegment AS seg,
@@ -842,7 +852,7 @@ object Aggregates extends QueryPack {
         |  s1/n/100 AS mean_bal,
         |  (s2/n - (s1/n)*(s1/n)) / 10000 AS var_bal,
         |  round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
-        |        / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skew
+        |        / nullif(pow(s2/n - (s1/n)*(s1/n), 1.5), 0), 6) AS skew
         |FROM s ORDER BY seg""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag,

@@ -170,6 +170,89 @@ object Pipelines extends QueryPack {
       .orderBy($"key")
   }
 
+  /** Stage the pristine partitioned base table for
+    * [[upsertMergePartitioned]]: customer keyed by c_custkey, exact
+    * integer cents, hive-partitioned by market segment. Rewritten
+    * unconditionally so every invocation merges against the same
+    * pristine world (idempotent under the bench's min-of-2 policy). */
+  private[graft] def upsertPartBase(s: SparkSession, dir: String,
+                                    path: String): Unit = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_custkey".as("key"), cents($"c_acctbal").as("bal_cents"),
+              $"c_mktsegment".as("seg"))
+      .write.mode("overwrite").partitionBy("seg").parquet(path)
+  }
+
+  /** The change batch for [[upsertMergePartitioned]]: upserts and
+    * deletes confined to TWO of the five segments plus inserts landing
+    * in one of them — deterministically derived from customer (key mod
+    * classes) so the oracle rebuilds the identical batch. */
+  private def upsertPartChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    cust.where($"c_mktsegment".isin("BUILDING", "MACHINERY") &&
+               $"c_custkey" % 3 === 0)
+      .select($"c_custkey".as("key"), $"c_mktsegment".as("seg"),
+        when($"c_custkey" % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (cents($"c_acctbal") + 10000L).as("new_cents"))
+      .unionByName(cust
+        .where($"c_mktsegment" === "BUILDING" && $"c_custkey" % 5 === 1)
+        .select(($"c_custkey" + 1000000L).as("key"), lit("BUILDING").as("seg"),
+                lit("I").as("op"), cents($"c_acctbal").as("new_cents")))
+  }
+
+  /** Apply the change batch with DYNAMIC partition overwrite: merge
+    * only the dirty partitions' base slice against the changes, then
+    * overwrite exactly the partitions the merged output produces. The
+    * base side is pruned by a partition filter (at 100 TB the clean
+    * partitions are never listed, let alone read), and the rewrite
+    * cost scales with the touched partitions, not the table. The
+    * dirty-partition list comes off the change batch via a distinct
+    * collect — model-sized by definition (bounded by the partition
+    * count, the same cardinality the overwrite itself enumerates). */
+  private[graft] def upsertPartApply(s: SparkSession, dir: String,
+                                     path: String): Unit = {
+    import s.implicits._
+    val changes = upsertPartChanges(s, dir)
+    val dirtySegs = changes.select($"seg").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dirtyBase = s.read.parquet(path).where($"seg".isin(dirtySegs: _*))
+    val merged = dirtyBase
+      .join(changes, Seq("key", "seg"), "full_outer")
+      .where($"op".isNull || $"op" =!= "D")
+      .select($"key", coalesce($"new_cents", $"bal_cents").as("bal_cents"),
+              $"seg")
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("seg").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Partition-scoped MERGE — the copy-on-write shape [[upsertMerge]]'s
+    * scaladoc promises at 100 TB, demonstrated: the base table is
+    * hive-partitioned, the change batch touches two of five
+    * partitions, and the merge rewrites ONLY those (dynamic partition
+    * overwrite — ingest_backfill's machinery applied to CDC). Clean
+    * partitions keep their physical files byte-for-byte
+    * (PipelineSpec asserts names+mtimes unchanged); the oracle
+    * recomputes the post-merge world from the original table, proving
+    * the scoped rewrite equals a full MERGE. */
+  def upsertMergePartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = "/tmp/graft_ingest/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/upsert_part_customer"
+    upsertPartBase(s, dir, path)
+    upsertPartApply(s, dir, path)
+    s.read.parquet(path)
+      .select($"key", $"seg",
+              ($"bal_cents".cast("double") / 100).as("bal"))
+      .orderBy($"key")
+  }
+
   /** Column-level data profile — the first pass every ingestion runs
     * over an unknown dataset: per column, null count, exact distinct
     * count, min and max (numeric/temporal min-max taken in NATIVE order,
@@ -262,6 +345,7 @@ object Pipelines extends QueryPack {
     "pipeline_events_enrich" -> (eventsEnrich _),
     "pipeline_incremental" -> (incrementalMerge _),
     "pipeline_upsert" -> (upsertMerge _),
+    "pipeline_upsert_partitioned" -> (upsertMergePartitioned _),
     "profile_columns" -> (profileColumns _),
     "pipeline_docs_curate" -> (docsCurate _))
 
@@ -311,6 +395,31 @@ object Pipelines extends QueryPack {
         |  CAST(COALESCE(c.new_cents, b.bal_cents) AS DOUBLE)/100 AS bal,
         |  COALESCE(c.op, '-') AS op
         |FROM base b FULL OUTER JOIN changes c ON b.key = c.key
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY key""".stripMargin,
+    // the FULL post-merge world recomputed in one pass — a hash match
+    // proves the partition-scoped rewrite (clean partitions untouched
+    // on disk) equals a full MERGE
+    "pipeline_upsert_partitioned" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |changes AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS seg,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(c_acctbal*100) AS BIGINT) + 10000 AS new_cents
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'BUILDING', 'I',
+        |    CAST(round(c_acctbal*100) AS BIGINT)
+        |  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 5 = 1)
+        |SELECT COALESCE(b.key, c.key) AS key,
+        |  COALESCE(b.seg, c.seg) AS seg,
+        |  CAST(COALESCE(c.new_cents, b.bal_cents) AS DOUBLE)/100 AS bal
+        |FROM base b FULL OUTER JOIN changes c
+        |  ON b.key = c.key AND b.seg = c.seg
         |WHERE c.op IS NULL OR c.op <> 'D'
         |ORDER BY key""".stripMargin,
     "profile_columns" ->

@@ -18,6 +18,18 @@ case class UserSummary(user_id: Long, n: Long, val_sum: Double,
   * one row per (doc, band) with the bucket's admitted owner. */
 case class BandVerdict(doc_id: Long, band_id: Int, owner_id: Long)
 
+/** A doc held in a band bucket's reconciliation buffer until the
+  * event-time watermark passes its event time. */
+case class OooPending(doc_id: Long, event_us: Long)
+
+/** Watermark-reconciled band-bucket state: `owner` is the minimum
+  * doc_id EVER seen in the bucket (admission memory, one long,
+  * unbounded-horizon like the in-order variant); `pending` buffers
+  * docs whose verdicts are not yet final — bounded by the bucket's
+  * arrival rate × the watermark horizon, the standard stateful-
+  * streaming memory contract. */
+case class OooBucketState(owner: Long, pending: Seq[OooPending])
+
 /** transformWithState processor: per-user running event count + exact
   * value sum, kept in a typed ValueState. Updates are commutative, so
   * results are input-order independent. */
@@ -425,6 +437,56 @@ object Streams extends QueryPack {
       }
   }
 
+  /** OUT-OF-ORDER-safe streaming near-dedup core — the watermark-
+    * reconciled variant of [[nearDedupBandVerdicts]]. The in-order
+    * variant emits each doc's verdict AT ARRIVAL against the bucket's
+    * owner-so-far, which equals the batch rule only when doc_ids
+    * arrive ascending; real ingestion is shuffled, and an early-
+    * arriving high-id copy would be admitted even though a lower-id
+    * copy is still in flight. Here a verdict is not final until the
+    * event-time watermark passes the doc's event time: arrivals park
+    * in the bucket's pending buffer, the owner tracks the min id ever
+    * seen, and an event-time timer flushes each doc only once no
+    * older-timestamped arrival is possible. The verdict therefore
+    * reconciles to the batch rule ("some band bucket contains a lower
+    * id") for any copy pair whose event times lie within the horizon
+    * of each other — StreamsSpec drives SHUFFLED multi-batch arrivals
+    * and asserts exact equality with the batch banding. State per
+    * bucket = one long + (arrival-rate × horizon) pending entries;
+    * the horizon is the memory/tolerance dial every production
+    * watermark sets. `docs` must carry an event-time `ts` column with
+    * the watermark already declared upstream of banding. */
+  def nearDedupBandVerdictsOoo(docs: DataFrame, horizon: String)
+      : Dataset[BandVerdict] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.vec.VectorOps.minhashSignatures(docs, nHashes = 16)
+      .select(col("doc_id"), unix_micros(col("ts")).as("event_us"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> hash(b, slice(sig, b*4 + 1, 4)))"))
+          .as(Seq("band_id", "band_hash")),
+        col("ts"))
+      .withWatermark("ts", horizon)
+      .as[(Long, Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[OooBucketState, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[OooBucketState]) =>
+          val arrived = rows.map(r => OooPending(r._1, r._2)).toSeq
+          val st = state.getOption.getOrElse(OooBucketState(Long.MaxValue, Nil))
+          val owner = (st.owner +: arrived.map(_.doc_id)).min
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (st.pending ++ arrived)
+            .partition(_.event_us <= wmUs)
+          state.update(OooBucketState(owner, hold))
+          if (hold.nonEmpty)
+            // fire once the watermark passes the oldest held event
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_.event_us).min / 1000L, wmUs / 1000L + 1L))
+          ripe.iterator.map(p => BandVerdict(p.doc_id, key._1, owner))
+      }
+  }
+
   /** Streaming NEAR-dedup — online MinHash/LSH admission control, the
     * streaming twin of dedup_near the way [[streamDedup]] twins
     * dedup_exact: documents arrive as a file stream, each is banded
@@ -455,10 +517,73 @@ object Streams extends QueryPack {
         .orderBy($"doc_id")
     }
 
+  /** Declared OOO near-dedup query: the documents fixture is staged
+    * into four parquet files by doc_id HASH — so consecutive ids land
+    * in different files — plus a far-future sentinel file, and
+    * replayed one file per micro-batch (`maxFilesPerTrigger=1`).
+    * Arrival order is thus decorrelated from doc_id: the exact
+    * adversarial condition under which the in-order variant's
+    * at-arrival verdicts diverge from batch banding. Event times
+    * derive deterministically from doc_id inside one hour; the
+    * 2-hour horizon covers the whole span, so every verdict
+    * reconciles against the complete bucket membership (the sentinel
+    * pushes the watermark past the corpus and the event-time timers
+    * flush) and the output equals the batch rule EXACTLY, regardless
+    * of file split — which is what makes a probabilistic-banding
+    * streaming query deterministic enough for the driver's rows
+    * check. Production tuning note lives on the core:
+    * [[nearDedupBandVerdictsOoo]]. */
+  def streamDedupNearOoo(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stage = tempRootDeletedOnExit("graft_sdn_ooo")
+      val docs = s.read.schema(docSchema).parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      val sentinel = Seq((Long.MaxValue, "sentinel", "en", "src0", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val splits = (0 until 4).map(i =>
+        i -> docs.where(pmod(xxhash64($"doc_id"), lit(4)) === i)) :+
+        (4 -> sentinel)
+      splits.foreach { case (i, df) =>
+        val tmp = s"$stage/w$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$stage/f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // file source replays oldest-mtime first: pin the arrival order
+        dst.setLastModified(1700000000000L + i * 60000L)
+        ()
+      }
+      val baseUs = 1704067200000000L // 2024-01-01T00:00Z, fixture-free
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*.parquet")
+        .withColumn("ts",
+          when($"doc_id" === Long.MaxValue,
+            timestamp_micros(lit(baseUs + 4L * 3600L * 1000000L)))
+          .otherwise(timestamp_micros(
+            lit(baseUs) + pmod($"doc_id", lit(3600L)) * 1000000L)))
+      val verdicts = nearDedupBandVerdictsOoo(stream, "2 hours")
+      drain(verdicts.toDF(), "graft_stream_dedup_near_ooo", OutputMode.Append())
+        .where($"doc_id" =!= Long.MaxValue)
+        .groupBy($"doc_id")
+        .agg(max(($"owner_id" < $"doc_id").cast("int")).cast("boolean")
+               .as("is_dup"),
+             sum(($"owner_id" < $"doc_id").cast("long")).as("n_bands_hit"))
+        .orderBy($"doc_id")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark" -> (streamWatermark _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_near" -> (streamDedupNear _),
+    "stream_dedup_near_ooo" -> (streamDedupNearOoo _),
     "stream_upsert" -> (streamUpsert _),
     "stream_ohlc" -> (streamOhlc _),
     "stream_stateful" -> (streamStateful _),

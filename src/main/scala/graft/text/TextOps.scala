@@ -936,7 +936,7 @@ object TextOps extends QueryPack {
         |  list_reduce(list_prepend(0::BIGINT,
         |    list_transform(string_split(norm, ''), c -> ascii(c))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
-        |  list_min(list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+        |  list_min(list_transform(generate_series(1, length(norm) - 7),
         |    i -> list_reduce(list_prepend(0::BIGINT,
         |           list_transform(string_split(substring(norm, i, 8), ''), c -> ascii(c))),
         |           (acc, c) -> (acc * 31 + c) % 1000000007))) AS min_sh,

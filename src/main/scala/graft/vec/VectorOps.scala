@@ -95,6 +95,52 @@ object VectorOps extends QueryPack {
       .orderBy($"id_a", $"rk")
   }
 
+  /** GLOBAL k-NN graph via IVF blocking — the 100 TB shape
+    * [[simKnnJoin]]'s scaladoc promises, shipped: no label column, no
+    * within-block restriction; every vector finds its top-3 neighbors
+    * across the WHOLE corpus by probing its `nprobe` nearest IVF
+    * cells. Candidate generation is an equi-join on cell id — the
+    * corpus shuffles once keyed on cell (the inverted lists), the
+    * probe side carries each vector to nprobe cells, and the pair
+    * space is ~nprobe/k of brute force (n²/8 here; at a real corpus k
+    * grows ~√n so the per-cell lists, and with them the join groups,
+    * stay bounded). Scoring reduces map-side through the same
+    * BoundedTopK heap as the exact graph — k-bounded state per
+    * vector, no window sort of the candidate stream. NO ORACLE
+    * (k-means cells are implementation-defined); VectorOpsSpec bounds
+    * recall against the exact brute-force global graph. */
+  def simKnnJoinAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kCent = 16
+    val nprobe = 2
+    val e = emb(s, dir)
+    val cent = kmeansCentroids(e, kCent, iters = 2)
+    val assigned = assignCells(e, cent)
+      .select($"vec_id".as("id_b"), $"emb".as("emb_b"),
+              $"nrm".as("nrm_b"), $"cell")
+    // every vector probes its nprobe nearest cells — the same
+    // broadcast argmax shape as assignCells, heap k=nprobe. A
+    // candidate appears at most once per probe vector (it lives in
+    // exactly one cell), so no pair dedup is needed before the top-k.
+    val probes = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", dot($"emb", $"c_emb") / ($"nrm" * $"c_nrm"))
+      .groupBy($"vec_id")
+      .agg(graft.functions.BoundedTopK
+             .boundedTopK($"c_cos", $"cent_id", nprobe).as("cells"),
+           first($"emb").as("emb"), first($"nrm").as("nrm"))
+      .select($"vec_id".as("id_a"), $"emb".as("emb_a"), $"nrm".as("nrm_a"),
+              explode(expr("transform(cells, c -> c.id)")).as("cell"))
+    probes.join(assigned, Seq("cell"))
+      .where($"id_a" =!= $"id_b")
+      .withColumn("cos", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
+      .groupBy($"id_a")
+      .agg(graft.functions.BoundedTopK.boundedTopK($"cos", $"id_b", 3).as("top"))
+      .select($"id_a", posexplode($"top"))
+      .select($"id_a", $"col.id".as("id_b"),
+        round($"col.ord", 6).as("cos"), ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"id_a", $"rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * Brute-force within-label here (exact, oracle-able); the LSH
     * variant below is the 100 TB path. */
@@ -558,6 +604,7 @@ object VectorOps extends QueryPack {
     "sim_search_rerank" -> (simSearchRerank _),
     "dedup_embed" -> (dedupEmbed _),
     "sim_knn_join" -> (simKnnJoin _),
+    "sim_knn_join_ann" -> (simKnnJoinAnn _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_near" -> (dedupNear _),
     "dedup_clusters_lsh" -> (dedupClustersLsh _),

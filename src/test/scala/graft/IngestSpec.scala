@@ -155,6 +155,18 @@ class IngestSpec extends AnyFunSuite {
     assert(meanArea < 0.4, s"mean per-file area fraction $meanArea — not clustered")
   }
 
+  test("zorder bounds job scans only the two key columns (sampled, no full max-scan)") {
+    // the 100 TB contract of the sampled-bounds design: the range-id
+    // estimation reads a column-pruned slice of the table, never a
+    // full-width scan, and involves no RNG (deterministic key hash)
+    val p = Ingest.boundsSamplePlan(
+        Tables.t(spark, SparkSpec.sfDir, "lineitem"), "l_orderkey", "l_partkey")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+      "bounds scan not pruned to the key columns:\n" + p.take(800))
+  }
+
   test("ORC read-back pushes the segment predicate into the scan") {
     val df = Ingest.ingestOrc(spark, SparkSpec.sfDir)
     val plan = df.queryExecution.executedPlan.toString

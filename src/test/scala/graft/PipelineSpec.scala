@@ -68,6 +68,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(prof("o_orderstatus")._2 <= 3L)
   }
 
+  test("pipeline_upsert_partitioned rewrites ONLY the dirty partitions") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upsert_part_spec").toString
+    graft.pipeline.Pipelines.upsertPartBase(spark, SparkSpec.sfDir, root)
+    def snapshot(): Map[String, Set[(String, Long)]] =
+      new java.io.File(root).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet)
+        .toMap
+    val before = snapshot()
+    assert(before.keySet.map(_.stripPrefix("seg=")) ==
+      Set("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+    graft.pipeline.Pipelines.upsertPartApply(spark, SparkSpec.sfDir, root)
+    val after = snapshot()
+    val dirty = Set("seg=BUILDING", "seg=MACHINERY")
+    // clean partitions: the exact same physical files, untouched
+    (before.keySet -- dirty).foreach { seg =>
+      assert(after(seg) == before(seg), s"clean partition $seg was rewritten")
+    }
+    // dirty partitions: fully replaced (dynamic overwrite), none of
+    // the original files survive
+    dirty.foreach { seg =>
+      assert(after(seg).map(_._1).intersect(before(seg).map(_._1)).isEmpty,
+        s"dirty partition $seg kept stale files")
+    }
+    // and the merged world matches the straight full-outer merge
+    // restricted to... the oracle hash does the value check; here just
+    // sanity-check the delete/insert arithmetic landed
+    val out = spark.read.parquet(root)
+    val nBase = graft.io.Tables.t(spark, SparkSpec.sfDir, "customer").count()
+    val deleted = out.where($"key" % 3 === 0 && $"key" % 7 === 0 &&
+      $"key" < 1000000L && $"seg".isin("BUILDING", "MACHINERY")).count()
+    assert(deleted == 0, "deleted keys survived the scoped merge")
+    assert(out.where($"key" >= 1000000L).count() > 0, "inserts missing")
+    assert(out.count() < nBase + out.where($"key" >= 1000000L).count(),
+      "deletes did not shrink the table")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("a late-stage filter pushes down through earlier stages to the scan") {
     val pipe = Pipeline(
       "project" -> (_.select($"l_orderkey", $"l_quantity", $"l_returnflag")),

@@ -125,6 +125,7 @@ class PlanSpec extends AnyFunSuite {
       "sim_search",        // broadcast 5-row query set × corpus (by design)
       "sim_search_quant",  // same broadcast query-set shape, int8 codes
       "sim_search_ivf",    // broadcast 16-row centroid table for assign
+      "sim_knn_join_ann",  // same broadcast centroid assign/probe shape
       "sim_search_rerank", // same centroid/query-side broadcasts; the
                            // rerank fetch itself is a broadcast HASH join
       "text_cms_tokens",   // broadcast model-sized per-source sketches
@@ -163,6 +164,31 @@ class PlanSpec extends AnyFunSuite {
     // the wedge stream (Σ outdeg² rows) must never shuffle toward the
     // edge set — closure is a map-side broadcast probe
     assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("triangle closure past broadcast reach becomes a partitioned equi-join") {
+    // the size gate's other side: force the threshold to 0 and the
+    // closure must plan a shuffle join on (t1, t2) — an equi-join, not
+    // a nested loop — so a 100 TB edge sample can't OOM the driver
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"${SparkSpec.sfDir}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+    val est = graft.graph.Graph.triangleEstimate(
+      edges, hexCap = "40", invP3 = 64L, broadcastMaxEdges = 0L)
+    val p = est.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the final 1-row aggregate crossJoins stay BroadcastNestedLoop by
+    // design; the CLOSURE specifically must be a partitioned equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "gated closure lost the partitioned equi-join:\n" + p.take(1200))
+    // both sides of the gate agree on the answer
+    val viaBroadcast = graft.graph.Graph.triangleEstimate(
+      edges, hexCap = "40", invP3 = 64L).head()
+    assert(est.head() == viaBroadcast)
   }
 
   test("dedup_fuzzy joins on the blocking key, never a nested loop") {

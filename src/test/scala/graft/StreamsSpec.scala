@@ -301,4 +301,70 @@ class StreamsSpec extends AnyFunSuite {
     assert(dup == batchFlags,
       s"streaming admission diverged from batch banding: $dup vs $batchFlags")
   }
+
+  test("stream_dedup_near_ooo: SHUFFLED arrival reconciles to batch banding within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green bottles stand quietly on the old stone wall near the harbor " +
+      "where fishing boats unload their morning catch before the market opens"
+    val other = "completely different subject matter about maritime " +
+      "navigation charts and the care of vintage sextants in humid climates"
+    val third = "a further text concerning the taxonomy of alpine " +
+      "wildflowers and their pollinators at various elevations in spring"
+    val nearCopy = base.replace("seventeen", "nineteen")
+    // event times MONOTONE in doc_id (ids are assigned at creation);
+    // ARRIVAL order is shuffled across batches — the adversarial case:
+    // the high-id exact copy (13) arrives a full batch BEFORE its
+    // low-id original (1)
+    val corpus = Seq(
+      (1L, 100L, base), (2L, 110L, other), (11L, 120L, nearCopy),
+      (12L, 130L, third), (13L, 140L, base))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val verdicts = Streams.nearDedupBandVerdictsOoo(
+      mem.toDF().toDF("doc_id", "ts", "text"), horizon = "60 seconds")
+    val q = verdicts.toDF().writeStream.format("memory")
+      .queryName("graft_sdn_ooo_spec").outputMode("append").start()
+    try {
+      mem.addData((13L, ts(140), base), (2L, ts(110), other))
+      q.processAllAvailable()
+      // watermark now 140-60=80s: nothing has flushed, 13 still pends
+      assert(spark.table("graft_sdn_ooo_spec").isEmpty,
+        "verdict emitted before the watermark passed its event time")
+      mem.addData((1L, ts(100), base), (11L, ts(120), nearCopy))
+      q.processAllAvailable()
+      mem.addData((12L, ts(130), third))
+      q.processAllAvailable()
+      // far-future sentinel pushes the watermark past the corpus so
+      // the event-time timers flush every pending verdict
+      mem.addData((Long.MaxValue, ts(500), "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dup = spark.table("graft_sdn_ooo_spec")
+      .where($"doc_id" =!= Long.MaxValue)
+      .groupBy($"doc_id")
+      .agg(max(($"owner_id" < $"doc_id").cast("int")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
+    assert(dup.keySet == Set(1L, 2L, 11L, 12L, 13L), s"missing verdicts: $dup")
+    assert(dup(13L), "OOO-arrived exact copy must reconcile to dup " +
+      "(the in-order variant gets exactly this wrong)")
+    assert(dup(11L), "planted near-copy not flagged")
+    assert(!dup(1L) && !dup(2L) && !dup(12L), s"false positives: $dup")
+    // exact equality with the batch rule on the same corpus
+    val batchFlags = graft.vec.VectorOps
+      .minhashSignatures(corpus.map(c => (c._1, c._3)).toDF("doc_id", "text"),
+        nHashes = 16)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, 3), b -> hash(b, slice(sig, b*4 + 1, 4)))"))
+        .as(Seq("band_id", "band_hash")))
+      .withColumn("owner", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"band_id", $"band_hash")))
+      .groupBy($"doc_id")
+      .agg(max(($"owner" < $"doc_id").cast("int")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
+    assert(dup == batchFlags,
+      s"OOO streaming diverged from batch banding: $dup vs $batchFlags")
+  }
 }
