@@ -331,17 +331,29 @@ object Joins extends QueryPack {
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    // Edge generation: all unordered distinct-part pairs per order.
+    // ONE shuffle (groupBy orderkey, partial collect map-side) + a
+    // per-group pair expansion — the equivalent self-join formulation
+    // (the oracle's spelling) shuffles the fact table twice and sorts
+    // both sides; measured 1.8 s vs 0.9 s at sf0.1. Baskets are small
+    // (~4 parts/order) so the L² expansion per group is trivial; the
+    // pair SET is identical (sort_array + array_distinct ⇒ a < b,
+    // no self-pairs), and the downstream coin/distinct see the same
+    // edges bit-for-bit.
+    val pairs = li
+      .groupBy($"l_orderkey")
+      .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
     // p = 1/4 ('40'/'100' of the hex space), so the count scales by
     // 1/p³ = 64; the coin, orientation, and broadcast-closure
     // mechanics (and why the coin must be nonlinear) live in
     // graft.graph.Graph.triangleEstimate, property-tested against
     // brute-force enumeration.
-    graft.graph.Graph.triangleEstimate(
-      li.as("x").join(li.as("y"),
-          $"x.l_orderkey" === $"y.l_orderkey" &&
-          $"x.l_partkey" < $"y.l_partkey")
-        .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b")),
-      hexCap = "40", invP3 = 64L)
+    graft.graph.Graph.triangleEstimate(pairs, hexCap = "40", invP3 = 64L)
   }
 
   /** Skew-safe equi join: salt the fact side into S shards and
