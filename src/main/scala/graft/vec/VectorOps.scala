@@ -77,15 +77,29 @@ object VectorOps extends QueryPack {
     * formulation would sort |block|² scored pairs; the heap reduces
     * each scan partition to k-bounded summaries map-side). DuckDB
     * runs the window row_number formulation — the differential proves
-    * heap ≡ full sort on every neighbor list. */
+    * heap ≡ full sort on every neighbor list.
+    *
+    * The probe side is SALTED (8 shards per label): with ~10 labels a
+    * plain label join runs ≤10 tasks no matter how many cores the
+    * cluster has — the r9 scale-growth run measured the collapse
+    * (x^1.45, 31 s at sf1.0). Salting replicates the build side 8×
+    * (embedding rows are small) and restores full parallelism (31 s →
+    * 9.7 s at sf1.0 on 32 cores, measured exponent back under ~1);
+    * each id_a still meets every id_b of its label exactly once, so
+    * the result — and the oracle — are unchanged. The Θ(Σ|block|²) pair volume is the SEMANTICS of an
+    * exact within-label graph (the oracle needs it); the corpus-scale
+    * answer to that is [[simKnnJoinAnn]], measured ~linear. */
   def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val S = 8
     val e = emb(s, dir)
     val a = e.select($"vec_id".as("id_a"), $"label",
                      $"emb".as("emb_a"), $"nrm".as("nrm_a"))
+      .withColumn("salt", pmod($"id_a", lit(S)).cast("int"))
     val b = e.select($"vec_id".as("id_b"), $"label",
                      $"emb".as("emb_b"), $"nrm".as("nrm_b"))
-    a.join(b, Seq("label")).where($"id_a" =!= $"id_b")
+      .withColumn("salt", explode(expr(s"sequence(0, ${S - 1})")))
+    a.join(b, Seq("label", "salt")).where($"id_a" =!= $"id_b")
       .withColumn("cos", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
       .groupBy($"id_a", $"label")
       .agg(graft.functions.BoundedTopK.boundedTopK($"cos", $"id_b", 3).as("top"))
