@@ -192,6 +192,81 @@ object TextMetrics extends QueryPack {
   def textEntropy(s: SparkSession, dir: String): DataFrame =
     entropy(docs(s, dir))
 
+  /** Per-document unigram language-model score — the CCNet-style
+    * perplexity proxy pipelines gate on BEFORE any neural scorer is
+    * affordable: avg_logprob = (Σ_w c_d(w)·ln C(w))/n_d − ln T, where
+    * C(w) is the corpus unigram count and T the corpus token total.
+    * Docs made of rare words score low (candidate noise), docs of
+    * pure boilerplate score suspiciously high (candidate template) —
+    * the two tails a curation funnel trims.
+    *
+    * Scale shape: one explode feeding two hash aggregates with
+    * map-side partials — per-doc counts key on (doc_id, w), the
+    * unigram table keys on w and is VOCAB-sized, not corpus-sized,
+    * so the scoring join `tok ⋈ vocab` broadcasts the model side at
+    * any corpus scale (T is a one-row aggregate, also broadcast).
+    * Float discipline: the only order-dependent sum is Σ c·ln C(w)
+    * (≤ ~1e-10 absolute error across engines), rounded to 6 decimals
+    * like text_entropy's identical-shape sum; everything else is
+    * exact integer counts and a final single division. */
+  def lmScore(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val tok = d.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val vocab = tok.groupBy($"w").agg(sum($"c").as("cw"))
+    val total = vocab.agg(sum($"cw").as("t"))
+    tok.join(broadcast(vocab), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+           sum($"c".cast("double") * log($"cw".cast("double"))).as("clncw"))
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"n_tokens",
+        round($"clncw" / $"n_tokens".cast("double") -
+              log($"t".cast("double")), 6).as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    lmScore(docs(s, dir))
+
+  /** Pairwise source-vocabulary overlap — the contamination /
+    * mix-design diagnostic: exact Jaccard of the DISTINCT word sets
+    * of every source pair (190 pairs for 20 sources). High overlap
+    * between a "web" and a "benchmark" source is the signal that
+    * triggers the doc-level decontamination pass (text_contamination);
+    * near-zero overlap between shards of one crawl flags a language
+    * or encoding split worth separate curation.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, word)
+    * FIRST (map-side partial distinct), so everything downstream is
+    * VOCAB × |S|-sized, never corpus-sized; the pair join keys on the
+    * word and a word present in all |S| sources fans out to |S|²
+    * pairs — bounded by the config-sized source dimension, not by
+    * data volume. Jaccard is ONE division of exact integers, so both
+    * engines divide identical numbers (no float-sum order anywhere). */
+  def sourceOverlap(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val v = d.select($"source", explode(split($"text", " ")).as("w")).distinct()
+    val sizes = v.groupBy($"source").agg(count(lit(1)).as("nv"))
+    val a = v.select($"source".as("src_a"), $"w")
+    val b = v.select($"source".as("src_b"), $"w")
+    a.join(b, Seq("w")).where($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select($"source".as("src_a"), $"nv".as("nv_a"))),
+            Seq("src_a"))
+      .join(broadcast(sizes.select($"source".as("src_b"), $"nv".as("nv_b"))),
+            Seq("src_b"))
+      .select($"src_a", $"src_b", $"nv_a", $"nv_b", $"inter",
+        round($"inter".cast("double") /
+              ($"nv_a" + $"nv_b" - $"inter").cast("double"), 6).as("jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  def textSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(docs(s, dir))
+
   /** Per-source Zipf diagnostics: OLS slope and R² of ln(freq) vs
     * ln(rank) over each source's top-100 words — natural language
     * tracks slope ≈ −1 with high R²; generated/templated corpora
@@ -333,9 +408,34 @@ object TextMetrics extends QueryPack {
     "text_entropy" -> (textEntropy _),
     "text_zipf" -> (textZipf _),
     "text_quality_gate" -> (textQualityGate _),
-    "pipeline_curate_full" -> (pipelineCurateFull _))
+    "pipeline_curate_full" -> (pipelineCurateFull _),
+    "text_lm_score" -> (textLmScore _),
+    "text_source_overlap" -> (textSourceOverlap _))
 
   def oracle: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |v AS (SELECT w, sum(c) AS cw FROM c GROUP BY w),
+        |tt AS (SELECT CAST(sum(cw) AS DOUBLE) AS t FROM v)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(sum(c * ln(CAST(cw AS DOUBLE))) / CAST(sum(c) AS DOUBLE)
+        |        - ln((SELECT t FROM tt)), 6) AS avg_logprob
+        |FROM c JOIN v USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_source_overlap" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT DISTINCT source, w FROM t),
+        |sz AS (SELECT source, count(*) AS nv FROM v GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.nv AS nv_a, sb.nv AS nv_b, inter,
+        |  round(CAST(inter AS DOUBLE)
+        |        / CAST(sa.nv + sb.nv - inter AS DOUBLE), 6) AS jaccard
+        |FROM i JOIN sz sa ON i.src_a = sa.source
+        |       JOIN sz sb ON i.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "dedup_winnow" ->
       s"""WITH n AS (
         |  SELECT doc_id, source, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm

@@ -65,6 +65,38 @@ object VectorOps extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Metadata-FILTERED exact search: top-10 cosine neighbors among
+    * vectors whose `label ∈ {2,3}` — the "where category = X"
+    * retrieval every vector store bolts onto similarity search. The
+    * predicate is an ordinary Column filter evaluated BEFORE any
+    * scoring, so it reaches the parquet scan as a pushed filter
+    * (locked in PlanSpec): at 100 TB the non-matching row groups are
+    * never decompressed, and with the corpus hive-partitioned or
+    * z-ordered on the filter column (ingest_partitioned /
+    * ingest_zorder machinery) whole files prune before a single dot
+    * product runs — which is why filtering must compose with the
+    * scan, not with a post-scoring WHERE. Scoring and top-k are
+    * byte-identical to [[simSearch]] (broadcast query side, fused
+    * codegen'd dot, BoundedTopK heap); the differential vs the
+    * window-formulation oracle proves the filter changes candidate
+    * GENERATION without perturbing any surviving neighbor list. */
+  def simSearchFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+    e.where($"label".isin(2, 3))
+      .crossJoin(broadcast(q))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("cos", dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm"))
+      .groupBy($"q_id")
+      .agg(graft.functions.BoundedTopK.boundedTopK($"cos", $"vec_id", 10).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.id".as("vec_id"),
+        round($"col.ord", 6).as("cos"), ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"q_id", $"rk")
+  }
+
   /** k-NN JOIN: every vector's top-3 cosine neighbors within its
     * label block — the k-NN GRAPH construction that semantic dedup,
     * clustering, and retrieval-eval pipelines all start from
@@ -613,6 +645,7 @@ object VectorOps extends QueryPack {
     "embed_quantize" -> (embedQuantize _),
     "sim_search_quant" -> (simSearchQuant _),
     "sim_search" -> (simSearch _),
+    "sim_search_filtered" -> (simSearchFiltered _),
     "sim_search_lsh" -> (simSearchLsh _),
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_rerank" -> (simSearchRerank _),
@@ -666,6 +699,18 @@ object VectorOps extends QueryPack {
         |      FROM c)
         |SELECT q_id, vec_id, round(score, 6) AS score, rk FROM r
         |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    "sim_search_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT q_id, vec_id,
+        |    list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]) AS cos
+        |  FROM embeddings CROSS JOIN q
+        |  WHERE vec_id <> q_id AND label IN (2, 3)),
+        |r AS (SELECT q_id, vec_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk
+        |      FROM c)
+        |SELECT q_id, vec_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
     "sim_search" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         |c AS (

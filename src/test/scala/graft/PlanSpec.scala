@@ -30,6 +30,15 @@ class PlanSpec extends AnyFunSuite {
       "l_quantity:double,l_extendedprice:double,l_shipdate:timestamp_ntz>"), p)
   }
 
+  test("sim_search_filtered pushes the label predicate into the corpus scan") {
+    val p = plan("sim_search_filtered")
+    // the metadata filter must prune at the parquet reader, not after
+    // scoring: In(label, [2,3]) as a pushed filter is what lets a
+    // partitioned/z-ordered corpus skip whole files at 100 TB
+    assert(p.contains("In(label, [2,3])") || p.contains("In(label,[2,3])"), p)
+    assert(p.contains("bounded_topk"), p.take(800))
+  }
+
   test("agg_hash aggregates in two phases (partial map-side, final after shuffle)") {
     val p = plan("agg_hash")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
@@ -123,12 +132,15 @@ class PlanSpec extends AnyFunSuite {
       "pipeline_mix",      // crossJoin of the 1-row min-count aggregate
       "graph_triangles",   // crossJoin of three 1-row count aggregates
       "sim_search",        // broadcast 5-row query set × corpus (by design)
+      "sim_search_filtered", // same broadcast query-set shape, corpus
+                           // side pre-pruned by the pushed label filter
       "sim_search_quant",  // same broadcast query-set shape, int8 codes
       "sim_search_ivf",    // broadcast 16-row centroid table for assign
       "sim_knn_join_ann",  // same broadcast centroid assign/probe shape
       "sim_search_rerank", // same centroid/query-side broadcasts; the
                            // rerank fetch itself is a broadcast HASH join
       "text_cms_tokens",   // broadcast model-sized per-source sketches
+      "text_lm_score",     // crossJoin of the 1-row corpus-total T
       "text_tfidf")        // crossJoin of the 1-row corpus doc count
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("stream_") || n.startsWith("ingest_"))
