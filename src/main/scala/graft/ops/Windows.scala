@@ -360,7 +360,70 @@ object Windows extends QueryPack {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Time-series gap fill + linear interpolation — the resampling
+    * primitive (pandas `asfreq` + `interpolate`, Timescale
+    * `time_bucket_gapfill`) feature pipelines run before any
+    * fixed-step model sees the data: per user, an hourly spine from
+    * that user's first to last observed hour, observed hours carry
+    * the exact hourly mean, missing hours interpolate linearly
+    * between the nearest observed neighbors (edges clamp to the
+    * nearest observation).
+    *
+    * Determinism: hourly means are integer-exact (cents sum / count —
+    * the Det pattern), and the interpolation weight is a ratio of
+    * exact microsecond epochs, so both engines evaluate the SAME IEEE
+    * expression tree on the SAME exact inputs; the round(…, 6) is
+    * belt-and-braces, not a mask. The four neighbor columns
+    * (prev/next value and epoch) come from last/first IGNORE NULLS
+    * over mirrored frames of ONE (user_id, hu) sort — Spark plans a
+    * single window shuffle+sort, two frame passes (same plan shape as
+    * win_rolling_stats).
+    *
+    * Scale shape: the spine is generated per user (sequence() — an
+    * O(span) Generate, no join against a calendar table), and the
+    * window partitions by user; at 100 TB the same query partitions
+    * by (user, day-bucket) with boundary rows replicated one bucket
+    * over — the standard streaming-friendly decomposition — but the
+    * per-key window IS the semantics, so user-keyed is the honest
+    * default. Restricted to user_id < 8 to keep the oracle compare
+    * model-sized. */
+  def tsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").where($"user_id" < 8)
+      .withColumn("h", date_trunc("hour", $"ts"))
+    val known = ev.groupBy($"user_id", $"h")
+      .agg((sum(cents($"value")).cast("double") / 100.0 /
+            count(lit(1)).cast("double")).as("v"))
+    val spine = ev.groupBy($"user_id")
+      .agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id",
+              explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val wPrev = Window.partitionBy($"user_id").orderBy($"hu".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"user_id").orderBy($"hu".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(known, Seq("user_id", "h"), "left")
+      .withColumn("hu", unix_micros($"h".cast("timestamp")))
+      .withColumn("vp", last($"v", ignoreNulls = true).over(wPrev))
+      .withColumn("hp",
+        last(when($"v".isNotNull, $"hu"), ignoreNulls = true).over(wPrev))
+      .withColumn("vn", first($"v", ignoreNulls = true).over(wNext))
+      .withColumn("hn",
+        first(when($"v".isNotNull, $"hu"), ignoreNulls = true).over(wNext))
+      .select($"user_id", $"h",
+        when($"v".isNotNull, lit("obs")).otherwise(lit("interp")).as("kind"),
+        round(
+          when($"v".isNotNull, $"v")
+            .when($"hp".isNull, $"vn")
+            .when($"hn".isNull, $"vp")
+            .otherwise($"vp" + ($"vn" - $"vp") *
+              (($"hu" - $"hp").cast("double") /
+               ($"hn" - $"hp").cast("double"))), 6).as("val"))
+      .orderBy($"user_id", $"h")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_interpolate" -> (tsInterpolate _),
     "win_ewma" -> (winEwma _),
     "win_running_median" -> (winRunningMedian _),
     "win_islands" -> (winIslands _),
@@ -377,6 +440,42 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "ts_interpolate" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 8),
+        |k AS (SELECT user_id, h,
+        |        CAST(sum(cents) AS DOUBLE) / 100.0
+        |          / CAST(count(*) AS DOUBLE) AS v
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+        |sp AS (SELECT user_id,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |       FROM b),
+        |j AS (SELECT sp.user_id, sp.h, k.v, epoch_us(sp.h) AS hu
+        |      FROM sp LEFT JOIN k ON sp.user_id = k.user_id AND sp.h = k.h),
+        |f AS (SELECT user_id, h, v, hu,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hu
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |        last_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY hu
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp,
+        |        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hu
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |        first_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY hu
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hn
+        |      FROM j)
+        |SELECT user_id, h,
+        |  CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS kind,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN hp IS NULL THEN vn
+        |             WHEN hn IS NULL THEN vp
+        |             ELSE vp + (vn - vp) * (CAST(hu - hp AS DOUBLE)
+        |                                    / CAST(hn - hp AS DOUBLE))
+        |        END, 6) AS val
+        |FROM f ORDER BY user_id, h""".stripMargin,
     "win_ewma" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate,

@@ -344,6 +344,164 @@ object VectorOps extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** PCA dimensionality reduction of the embedding corpus (64 → 8
+    * dims) via Spark ML's estimator — the projection lever that cuts
+    * downstream ANN/cluster cost 8× when the tail dimensions carry
+    * little variance. This is deliberately the BUILT-IN path, not a
+    * hand-rolled one: `ml.feature.PCA.fit` computes the d×d
+    * covariance in ONE distributed pass (a treeAggregate of per-row
+    * outer products inside `RowMatrix.computeCovariance` — the corpus
+    * never shuffles, the aggregate is model-sized), eigendecomposes
+    * the 64×64 matrix ON THE DRIVER (model-sized, the only honest
+    * place for it), and projection is a broadcast matrix-vector
+    * multiply per row — exactly the 100 TB shape a bespoke version
+    * would have to reinvent. Output is posexplode'd to scalar rows
+    * (array cells don't survive the driver comparator — the
+    * embed_quantize lesson) with each component's explained-variance
+    * share alongside. No oracle (eigenvector basis is
+    * implementation-defined up to sign/order); VectorOpsSpec asserts
+    * the spectral contracts: non-increasing explained variance,
+    * orthonormal loadings, and per-component projected variance
+    * matching the eigenvalue. */
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val e = emb(s, dir).select($"vec_id", array_to_vector($"emb").as("fv"))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("fv").setOutputCol("pc").setK(8).fit(e)
+    val evShare = model.explainedVariance.toArray
+    model.transform(e)
+      .select($"vec_id", posexplode(vector_to_array($"pc")).as(Seq("pc", "coord")))
+      .select($"vec_id", $"pc".cast("int").as("pc"),
+        round($"coord", 6).as("coord"),
+        round(element_at(
+          array(evShare.map(v => lit(v)).toSeq: _*), $"pc" + 1), 6)
+          .as("explained_share"))
+      .orderBy($"vec_id", $"pc")
+  }
+
+  // ---- Product quantization (PQ): m=8 subspaces × dsub=8 dims,
+  // k=16 centroids per subspace → 8 one-byte codes per vector, the
+  // 32× storage lever (256 float bytes → 8 code bytes) that makes
+  // exhaustive scoring affordable at corpus scale.
+
+  private val PqM = 8; private val PqDsub = 8; private val PqK = 16
+
+  /** Explode each vector into its m subvectors: (vec_id, sub, sv). */
+  private def subvecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> slice(emb, s*$PqDsub + 1, $PqDsub))"))
+        .as(Seq("sub", "sv")))
+
+  /** Squared L2 via the native codegen'd kernels: |a−b]² = |a|² + |b|²
+    * − 2a·b — no new expression needed, norms ride precomputed. */
+  private def l2sq(a: Column, na: Column, b: Column, nb: Column): Column =
+    na * na + nb * nb - lit(2.0) * dotProduct(a, b)
+
+  /** Nearest-centroid assignment per (vector, subspace): equi-join on
+    * the subspace id against the BROADCAST codebook (m·k = 128 rows —
+    * model-sized at any corpus scale), argmin via the BoundedTopK
+    * heap (k=1) so candidates reduce map-side; the subvector stream
+    * never shuffles. */
+  private def assignPq(sv: DataFrame, cent: DataFrame): DataFrame =
+    sv.withColumn("nsv", l2Norm(col("sv")))
+      .join(broadcast(cent), Seq("sub"))
+      .withColumn("d2", l2sq(col("sv"), col("nsv"), col("cv"), col("ncv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(graft.functions.BoundedTopK
+             .boundedTopK(-col("d2"), col("cid"), 1).as("top"),
+           first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("sub"), col("sv"),
+              col("top").getItem(0).getField("id").cast("int").as("cid"))
+
+  /** Per-subspace Lloyd's k-means — [[kmeansCentroids]]'s shape run
+    * over all m subspaces IN ONE PLAN (subspace rides as a grouping
+    * key, so one corpus pass trains all 8 codebooks). Seeds are the
+    * stratified vec_ids' subvectors; training uses the same 10%
+    * key-modulo sample as the IVF coarse quantizer. Result (m·k rows
+    * of dsub-dim centroids) is localCheckpoint'd model state. */
+  private def pqCodebook(e: DataFrame, iters: Int): DataFrame = {
+    val train = subvecs(e.where(pmod(col("vec_id"), lit(10)) === 0))
+    val seeds = e
+      .orderBy(pmod(col("vec_id"), lit(100)), col("vec_id")).limit(PqK)
+      .select(col("vec_id"))
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    var cent = subvecs(e).join(broadcast(seeds), Seq("vec_id"))
+      .select(col("sub"), col("cid"), col("sv").as("cv"))
+      .withColumn("ncv", l2Norm(col("cv")))
+    for (_ <- 1 to iters) {
+      val byDim = assignPq(train, cent)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("cid"), col("d"))
+        .agg(avg(col("x")).as("mx"))
+      cent = byDim
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("mx")))).as("ps"))
+        .select(col("sub"), col("cid"),
+                expr("transform(ps, p -> p.mx)").as("cv"))
+        .withColumn("ncv", l2Norm(col("cv")))
+    }
+    cent.localCheckpoint(true)
+  }
+
+  /** ANN over PQ codes with asymmetric-distance (ADC) scoring — the
+    * compressed-domain search that pairs with [[embedQuantize]]'s
+    * scalar int8 and [[simSearchIvf]]'s coarse cells in a production
+    * index: the corpus is stored as 8 one-byte codes per vector, a
+    * query builds an m×k lookup table of EXACT subspace distances to
+    * every centroid, and a candidate's score is the sum of 8 table
+    * entries — no float vector is touched at scan time.
+    *
+    * Scale shape: the lookup table is |Q|·m·k = 640 rows (broadcast);
+    * the scan side joins its code stream against it on (sub, cid) —
+    * corpus vectors never shuffle, only |Q| skinny partial-sum rows
+    * per vector reach the (q_id, vec_id) aggregate, and the shortlist
+    * reduces through the BoundedTopK heap map-side (smaller ADC =
+    * closer, so the heap orders on −adc). Stage 2 is the FAISS
+    * IndexIVFPQ+refine production shape: fetch float vectors for the
+    * ≤ 50·|Q| shortlisted candidates only (broadcast fetch join — the
+    * corpus never shuffles and a bucketed store prunes files) and
+    * re-rank by EXACT L2, so reported distances carry zero
+    * quantization error and ADC error can only hurt by dropping a
+    * true neighbor off a 50-deep shortlist. No oracle (codebooks are
+    * implementation-defined); VectorOpsSpec bounds recall@10 against
+    * the exact L2 brute force. */
+  def simSearchPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shortlist = 50
+    val e = emb(s, dir)
+    val cent = pqCodebook(e, iters = 2)
+    val codes = assignPq(subvecs(e), cent).drop("sv")
+    val qTable = subvecs(e.where($"vec_id" < 5))
+      .withColumn("nsv", l2Norm($"sv"))
+      .join(broadcast(cent), Seq("sub"))
+      .select($"vec_id".as("q_id"), $"sub", $"cid",
+              l2sq($"sv", $"nsv", $"cv", $"ncv").as("d2"))
+    // stage 1: compressed-domain scan — ADC over the code stream
+    val cand = codes.join(broadcast(qTable), Seq("sub", "cid"))
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"d2").as("adc"))
+      .groupBy($"q_id")
+      .agg(graft.functions.BoundedTopK
+             .boundedTopK(-$"adc", $"vec_id", shortlist).as("top"))
+      .select($"q_id", explode($"top.id").as("vec_id"))
+    // stage 2: exact L2 refine of the shortlist only
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+    e.join(broadcast(cand.join(q, Seq("q_id"))), Seq("vec_id"))
+      .withColumn("l2d", l2sq($"emb", $"nrm", $"q_emb", $"q_nrm"))
+      .groupBy($"q_id")
+      .agg(graft.functions.BoundedTopK
+             .boundedTopK(-$"l2d", $"vec_id", 10).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.id".as("vec_id"),
+        round(-$"col.ord", 6).as("l2d"), ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"q_id", $"rk")
+  }
+
   /** MinHash signatures + banded LSH buckets over word-3-gram
     * shingles (16 hashes, 4 bands × 4 rows). The doc-level index a
     * petabyte dedup pipeline joins on. No oracle (xxhash64 has no
@@ -649,6 +807,8 @@ object VectorOps extends QueryPack {
     "sim_search_lsh" -> (simSearchLsh _),
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_rerank" -> (simSearchRerank _),
+    "sim_search_pq" -> (simSearchPq _),
+    "embed_pca" -> (embedPca _),
     "dedup_embed" -> (dedupEmbed _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_knn_join_ann" -> (simKnnJoinAnn _),

@@ -382,6 +382,87 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(mean >= 0.25, s"mean ANN knn recall $mean below floor")
   }
 
+  test("PQ ADC search: ranked shape, nonnegative distances, useful recall vs exact L2") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rows = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast(ArrayType(DoubleType)))
+      .as[(Long, Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // exact L2 top-10 ground truth for the 5 query vectors
+    val exact = rows.filter(_._1 < 5).map { case (q, qe) =>
+      q -> rows.filter(_._1 != q)
+        .map { case (id, v) => (id, l2(qe, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val pq = VectorOps.simSearchPq(spark, SparkSpec.sfDir)
+      .select($"q_id", $"vec_id", $"l2d", $"rk")
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = pq.groupBy(_._1)
+    assert(byQ.keySet == exact.keySet)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 10)
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).sameElements(1 to 10))
+      // refined distances are EXACT squared L2: nonnegative (float
+      // slack only) and nondecreasing in rank
+      assert(sorted.forall(_._3 >= -1e-6))
+      assert(sorted.map(_._3).sliding(2).forall(p => p(0) <= p(1) + 1e-9))
+      assert(!sorted.exists(r => r._2 == r._1), "self match")
+    }
+    // recall floor: quantization approximates but must not destroy the
+    // neighborhood (floor is a sanity bound on this fixture, not an SLA)
+    val recalls = exact.map { case (q, s) =>
+      byQ(q).map(_._2).toSet.intersect(s).size.toDouble / s.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean PQ recall@10 $mean below floor")
+  }
+
+  test("embed_pca: spectral contracts — ordered shares, variance ratios, orthonormal loadings") {
+    val out = VectorOps.embedPca(spark, SparkSpec.sfDir)
+      .select($"vec_id", $"pc", $"coord", $"explained_share")
+      .as[(Long, Int, Double, Double)].collect()
+    val n = out.map(_._1).distinct.length
+    assert(out.length == n * 8, s"expected $n×8 scalar rows, got ${out.length}")
+    // explained-variance shares: one value per component, in (0,1],
+    // non-increasing, summing to ≤ 1 (64→8 keeps a strict subset)
+    val shares = out.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.head._4 }
+    assert(shares.length == 8)
+    assert(shares.forall(s => s > 0 && s <= 1))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b },
+      s"shares not ordered: $shares")
+    assert(shares.sum <= 1.0 + 1e-6)
+    // the sample variance of each component's coordinates IS its
+    // eigenvalue, so variance ratios must track share ratios
+    val vars = (0 until 8).map { p =>
+      val xs = out.filter(_._2 == p).map(_._3)
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    (1 until 8).foreach { p =>
+      val got = vars(p) / vars(0)
+      val want = shares(p) / shares(0)
+      assert(math.abs(got - want) <= 0.02 * want + 1e-4,
+        s"pc$p variance ratio $got vs share ratio $want")
+    }
+    // loadings orthonormality — refit (the fit is deterministic) and
+    // check PCᵀPC = I on the model-sized 64×8 matrix
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .select($"vec_id",
+        array_to_vector($"embedding".cast(ArrayType(DoubleType))).as("fv"))
+    val pc = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("fv").setOutputCol("pc").setK(8).fit(e).pc
+    for (i <- 0 until 8; j <- i until 8) {
+      val dot = (0 until pc.numRows)
+        .map(r => pc(r, i) * pc(r, j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"PCᵀPC[$i,$j] = $dot")
+    }
+  }
+
   test("exact sim_search returns 10 ranked neighbors per query") {
     val rows = VectorOps.simSearch(spark, SparkSpec.sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))
