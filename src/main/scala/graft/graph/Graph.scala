@@ -246,4 +246,49 @@ object Graph {
         .select(col("n_tri_sampled"),
                 (col("n_tri_sampled") * invP3).as("est_triangles")))
   }
+
+  /** PageRank over an undirected edge set (canonical `a < b` rows,
+    * duplicates tolerated — deduped here) by standard power
+    * iteration: rank' = (1−d)/N + d·Σ_nbr rank/deg. Undirected means
+    * every vertex in the edge set has degree ≥ 1, so there is no
+    * dangling-mass term to redistribute — the rank vector sums to 1
+    * at every step (the invariant the spec pins).
+    *
+    * Scale shape per iteration: ONE equi-join (ranks ⋈ symmetric
+    * edges, keyed on vertex id) + one sum-aggregate keyed on the
+    * receiving vertex — the same join/agg skeleton as
+    * [[connectedComponents]], with the same discipline: rank state is
+    * one row per vertex, localCheckpoint'd each pass so pass k never
+    * replays 1..k-1, shuffle partitions capped to the edge-set size.
+    * Degrees are computed once and ride the edge table, so the
+    * per-pass join carries (nbr, rank/deg) contributions only —
+    * at 1000 executors each pass is an embarrassingly parallel
+    * scatter/gather on vertex-hashed partitions. Iterations are a
+    * FIXED count (power iteration converges geometrically at rate d;
+    * ranking stabilizes long before values do), so the plan depth is
+    * bounded and deterministic. */
+  def pagerank(edges: DataFrame, iters: Int, damp: Double): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    graft.config.Sessions.withShufflePartitionsCap(e.sparkSession, 8) {
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      // (src, dst, src-degree): the constant per-iteration join input
+      val adj = sym.join(deg, "a")
+        .select(col("a").as("src"), col("b").as("dst"), col("dg"))
+        .localCheckpoint(true)
+      val n = adj.select(col("src")).distinct().count()
+      var ranks = adj.select(col("src").as("id")).distinct()
+        .withColumn("rank", lit(1.0 / n))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        ranks = adj.join(ranks, col("src") === col("id"))
+          .select(col("dst").as("id"), (col("rank") / col("dg")).as("c"))
+          .groupBy(col("id"))
+          .agg((lit((1.0 - damp) / n) + lit(damp) * sum(col("c"))).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    }
+  }
 }

@@ -186,6 +186,76 @@ object Joins extends QueryPack {
     * already holds that row at Δ=0 and the tie rule prefers it). Both
     * windows share the single exchange+sort; distances compare as
     * exact integer microseconds. */
+  /** As-of join with a TOLERANCE — pandas `merge_asof(tolerance=…)` /
+    * feature-store point-in-time lookup semantics: each purchase
+    * takes the latest prior click by the same user ONLY if it is at
+    * most 1 hour old; a staler match is nulled out (the row survives,
+    * left-join style). The tolerance is what makes as-of joins safe
+    * for feature freshness: a feature computed from a week-old click
+    * is a training-serving skew bug, not a match.
+    *
+    * Same union + one-window-pass shape as [[joinAsof]] (no join
+    * state, one user-keyed shuffle); the only addition is a second
+    * IGNORE-NULLS last() carrying the matched click's timestamp so
+    * the staleness test is exact integer µs arithmetic — applied
+    * AFTER the window, so it cannot change which click is "latest
+    * prior" (oracle mirrors with ASOF LEFT JOIN + CASE). */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val clicks = e.where($"event_type" === "click")
+      .groupBy($"user_id", $"ts") // unique (user,ts) so tie-break is engine-independent
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts", lit(0).as("kind"),
+              lit(null).cast("long").as("p_id"), $"click_id")
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("kind"),
+              $"event_id".as("p_id"), lit(null).cast("long").as("click_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"kind".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_us",
+        last(when($"kind" === 0, unix_micros($"ts".cast("timestamp"))),
+             ignoreNulls = true).over(w))
+      .where($"kind" === 1)
+      .select($"user_id", $"p_id".as("purchase_id"), $"ts",
+        when(unix_micros($"ts".cast("timestamp")) - $"last_click_us" <=
+               lit(3600L * 1000000L), $"last_click").as("click_id"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  /** PageRank centrality over the part co-purchase graph (edges =
+    * distinct part pairs sharing an order — [[graphTriangles]]'s
+    * one-shuffle basket expansion, deduped): the "which SKUs anchor
+    * the catalog" ranking, and the §2.3 family's iterative-float
+    * member next to the exact CC closure and the sampled triangle
+    * count. 5 fixed power iterations at d = 0.85; iteration mechanics
+    * and scale shape live in [[graft.graph.Graph.pagerank]] (one
+    * vertex-keyed join + sum per pass, localCheckpoint'd model-sized
+    * state). Output is the deterministic top-20 (rank desc, id asc —
+    * TakeOrderedAndProject, no global sort) with ranks in parts-per-
+    * million. No oracle (iterative float propagation has no SQL
+    * twin); PropertySpec pins the invariants: Σrank = 1 every pass,
+    * planted-star centrality, and parity with an in-test sequential
+    * reference. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    val pairs = li
+      .groupBy($"l_orderkey")
+      .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+    graft.graph.Graph.pagerank(pairs, iters = 5, damp = 0.85)
+      .orderBy($"rank".desc, $"id".asc).limit(20)
+      .select($"id", round($"rank" * 1e6, 3).as("rank_ppm"))
+  }
+
   def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "events")
@@ -438,7 +508,9 @@ object Joins extends QueryPack {
     "join_theta" -> (joinTheta _),
     "join_asof" -> (joinAsof _),
     "join_asof_forward" -> (joinAsofForward _),
-    "join_asof_nearest" -> (joinAsofNearest _))
+    "join_asof_nearest" -> (joinAsofNearest _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
+    "graph_pagerank" -> (graphPagerank _))
 
   def oracle: Map[String, String] = Map(
     // the bloom prefilter is semantics-preserving: the oracle is the
@@ -585,6 +657,17 @@ object Joins extends QueryPack {
         |purchases AS (
         |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
         |SELECT p.user_id, p.event_id AS purchase_id, p.ts, c.click_id
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id AS purchase_id, p.ts,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END AS click_id
         |FROM purchases p
         |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.user_id, purchase_id""".stripMargin,

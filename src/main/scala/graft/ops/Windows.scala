@@ -422,7 +422,53 @@ object Windows extends QueryPack {
       .orderBy($"user_id", $"h")
   }
 
+  /** Rolling z-score anomaly flags — the monitoring primitive: each
+    * event's value is judged against the PRECEDING 20 events of the
+    * same user (frame excludes the current row: an outlier must not
+    * inflate the baseline it is judged against); flagged when
+    * |x − mean| > 3σ, suppressed until 10 observations exist.
+    *
+    * Determinism is the interesting part: 3σ thresholds are usually
+    * float soup, but here the flag is an ALL-INTEGER inequality —
+    * |x−μ| > 3σ  ⇔  (n−1)·(n·x−Σx)² > 9·n·(n·Σx²−(Σx)²) — over exact
+    * cents sums widened to decimal(38,0) (HUGEINT in the oracle), so
+    * both engines compare identical integers and no boundary can flip
+    * (the agg_moments discipline applied to a window). The reported
+    * z-score is derived from the same integers by one identical IEEE
+    * expression tree (NULL when the window variance is exactly zero —
+    * both engines test the integer, not a float).
+    *
+    * Scale shape: one user-keyed shuffle + sort shared by all three
+    * frame aggregates; 20-row frames evaluate incrementally. At 100 TB
+    * the window partitions by (user, day-bucket) with a 20-row
+    * boundary overlap — the ts_interpolate decomposition. */
+  def tsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(-20, -1)
+    val dec = "decimal(38,0)"
+    t(s, dir, "events")
+      .withColumn("x", cents($"value"))
+      .withColumn("n", count($"x").over(w))
+      .withColumn("sx", sum($"x".cast(dec)).over(w))
+      .withColumn("sxx", sum(($"x" * $"x").cast(dec)).over(w))
+      .where($"n" >= 10)
+      .withColumn("dev", $"n".cast(dec) * $"x" - $"sx")
+      .withColumn("varnum", $"n".cast(dec) * $"sxx" - $"sx" * $"sx")
+      .select($"user_id", $"event_id", $"ts", $"n",
+        (($"n" - 1).cast(dec) * $"dev" * $"dev" >
+           lit(9).cast(dec) * $"n".cast(dec) * $"varnum").as("flag"),
+        when($"varnum" === 0, lit(null).cast("double"))
+          .otherwise(round(
+            ($"dev".cast("double") / $"n".cast("double")) /
+              sqrt($"varnum".cast("double") /
+                   ($"n".cast("double") * ($"n" - 1).cast("double"))), 6))
+          .as("z"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly" -> (tsAnomaly _),
     "ts_interpolate" -> (tsInterpolate _),
     "win_ewma" -> (winEwma _),
     "win_running_median" -> (winRunningMedian _),
@@ -440,6 +486,33 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "ts_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value*100) AS BIGINT) AS x
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts, x,
+        |    count(x) OVER win AS n,
+        |    CAST(sum(x) OVER win AS HUGEINT) AS sx,
+        |    CAST(sum(x*x) OVER win AS HUGEINT) AS sxx
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |d AS (
+        |  SELECT user_id, event_id, ts, n,
+        |    CAST(n AS HUGEINT) * x - sx AS dev,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS varnum
+        |  FROM w WHERE n >= 10)
+        |SELECT user_id, event_id, ts, n,
+        |  CAST(n - 1 AS HUGEINT) * dev * dev
+        |    > CAST(9 AS HUGEINT) * CAST(n AS HUGEINT) * varnum AS flag,
+        |  CASE WHEN varnum = 0 THEN NULL
+        |       ELSE round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  / sqrt(CAST(varnum AS DOUBLE)
+        |                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+        |  END AS z
+        |FROM d ORDER BY user_id, event_id""".stripMargin,
     "ts_interpolate" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('hour', ts) AS h,

@@ -228,6 +228,42 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("pagerank: sums to one, matches a sequential reference, ranks the star center first") {
+    import spark.implicits._
+    for (i <- 1 to 2) {
+      val raw = Gen.listOfN(60,
+          Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 14L)))
+        .apply(Gen.Parameters.default, rng.Seed(4242L + i)).get
+        .collect { case (x, y) if x != y => (math.min(x, y), math.max(x, y)) }
+        .distinct
+      val got = graft.graph.Graph.pagerank(raw.toDF("a", "b"), 5, 0.85)
+        .as[(Long, Double)].collect().toMap
+      // sequential power-iteration reference (same scheme, same iters)
+      val nbrs = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val n = nbrs.size
+      var r = nbrs.keys.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to 5) {
+        val contrib = scala.collection.mutable.Map[Long, Double]()
+          .withDefaultValue(0.0)
+        for ((v, ns) <- nbrs; u <- ns) contrib(u) += r(v) / ns.size
+        r = nbrs.keys.map(v => v -> (0.15 / n + 0.85 * contrib(v))).toMap
+      }
+      assert(got.keySet == r.keySet, s"case $i: vertex sets differ")
+      // undirected ⇒ no dangling mass ⇒ the rank vector stays a
+      // probability distribution at every iteration
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"case $i: sum drifted")
+      r.foreach { case (v, x) =>
+        assert(math.abs(got(v) - x) < 1e-9, s"case $i vertex $v: ${got(v)} vs $x") }
+    }
+    // planted star: the hub must out-rank every leaf
+    val star = (1L to 8L).map(i => (0L, i)).toDF("a", "b")
+    val pr = graft.graph.Graph.pagerank(star, 5, 0.85)
+      .as[(Long, Double)].collect()
+    assert(pr.maxBy(_._2)._1 == 0L, "star center not top-ranked")
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("triangle estimator: exact mode equals brute force; sampling is a sub-count") {
     import spark.implicits._
     for (i <- 1 to 3) {
