@@ -143,7 +143,15 @@ object Bench {
     val refTimes =
       try {
         val p = Paths.get(fullPath)
-        if (Files.exists(p)) parseRefTimes(Files.readString(p)) else Map.empty[String, Double]
+        if (Files.exists(p)) {
+          val txt = Files.readString(p)
+          // the reference is only meaningful at the SAME scale factor:
+          // comparing an sf0.1 run against a committed sf0.001 file
+          // would fire the contention flag on honest data growth
+          if (txt.contains("\"sf\":\"" + sfDir + "\""))
+            parseRefTimes(txt)
+          else Map.empty[String, Double]
+        } else Map.empty[String, Double]
       } catch { case _: Throwable => Map.empty[String, Double] }
     // pre-warm the streaming machinery once OUTSIDE the clock (state
     // store provider init, temp-checkpoint plumbing, micro-batch

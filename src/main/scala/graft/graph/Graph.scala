@@ -268,27 +268,35 @@ object Graph {
     * ranking stabilizes long before values do), so the plan depth is
     * bounded and deterministic. */
   def pagerank(edges: DataFrame, iters: Int, damp: Double): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val e = edges.select(col("a"), col("b")).distinct()
+    // the two sym branches share e's distinct via ReuseExchange — no
+    // eager materialization of the edge list needed before adj's
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    // (src, dst, src-degree): the constant per-iteration join input —
+    // checkpointed ONCE because it feeds every pass of one lazy plan
+    // (a plan-tree reuse Spark would otherwise recompute per pass)
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+    val adj = sym.join(deg, "a")
+      .select(col("a").as("src"), col("b").as("dst"), col("dg"))
       .localCheckpoint(true)
-    graft.config.Sessions.withShufflePartitionsCap(e.sparkSession, 8) {
-      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
-      // (src, dst, src-degree): the constant per-iteration join input
-      val adj = sym.join(deg, "a")
-        .select(col("a").as("src"), col("b").as("dst"), col("dg"))
-        .localCheckpoint(true)
-      val n = adj.select(col("src")).distinct().count()
-      var ranks = adj.select(col("src").as("id")).distinct()
-        .withColumn("rank", lit(1.0 / n))
-        .localCheckpoint(true)
-      for (_ <- 1 to iters) {
-        ranks = adj.join(ranks, col("src") === col("id"))
-          .select(col("dst").as("id"), (col("rank") / col("dg")).as("c"))
-          .groupBy(col("id"))
-          .agg((lit((1.0 - damp) / n) + lit(damp) * sum(col("c"))).as("rank"))
-          .localCheckpoint(true)
-      }
-      ranks
+    val n = adj.select(col("src")).distinct().count()
+    var ranks = adj.select(col("src").as("id")).distinct()
+      .withColumn("rank", lit(1.0 / n))
+    // Unlike connectedComponents there is NO per-pass action (fixed
+    // iteration count, no convergence test), so the passes stay LAZY:
+    // the caller's single action executes one iters-deep pipeline with
+    // AQE sizing each shuffle, instead of per-pass materializations.
+    // The vertex-state side BROADCASTS (one double per vertex — the
+    // fits-in-memory regime, and the hint is what keeps the 2|E|-row
+    // adj stream from re-shuffling every pass); past broadcast reach
+    // the same loop runs with both sides hash-partitioned on the
+    // vertex id, where adj's partitioning is reused across passes.
+    for (_ <- 1 to iters) {
+      ranks = adj.join(broadcast(ranks), col("src") === col("id"))
+        .select(col("dst").as("id"), (col("rank") / col("dg")).as("c"))
+        .groupBy(col("id"))
+        .agg((lit((1.0 - damp) / n) + lit(damp) * sum(col("c"))).as("rank"))
     }
+    ranks
   }
 }
