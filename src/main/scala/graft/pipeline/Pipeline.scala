@@ -290,6 +290,61 @@ object Pipelines extends QueryPack {
       .orderBy($"col_name")
   }
 
+  /** Data-quality expectation audit — the contract check a pipeline
+    * runs BEFORE promoting a batch (Deequ / dbt-test / Great
+    * Expectations shape): a fixed suite of named expectations, one
+    * result row each with checked/violation counts and a pass flag.
+    *
+    * Plan shape is the point. All five ROW-LEVEL expectations on
+    * lineitem compile into ONE conditional aggregate over ONE scan —
+    * adding an expectation adds a sum(CASE...) column, never a pass —
+    * and the two dataset-level checks are the cheapest plan Spark has
+    * for each: referential integrity is a left-ANTI join against the
+    * broadcast-able orders key set (at 100 TB: bloom-prefiltered SMJ,
+    * join_bloom_prefilter's machinery), and key uniqueness is
+    * count - countDistinct (two-phase, shuffle carries per-partition
+    * distincts). The three one-row aggregates cross-join for free and
+    * unpivot via stack — the whole audit is 2 scans + 1 anti-join
+    * regardless of how many row-level rules it carries. Thresholds are
+    * deliberately TIGHTER than the generator's ranges (quantity ≤ 45,
+    * price ∈ [1000, 100000]) so the suite exercises real failures:
+    * at sf0.01 two expectations report violations and five pass. */
+  def dqExpect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    def viol(bad: org.apache.spark.sql.Column) =
+      sum(when(bad, 1L).otherwise(0L))
+    // one scan, five expectations: each is a conditional-sum column
+    val rowChecks = li.agg(
+      count(lit(1)).as("li_n"),
+      viol(!$"l_quantity".between(1.0, 45.0)).as("v_qty"),
+      viol(!$"l_discount".between(0.0, 0.1)).as("v_disc"),
+      viol(!$"l_extendedprice".between(1000.0, 100000.0)).as("v_price"),
+      viol($"l_shipdate".isNull).as("v_ship"),
+      viol($"l_tax" < 0.0 || $"l_tax" > $"l_discount" + 0.08).as("v_tax"))
+    val orphans = li.select($"l_orderkey")
+      .join(orders.select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    val keyCheck = orders.agg(
+      count(lit(1)).as("o_n"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("v_uniq"))
+    rowChecks.crossJoin(orphans).crossJoin(keyCheck)
+      .selectExpr(
+        """stack(7,
+          |'li_quantity_in_1_45',    li_n, v_qty,
+          |'li_discount_in_0_01',    li_n, v_disc,
+          |'li_price_in_1k_100k',    li_n, v_price,
+          |'li_shipdate_not_null',   li_n, v_ship,
+          |'li_tax_bounded',         li_n, v_tax,
+          |'li_orderkey_fk_orders',  li_n, v_fk,
+          |'o_orderkey_unique',      o_n,  v_uniq
+          |) AS (check_name, n_checked, n_viol)""".stripMargin)
+      .withColumn("pass", $"n_viol" === 0L)
+      .orderBy($"check_name")
+  }
+
   /** Deterministic train/val/test split — the assignment every
     * training-data pipeline needs to be REPRODUCIBLE and
     * partition-independent. Each doc hashes by md5 of its id's decimal
@@ -347,6 +402,7 @@ object Pipelines extends QueryPack {
     "pipeline_upsert" -> (upsertMerge _),
     "pipeline_upsert_partitioned" -> (upsertMergePartitioned _),
     "profile_columns" -> (profileColumns _),
+    "dq_expect" -> (dqExpect _),
     "pipeline_docs_curate" -> (docsCurate _))
 
   private val stopSql =
@@ -431,6 +487,31 @@ object Pipelines extends QueryPack {
            |  CAST(max($c) AS VARCHAR) AS max_val
            |FROM orders""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "dq_expect" ->
+      """WITH li AS (
+        |  SELECT count(*) AS li_n,
+        |    sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS v_qty,
+        |    sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END) AS v_disc,
+        |    sum(CASE WHEN NOT (l_extendedprice BETWEEN 1000 AND 100000) THEN 1 ELSE 0 END) AS v_price,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship,
+        |    sum(CASE WHEN l_tax < 0 OR l_tax > l_discount + 0.08 THEN 1 ELSE 0 END) AS v_tax
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT count(*) AS v_fk FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        |ok AS (
+        |  SELECT count(*) AS o_n,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_uniq FROM orders),
+        |r AS (
+        |  SELECT 'li_quantity_in_1_45' AS check_name, li_n AS n_checked, v_qty AS n_viol FROM li
+        |  UNION ALL SELECT 'li_discount_in_0_01', li_n, v_disc FROM li
+        |  UNION ALL SELECT 'li_price_in_1k_100k', li_n, v_price FROM li
+        |  UNION ALL SELECT 'li_shipdate_not_null', li_n, v_ship FROM li
+        |  UNION ALL SELECT 'li_tax_bounded', li_n, v_tax FROM li
+        |  UNION ALL SELECT 'li_orderkey_fk_orders', li_n, v_fk FROM li, fk
+        |  UNION ALL SELECT 'o_orderkey_unique', o_n, v_uniq FROM ok)
+        |SELECT check_name, n_checked, n_viol, n_viol = 0 AS pass
+        |FROM r ORDER BY check_name""".stripMargin,
     // cutoff-free on purpose: state ∪ delta must equal full recompute
     "pipeline_incremental" ->
       s"""SELECT user_id, count(*) AS n_events,

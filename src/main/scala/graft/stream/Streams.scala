@@ -579,7 +579,58 @@ object Streams extends QueryPack {
         .orderBy($"doc_id")
     }
 
+  /** Streaming heavy hitters with EXACT counts — the live twin of
+    * [[graft.text.TextOps.textHotTokens]]'s Misra-Gries sketch. The
+    * corpus arrives as three doc-id-HASH-split files (one micro-batch
+    * each, arrival decorrelated from id); a stateful token-count
+    * aggregation accumulates across batches and, because the count
+    * monoid is commutative, the FINAL state per token is micro-batch-
+    * split invariant and equals batch GROUP BY exactly — which is why
+    * this streaming query is DuckDB-oracled while the batch sketch
+    * variant cannot be. Update-mode drain emits one row per touched
+    * token per batch, each carrying the NEW cumulative total, so the
+    * final count is max(n) per token (counts are monotone). Top-20
+    * with a (n desc, token) total order plans TakeOrderedAndProject.
+    *
+    * Scale shape: state = one long per DISTINCT token (vocabulary-
+    * sized, not stream-sized); each batch shuffles only map-side
+    * partial counts on the token key. The full ranking pass this
+    * drain affords is the fixture-scale luxury; at corpus scale the
+    * downstream consumer reads the state store's changelog or swaps
+    * in the MG sketch (text_hot_tokens) when top-k is all it needs. */
+  def streamHotTokens(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stage = tempRootDeletedOnExit("graft_stream_hot")
+      val docs = s.read.schema(docSchema).parquet(s"$dir/documents.parquet")
+      (0 until 3).foreach { i =>
+        val tmp = s"$stage/w$i"
+        docs.where(pmod(xxhash64($"doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$stage/f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        ()
+      }
+      val counts = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*.parquet")
+        .select(explode(split($"text", " ")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+      drain(counts, "graft_stream_hot_tokens", OutputMode.Update())
+        .groupBy($"tok").agg(max($"n").as("n"))
+        .orderBy($"n".desc, $"tok").limit(20)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hot_tokens" -> (streamHotTokens _),
     "stream_watermark" -> (streamWatermark _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_near" -> (streamDedupNear _),
@@ -599,6 +650,13 @@ object Streams extends QueryPack {
   // interval join emits every match, and the session aggregation
   // emits every fully-merged session — both equal their batch twins.
   def oracle: Map[String, String] = Map(
+    // exact because the count monoid makes the final streaming state
+    // micro-batch-split invariant — see streamHotTokens scaladoc
+    "stream_hot_tokens" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents)
+        |SELECT tok, count(*) AS n FROM w
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     // the upserted warehouse's final state is batch-boundary-invariant
     // (commutative count/cents monoid, last-writer-wins per key), so
     // plain batch GROUP BY is its exact twin

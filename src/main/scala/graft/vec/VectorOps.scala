@@ -256,7 +256,7 @@ object VectorOps extends QueryPack {
     * partitioning, so every vec_id's candidates are co-located), and
     * `first(emb)` rides the same ObjectHashAggregate — in the common
     * case nothing shuffles at all. */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("c_cos",
         dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
@@ -276,12 +276,16 @@ object VectorOps extends QueryPack {
     * The result is localCheckpoint'd: k×dim doubles are model state,
     * and truncating the lineage keeps downstream plans from replaying
     * every training pass. */
-  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    // train on a deterministic ~10% key-modulo sample: centroid
-    // QUALITY needs a representative sample, not the full corpus —
-    // the standard coarse-quantizer trade, and the only affordable
-    // one when the corpus is 100 TB
-    val train = e.where(pmod(col("vec_id"), lit(10)) === 0)
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
+                      sampleMod: Int = 10): DataFrame = {
+    // train on a deterministic key-modulo sample (default ~10%):
+    // centroid QUALITY needs a representative sample, not the full
+    // corpus — the standard coarse-quantizer trade, and the only
+    // affordable one when the corpus is 100 TB. sampleMod=1 trains on
+    // everything (embed_kmeans, where assignments ARE the output).
+    val train =
+      if (sampleMod <= 1) e
+      else e.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
     // exactly k seeds regardless of corpus size: prefer ids spread
     // 100 apart (vec_id ≡ 0 mod 100), then fill from the next strata.
     // orderBy+limit(k) plans as TakeOrderedAndProject — per-partition
@@ -342,6 +346,94 @@ object VectorOps extends QueryPack {
       .select($"q_id", $"col.id".as("vec_id"),
         round($"col.ord", 6).as("cos"), ($"pos" + 1).cast("int").as("rk"))
       .orderBy($"q_id", $"rk")
+  }
+
+  /** K-means clustering surfaced as a first-class query — the
+    * partitioning step of cluster-based curation (SemDeDup / density
+    * pruning / cluster-balanced sampling all start here). Trains
+    * [[kmeansCentroids]] on the FULL corpus (sampleMod=1: here the
+    * assignments are the deliverable, not a coarse quantizer; at
+    * 100 TB the train step samples and only the final assignment pass
+    * touches everything) and reports one audit row per cluster.
+    *
+    * Scale shape per iteration: assignment is a broadcast of k
+    * model-sized centroids against the corpus (corpus never
+    * shuffles) + the BoundedTopK(1) map-side argmax; the update
+    * shuffles only k×64 partial (sum,count) rows after map-side
+    * combine. The audit output joins assignments back to labels —
+    * an equi-join on vec_id that AQE broadcasts at fixture scale and
+    * co-partitions at corpus scale. Dominant label per cluster rides
+    * max(struct(count, -label)): deterministic under count ties,
+    * no window, no second shuffle beyond the k-row regroup. */
+  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cent = kmeansCentroids(e, k = 10, iters = 3, sampleMod = 1)
+    val assigned = assignCells(e, cent)
+    val withCos = assigned
+      .join(broadcast(cent), $"cell" === $"cent_id")
+      .withColumn("cos", dot($"emb", $"c_emb") / ($"nrm" * $"c_nrm"))
+      .join(e.select($"vec_id", $"label"), Seq("vec_id"))
+    val byLabel = withCos.groupBy($"cell", $"label")
+      .agg(count(lit(1)).as("nl"), sum($"cos").as("cos_sum"))
+    byLabel.groupBy($"cell")
+      .agg(max(struct($"nl", (-$"label").as("neg"))).as("dom"),
+           sum($"nl").as("n_vecs"),
+           sum($"cos_sum").as("cos_tot"))
+      .select($"cell",
+        $"n_vecs",
+        (-$"dom.neg").cast("int").as("dom_label"),
+        $"dom.nl".as("n_dom"),
+        round($"dom.nl" / $"n_vecs", 4).as("purity"),
+        round($"cos_tot" / $"n_vecs", 6).as("mean_cos"))
+      .orderBy($"cell")
+  }
+
+  /** Per-vector SemDeDup verdicts (spec surface): vector → (cell,
+    * kept, justifier). A vector is DROPPED iff some LOWER-id vector
+    * in its k-means cell has cosine ≥ tau — the same min-id survivor
+    * rule every dedup query in the repo uses, restricted to cells. */
+  private[graft] def semdedupVerdicts(e: DataFrame, k: Int,
+                                      tau: Double): DataFrame = {
+    import e.sparkSession.implicits._
+    val cent = kmeansCentroids(e, k, iters = 2, sampleMod = 1)
+    val assigned = assignCells(e, cent).localCheckpoint(true)
+    val a = assigned.select($"vec_id".as("id_a"), $"emb".as("emb_a"),
+                            $"nrm".as("nrm_a"), $"cell")
+    val b = assigned.select($"vec_id".as("id_b"), $"emb".as("emb_b"),
+                            $"nrm".as("nrm_b"), $"cell")
+    val losers = a.join(b, Seq("cell")).where($"id_a" < $"id_b")
+      .withColumn("cos", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
+      .where($"cos" >= tau)
+      .groupBy($"id_b").agg(min($"id_a").as("justifier"))
+      .select($"id_b".as("vec_id"), $"justifier")
+    assigned.select($"vec_id", $"cell")
+      .join(losers, Seq("vec_id"), "left")
+      .withColumn("kept", $"justifier".isNull)
+  }
+
+  /** SemDeDup — semantic dedup by cluster-then-prune (Abbas et al.
+    * 2023, arXiv:2303.09540): k-means the corpus, then drop any
+    * vector whose cosine to a lower-id vector IN THE SAME CELL
+    * reaches tau. This is the scale path [[dedupEmbed]]'s exact
+    * all-pairs join can't walk: the self-join keys on cell, so the
+    * pair space is Σ|cell|² ≈ n²/k instead of n², and k grows with
+    * the corpus to hold cell size (and thus per-cell quadratic work)
+    * constant — the identical bucket-bounding argument as
+    * [[dedupEmbedLsh]], but with LEARNED partitions that put
+    * semantically-near vectors together instead of hash bands that
+    * only catch near-identical ones. Same tau (0.30) as dedup_embed,
+    * so VectorOpsSpec can measure recall of the exact pair set
+    * directly and assert soundness (every drop has an in-cell
+    * justifier pair ≥ tau). Output: one audit row per cell. */
+  def embedSemdedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = semdedupVerdicts(emb(s, dir), k = 10, tau = 0.30)
+    v.groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+           sum(when(!$"kept", 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy($"cell")
   }
 
   /** PCA dimensionality reduction of the embedding corpus (64 → 8
@@ -809,6 +901,8 @@ object VectorOps extends QueryPack {
     "sim_search_rerank" -> (simSearchRerank _),
     "sim_search_pq" -> (simSearchPq _),
     "embed_pca" -> (embedPca _),
+    "embed_kmeans" -> (embedKmeans _),
+    "embed_semdedup" -> (embedSemdedup _),
     "dedup_embed" -> (dedupEmbed _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_knn_join_ann" -> (simKnnJoinAnn _),

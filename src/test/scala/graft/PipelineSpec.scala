@@ -121,4 +121,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_returnflag:string>"),
       scan.take(800))
   }
+
+  test("dq_expect: designed-tight rules fail, invariant rules pass, flags consistent") {
+    val rows = graft.pipeline.Pipelines.dqExpect(spark, SparkSpec.sfDir).collect()
+    assert(rows.length == 7)
+    val byName = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    byName.foreach { case (name, (checked, viol, pass)) =>
+      assert(checked > 0, s"$name checked nothing")
+      assert(pass == (viol == 0L), s"$name pass flag inconsistent")
+    }
+    // generator invariants can never fail…
+    Seq("li_discount_in_0_01", "li_shipdate_not_null",
+        "li_orderkey_fk_orders", "o_orderkey_unique").foreach { n =>
+      assert(byName(n)._3, s"$n should pass on generated data")
+    }
+    // …and the deliberately-tight thresholds must catch real rows
+    assert(!byName("li_quantity_in_1_45")._3, "quantity rule designed to fail")
+    assert(!byName("li_price_in_1k_100k")._3, "price rule designed to fail")
+  }
 }

@@ -137,6 +137,10 @@ class PlanSpec extends AnyFunSuite {
       "sim_search_quant",  // same broadcast query-set shape, int8 codes
       "sim_search_ivf",    // broadcast 16-row centroid table for assign
       "sim_knn_join_ann",  // same broadcast centroid assign/probe shape
+      "embed_kmeans",      // same broadcast k-centroid assign shape
+      "embed_semdedup",    // broadcast centroid assign; the PAIR join
+                           // itself is an equi-join on cell id
+      "dq_expect",         // crossJoin of three 1-row audit aggregates
       "sim_search_rerank", // same centroid/query-side broadcasts; the
                            // rerank fetch itself is a broadcast HASH join
       "text_cms_tokens",   // broadcast model-sized per-source sketches

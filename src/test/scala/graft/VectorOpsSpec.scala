@@ -473,4 +473,92 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "not descending")
     }
   }
+
+  // shared raw corpus for the clustering tests: (vec_id -> unit-norm'd
+  // double embedding), plus the exact cosine function the queries use
+  private lazy val rawVecs: Map[Long, Array[Double]] =
+    graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("embed_kmeans: k clusters partition the corpus; Lloyd iterations do not worsen the fit") {
+    val out = VectorOps.embedKmeans(spark, SparkSpec.sfDir).collect()
+    assert(out.length == 10, s"expected 10 clusters, got ${out.length}")
+    assert(out.map(_.getLong(1)).sum == rawVecs.size, "cluster sizes must sum to corpus")
+    out.foreach { r =>
+      val (n, nDom, purity) = (r.getLong(1), r.getLong(3), r.getDouble(4))
+      assert(nDom >= 1 && nDom <= n)
+      assert(purity > 0.0 && purity <= 1.0)
+      assert(math.abs(purity - nDom.toDouble / n) < 1e-3)
+    }
+    // Lloyd monotonicity on the training objective: corpus mean
+    // best-cosine under trained centroids must not be worse than under
+    // the raw seeds (small epsilon for the float re-aggregation)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .withColumn("emb", $"embedding".cast(ArrayType(DoubleType)))
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VecFunctions.dotProduct($"emb", $"emb")))
+    def meanBestCos(iters: Int): Double = {
+      val cent = VectorOps.kmeansCentroids(e, k = 10, iters = iters, sampleMod = 1)
+      VectorOps.assignCells(e, cent)
+        .join(org.apache.spark.sql.functions.broadcast(cent), $"cell" === $"cent_id")
+        .select((graft.functions.VecFunctions.dotProduct($"emb", $"c_emb")
+                  / ($"nrm" * $"c_nrm")).as("c"))
+        .agg(avg($"c")).head().getDouble(0)
+    }
+    val (seed, trained) = (meanBestCos(0), meanBestCos(3))
+    assert(trained >= seed - 1e-9,
+      s"training worsened the objective: seeds=$seed trained=$trained")
+  }
+
+  test("embed_semdedup: drops are sound (in-cell justifier >= tau), survivors complete, recall vs exact rule bounded") {
+    val tau = 0.30
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .withColumn("emb", $"embedding".cast(ArrayType(DoubleType)))
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VecFunctions.dotProduct($"emb", $"emb")))
+    val v = VectorOps.semdedupVerdicts(e, k = 10, tau = tau)
+      .select($"vec_id", $"cell", $"kept", $"justifier").collect()
+    assert(v.length == rawVecs.size)
+    val cellOf = v.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // soundness: every dropped vector's justifier is a LOWER-id vector
+    // in the SAME cell at cosine >= tau
+    val dropped = v.filterNot(_.getBoolean(2))
+    assert(dropped.nonEmpty, "fixture tail should produce some in-cell drops at tau=0.30")
+    dropped.foreach { r =>
+      val (id, j) = (r.getLong(0), r.getLong(3))
+      assert(j < id, s"justifier $j not lower than $id")
+      assert(cellOf(j) == cellOf(id), s"justifier $j not in $id's cell")
+      val c = cosine(rawVecs(id), rawVecs(j))
+      assert(c >= tau - 1e-9, s"justifier pair ($j,$id) cos=$c < tau")
+    }
+    // completeness within cells: a kept vector has NO lower-id
+    // in-cell partner at cosine >= tau (epsilon-guarded both ways)
+    val byCell = v.groupBy(_.getLong(1))
+    byCell.values.foreach { rs =>
+      val ids = rs.map(_.getLong(0)).sorted
+      val keptSet = rs.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+      for (j <- ids; i <- ids if i < j && keptSet(j)) {
+        val c = cosine(rawVecs(i), rawVecs(j))
+        assert(c < tau + 1e-9, s"kept $j has in-cell partner $i at cos=$c >= tau")
+      }
+    }
+    // recall against the EXACT global min-id rule (dedup_embed's
+    // semantics): cluster-then-prune must find a bounded fraction
+    val idsSorted = rawVecs.keys.toArray.sorted
+    val exactDrops = idsSorted.count { j =>
+      idsSorted.exists(i => i < j && cosine(rawVecs(i), rawVecs(j)) >= tau)
+    }
+    val recall = dropped.length.toDouble / exactDrops
+    assert(dropped.length <= exactDrops, "in-cell drops cannot exceed exact drops")
+    assert(recall >= 0.35, s"recall $recall below floor (${dropped.length}/$exactDrops)")
+  }
 }
