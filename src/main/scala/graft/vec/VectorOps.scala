@@ -389,15 +389,24 @@ object VectorOps extends QueryPack {
       .orderBy($"cell")
   }
 
-  /** Per-vector SemDeDup verdicts (spec surface): vector → (cell,
-    * kept, justifier). A vector is DROPPED iff some LOWER-id vector
-    * in its k-means cell has cosine ≥ tau — the same min-id survivor
-    * rule every dedup query in the repo uses, restricted to cells. */
+  /** Per-vector SemDeDup verdicts (spec + funnel surface): vector →
+    * (cell, ccos = cosine to own centroid, kept, justifier). A vector
+    * is DROPPED iff some LOWER-id vector in its k-means cell has
+    * cosine ≥ tau — the same min-id survivor rule every dedup query
+    * in the repo uses, restricted to cells. The checkpointed
+    * assignment is shared by the pair join's both sides AND every
+    * downstream consumer, so one k-means run feeds the whole plan. */
   private[graft] def semdedupVerdicts(e: DataFrame, k: Int,
                                       tau: Double): DataFrame = {
     import e.sparkSession.implicits._
     val cent = kmeansCentroids(e, k, iters = 2, sampleMod = 1)
-    val assigned = assignCells(e, cent).localCheckpoint(true)
+    val assigned = assignCells(e, cent)
+      .join(broadcast(cent), col("cell") === col("cent_id"))
+      .withColumn("ccos", dot(col("emb"), col("c_emb")) /
+                          (col("nrm") * col("c_nrm")))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
+              col("ccos"))
+      .localCheckpoint(true)
     val a = assigned.select($"vec_id".as("id_a"), $"emb".as("emb_a"),
                             $"nrm".as("nrm_a"), $"cell")
     val b = assigned.select($"vec_id".as("id_b"), $"emb".as("emb_b"),
@@ -407,7 +416,7 @@ object VectorOps extends QueryPack {
       .where($"cos" >= tau)
       .groupBy($"id_b").agg(min($"id_a").as("justifier"))
       .select($"id_b".as("vec_id"), $"justifier")
-    assigned.select($"vec_id", $"cell")
+    assigned.select($"vec_id", $"cell", $"ccos")
       .join(losers, Seq("vec_id"), "left")
       .withColumn("kept", $"justifier".isNull)
   }
@@ -433,6 +442,50 @@ object VectorOps extends QueryPack {
       .agg(count(lit(1)).as("n_vecs"),
            sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
            sum(when(!$"kept", 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy($"cell")
+  }
+
+  /** Embedding-space curation funnel — the SemDeDup-paper pipeline
+    * composed end to end: k-means partition → in-cell semantic dedup
+    * (drop cos ≥ τ to a lower id) → centroid-distance outlier pruning
+    * (drop dedup survivors below their cell's 10th percentile of
+    * centroid cosine — the least-typical tail) → cluster-balanced
+    * quota (keep the ≤ 30 most-central remaining per cell, ties to
+    * the lower id). One audit row per cell charging every vector to
+    * the FIRST stage that drops it, so the stage counts partition
+    * n_vecs exactly.
+    *
+    * Scale shape: dedup pairs are cell-keyed (Σ|cell|² ≈ n²/k —
+    * embed_semdedup's bound); the outlier threshold is a k-row
+    * percentile aggregate broadcast back onto the verdicts; the quota
+    * is ONE row_number window partitioned by cell over the pool
+    * subset. Every shuffle keys on cell — nothing corpus-quadratic,
+    * no global sort, and the audit aggregate is k rows. */
+  def pipelineCurateEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quota = 30
+    val v = semdedupVerdicts(emb(s, dir), k = 10, tau = 0.30)
+      .localCheckpoint(true)
+    val thr = v.where($"kept")
+      .groupBy($"cell").agg(expr("percentile(ccos, 0.10)").as("p10"))
+    val staged = v.join(broadcast(thr), Seq("cell"))
+      .withColumn("stage",
+        when(!$"kept", "dup")
+          .when($"ccos" < $"p10", "outlier")
+          .otherwise("pool"))
+    val w = Window.partitionBy($"cell").orderBy($"ccos".desc, $"vec_id".asc)
+    val pool = staged.where($"stage" === "pool")
+      .withColumn("rk", row_number().over(w))
+      .select($"vec_id",
+        when($"rk" <= quota, "kept").otherwise("quota").as("fate"))
+    staged.join(pool, Seq("vec_id"), "left")
+      .withColumn("fate", coalesce($"fate", $"stage"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when($"fate" === "dup", 1L).otherwise(0L)).as("n_dup"),
+           sum(when($"fate" === "outlier", 1L).otherwise(0L)).as("n_outlier"),
+           sum(when($"fate" === "quota", 1L).otherwise(0L)).as("n_quota"),
+           sum(when($"fate" === "kept", 1L).otherwise(0L)).as("n_kept"))
       .orderBy($"cell")
   }
 
@@ -903,6 +956,7 @@ object VectorOps extends QueryPack {
     "embed_pca" -> (embedPca _),
     "embed_kmeans" -> (embedKmeans _),
     "embed_semdedup" -> (embedSemdedup _),
+    "pipeline_curate_embed" -> (pipelineCurateEmbed _),
     "dedup_embed" -> (dedupEmbed _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_knn_join_ann" -> (simKnnJoinAnn _),

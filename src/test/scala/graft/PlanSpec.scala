@@ -140,6 +140,8 @@ class PlanSpec extends AnyFunSuite {
       "embed_kmeans",      // same broadcast k-centroid assign shape
       "embed_semdedup",    // broadcast centroid assign; the PAIR join
                            // itself is an equi-join on cell id
+      "pipeline_curate_embed", // same verdicts machinery + broadcast
+                           // k-row percentile thresholds
       "dq_expect",         // crossJoin of three 1-row audit aggregates
       "sim_search_rerank", // same centroid/query-side broadcasts; the
                            // rerank fetch itself is a broadcast HASH join

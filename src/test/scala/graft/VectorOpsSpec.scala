@@ -561,4 +561,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(dropped.length <= exactDrops, "in-cell drops cannot exceed exact drops")
     assert(recall >= 0.35, s"recall $recall below floor (${dropped.length}/$exactDrops)")
   }
+
+  test("pipeline_curate_embed: stage counts partition each cell; quota binds; funnel is monotone") {
+    val out = VectorOps.pipelineCurateEmbed(spark, SparkSpec.sfDir).collect()
+    assert(out.length == 10, s"expected one audit row per cell, got ${out.length}")
+    var (totVecs, totKept) = (0L, 0L)
+    out.foreach { r =>
+      val Seq(n, dup, outl, quo, kept) = (1 to 5).map(r.getLong)
+      assert(dup + outl + quo + kept == n,
+        s"cell ${r.getLong(0)}: stages $dup+$outl+$quo+$kept != $n")
+      assert(kept <= 30, s"cell ${r.getLong(0)} kept $kept over quota")
+      assert(Seq(dup, outl, quo, kept).forall(_ >= 0))
+      // the outlier decile can only cut from dedup survivors
+      assert(outl <= n - dup)
+      totVecs += n; totKept += kept
+    }
+    assert(totVecs == rawVecs.size, "cells must partition the corpus")
+    assert(totKept > 0 && totKept < totVecs, "funnel must keep some, drop some")
+  }
 }
