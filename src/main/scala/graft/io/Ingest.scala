@@ -111,6 +111,27 @@ object Ingest extends QueryPack {
     readJsonl(s, path, src.schema).orderBy($"s_suppkey")
   }
 
+  /** parquet → XML → read back with the parquet schema (Spark 4's
+    * NATIVE xml source — the spark-xml package folded into core).
+    * Same lossless-round-trip contract as [[ingestJson]]: the writer
+    * emits shortest-round-trip double literals and escapes markup, so
+    * c_acctbal and free-text columns re-parse bit-identically and the
+    * oracle can hash the WHOLE table. XML is row-tag-splittable, so a
+    * 100 TB load parallelizes per row group like JSON-lines; the
+    * explicit schema skips the inference pass (one full read) that a
+    * schemaless load would pay. */
+  def ingestXml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "customer")
+    val path = scratch(dir, "xml_customer")
+    src.write.mode("overwrite").format("xml")
+      .option("rootTag", "customers").option("rowTag", "customer")
+      .save(path)
+    s.read.schema(src.schema)
+      .option("rowTag", "customer").format("xml").load(path)
+      .orderBy($"c_custkey")
+  }
+
   /** Hive-style partitioned sink + pruned scan: write orders
     * partitioned by o_orderstatus, read back filtering one partition —
     * the filter resolves at file-listing time (PartitionFilters), so
@@ -417,6 +438,7 @@ object Ingest extends QueryPack {
     "ingest_csv" -> (ingestCsv _),
     "ingest_text" -> (ingestText _),
     "ingest_json" -> (ingestJson _),
+    "ingest_xml" -> (ingestXml _),
     "ingest_orc" -> (ingestOrc _),
     "ingest_partitioned" -> (ingestPartitioned _),
     "ingest_compact" -> (ingestCompact _),
@@ -456,6 +478,8 @@ object Ingest extends QueryPack {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "ingest_json" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    "ingest_xml" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
     "ingest_orc" ->
       s"""SELECT c_nationkey, count(*) AS n,
         |  ${sqlSumMoney("c_acctbal")} AS bal_sum
