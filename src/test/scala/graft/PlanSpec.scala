@@ -116,6 +116,33 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("dq_expect: all five row-level rules ride ONE lineitem scan as conditional sums") {
+    val p = plan("dq_expect")
+    // the row-rule aggregate: 5 partial_sum(CASE...) in one map-side pass
+    assert("partial_sum\\(CASE WHEN".r.findAllIn(p).length == 5, p.take(1200))
+    // exactly two lineitem scans in the whole audit: the rule pass and
+    // the anti-join probe (adding a row rule must never add a scan)
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 2, p.take(1200))
+    // referential integrity is a LeftAnti with key-only pruned reads
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p.take(800))
+  }
+
+  test("pipeline_curate_embed: one cell-keyed quota window; thresholds broadcast; pair join is an equi-join") {
+    val p = plan("pipeline_curate_embed")
+    // ONE window (the quota rank over the pool subset), partitioned by
+    // cell — never a global sort
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length == 1, p.take(1500))
+    assert(p.contains("row_number()") &&
+           p.contains("windowspecdefinition(cell#"), p.take(1500))
+    // the k-row p10 thresholds join back by broadcast, and nothing in
+    // the funnel (past the checkpointed k-means assign) is a
+    // nested-loop/cartesian strategy
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   // Global guard: a quadratic join strategy sneaking into ANY query is
   // the classic silent 100×-at-scale regression. Cross joins of
   // PROVABLY one-row/model-sized inputs are fine and allowlisted;
