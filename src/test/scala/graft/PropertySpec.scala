@@ -388,4 +388,57 @@ class PropertySpec extends AnyFunSuite {
         s"trial $trial: shared 11-char substring produced no shared fingerprint")
     }
   }
+
+  test("semdedup verdicts: sound and within-cell complete on random corpora") {
+    // The in-cell min-id rule must hold on ANY corpus, not just the
+    // fixture: for each generated corpus, every dropped vector has a
+    // lower-id same-cell justifier at cos >= tau, every kept vector
+    // has none (brute-force recheck in driver doubles). Planted exact
+    // DUPLICATES (cos = 1) must always drop — the property dedup
+    // exists to enforce.
+    import spark.implicits._
+    val dim = 8; val tau = 0.6
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0))
+    for (trial <- 1 to 3) {
+      val base = (1 to 60).flatMap { i =>
+        vecGen(Gen.Parameters.default, rng.Seed(trial * 1000L + i))
+          .map(v => (i.toLong, v.toArray))
+      }
+      // plant: 101..103 copy vectors 1..3 exactly
+      val planted = base ++ (1 to 3).map(i => (100L + i, base(i - 1)._2))
+      val df = planted.toDF("vec_id", "emb")
+        .withColumn("nrm", sqrt(graft.functions.VecFunctions
+          .dotProduct($"emb", $"emb")))
+      val v = graft.vec.VectorOps.semdedupVerdicts(df, k = 4, tau = tau)
+        .select($"vec_id", $"cell", $"kept", $"justifier").collect()
+      assert(v.length == planted.size)
+      val vecOf = planted.toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val cellOf = v.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byCell = v.groupBy(_.getLong(1))
+      v.foreach { r =>
+        val (id, kept) = (r.getLong(0), r.getBoolean(2))
+        if (!kept) {
+          val j = r.getLong(3)
+          assert(j < id && cellOf(j) == cellOf(id))
+          assert(cos(vecOf(j), vecOf(id)) >= tau - 1e-9,
+            s"trial $trial: unsound drop $id (justifier $j)")
+        } else {
+          byCell(cellOf(id)).map(_.getLong(0)).filter(_ < id).foreach { o =>
+            assert(cos(vecOf(o), vecOf(id)) < tau + 1e-9,
+              s"trial $trial: kept $id despite in-cell pair $o")
+          }
+        }
+      }
+      // exact planted copies share the cell (same vector, same argmax
+      // under the deterministic tie-break) and must drop
+      (1 to 3).foreach { i =>
+        val r = v.find(_.getLong(0) == 100L + i).get
+        assert(!r.getBoolean(2), s"trial $trial: planted copy ${100 + i} survived")
+      }
+    }
+  }
 }
