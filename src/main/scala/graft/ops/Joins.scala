@@ -384,6 +384,53 @@ object Joins extends QueryPack {
       .orderBy($"key_a", $"key_b")
   }
 
+  /** FIFO lot attribution — the inventory/cost-basis matcher every
+    * position-tracking ETL needs: each user's outflows (views) consume
+    * their inflow lots (purchases) strictly first-in-first-out, and
+    * the output says which lot filled which outflow with how much.
+    * The classic imperative queue never appears: both streams get a
+    * cumulative-quantity interval [hi−qty, hi) on the SAME per-user
+    * axis (one window each), and FIFO matching IS interval
+    * intersection — out j takes min(hi,hi′)−max(lo,lo′) units of
+    * lot i wherever their intervals overlap.
+    *
+    * Scale shape: the overlap join rides [[joinInterval]]'s banding —
+    * intervals bucket by `cum div B` with B=128 ≥ the max event qty
+    * (99), so every interval spans ≤ 2 buckets and the join is EQUI on
+    * (user, bucket) with the greatest-lo dedup guard; match count per
+    * user is n_lots + n_outs − 1 at most (consecutive intervals on a
+    * shared axis interleave near-diagonally), so output and pair space
+    * both stay linear in the event count — no per-user quadratic
+    * anywhere, no iteration, no state. Windows and join share the
+    * user-keyed shuffle. All quantities are exact integers. */
+  def joinFifo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 128L // bucket width ≥ max per-event qty ⇒ ≤2 buckets/interval
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_type", $"event_id",
+              unix_micros($"ts".cast("timestamp")).as("us"),
+              get_json_object($"props", "$.k").cast("long").as("qty"))
+      .where($"qty".isNotNull && $"qty" > 0L)
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def stream(tpe: String, pfx: String) = ev
+      .where($"event_type" === tpe)
+      .withColumn("hi", sum($"qty").over(w))
+      .withColumn("lo", $"hi" - $"qty")
+      .withColumn("bkt", explode(array_distinct(array(
+        expr(s"lo div $B"), expr(s"(hi - 1) div $B")))))
+      .select($"user_id", $"event_id".as(s"${pfx}_id"),
+              $"lo".as(s"${pfx}_lo"), $"hi".as(s"${pfx}_hi"), $"bkt")
+    stream("purchase", "lot")
+      .join(stream("view", "out"), Seq("user_id", "bkt"))
+      .where($"lot_lo" < $"out_hi" && $"out_lo" < $"lot_hi" &&
+             $"bkt" === expr(s"greatest(lot_lo, out_lo) div $B"))
+      .select($"user_id", $"lot_id", $"out_id",
+              (least($"lot_hi", $"out_hi") -
+                greatest($"lot_lo", $"out_lo")).as("qty_matched"))
+      .orderBy($"user_id", $"lot_id", $"out_id")
+  }
+
   /** Triangle count over the co-purchase graph (parts sharing an
     * order) — the canonical distributed-graph pattern beyond the
     * iterative CC in graft.text.TextOps.connectedComponents.
@@ -496,6 +543,7 @@ object Joins extends QueryPack {
     "join_range" -> (joinRange _),
     "join_range_auto" -> (joinRangeAuto _),
     "join_interval" -> (joinInterval _),
+    "join_fifo" -> (joinFifo _),
     "graph_triangles" -> (graphTriangles _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_broadcast" -> (joinBroadcast _),
@@ -513,6 +561,30 @@ object Joins extends QueryPack {
     "graph_pagerank" -> (graphPagerank _))
 
   def oracle: Map[String, String] = Map(
+    // FIFO semantics stated declaratively: cumulative-interval overlap
+    // on the shared per-user axis; the Spark side must reproduce it
+    // from the banded formulation exactly (integers, so hash-exact)
+    "join_fifo" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+        |  FROM events
+        |  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0),
+        |lots AS (
+        |  SELECT user_id, event_id AS lot_id, hi - qty AS lot_lo, hi AS lot_hi
+        |  FROM (SELECT *, sum(qty) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS hi
+        |        FROM e WHERE event_type = 'purchase')),
+        |outs AS (
+        |  SELECT user_id, event_id AS out_id, hi - qty AS out_lo, hi AS out_hi
+        |  FROM (SELECT *, sum(qty) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS hi
+        |        FROM e WHERE event_type = 'view'))
+        |SELECT l.user_id, lot_id, out_id,
+        |  least(lot_hi, out_hi) - greatest(lot_lo, out_lo) AS qty_matched
+        |FROM lots l JOIN outs o
+        |  ON l.user_id = o.user_id AND lot_lo < out_hi AND out_lo < lot_hi
+        |ORDER BY l.user_id, lot_id, out_id""".stripMargin,
     // the bloom prefilter is semantics-preserving: the oracle is the
     // PLAIN join — any lost or phantom row is a correctness failure
     "join_bloom_prefilter" ->
