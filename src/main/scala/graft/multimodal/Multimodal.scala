@@ -10,6 +10,7 @@ import graft.io.Tables.t
   * nested encoder targets make generated deserializer code resolve
   * members against the wrong constructor shape — Spark 4.1.2 then
   * falls back to interpreted (non-codegen) execution per batch. */
+case class MediaFeatures(doc_id: Long, hist: Seq[Long])
 case class Decoded(doc_id: Long, lang: String, n_bytes: Int,
                    width: Int, height: Int, mp: Double)
 
@@ -130,6 +131,63 @@ object Multimodal extends QueryPack {
       .orderBy($"doc_id", $"win_no")
   }
 
+  /** Batched feature extraction: binary payload → fixed-dim feature
+    * vector, the mapInPandas batch shape in its Scala form — one
+    * extractor instance per task (`mapPartitions`), amortized over the
+    * partition, nothing through the driver. The extractor is the STUB
+    * (a byte-class histogram, 8 bins; a production build swaps in an
+    * image/audio embedder with the same Array[Byte] ⇒ vector
+    * signature); the plumbing — binary column in, Encoder'd typed
+    * batch, posexplode'd scalar feature rows out — is the real 100 TB
+    * path. ASCII-only payloads keep byte == char so the DuckDB oracle
+    * re-derives the histogram from the text arithmetically; zero bins
+    * are emitted (the vector is dense by construction). */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = mediaFrame(s, dir).as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, _, media) =>
+          val payload = java.util.Arrays.copyOfRange(media, 6, media.length)
+          if (payload.exists(_ < 0)) Iterator.empty // non-ASCII: oracle gate's twin
+          else {
+            val h = new Array[Long](8)
+            payload.foreach(b => h(b % 8) += 1)
+            Iterator(MediaFeatures(id, h.toIndexedSeq))
+          }
+        }
+      }
+    feats.toDF()
+      .select($"doc_id", posexplode($"hist").as(Seq("bin", "cnt")))
+      .select($"doc_id", $"bin".cast("int").as("bin"), $"cnt")
+      .orderBy($"doc_id", $"bin")
+  }
+
+  /** Nearest-neighbor RESIZE over the virtual w×h raster — the
+    * thumbnail/downsample access pattern as pure Spark plumbing: the
+    * header's parsed width/height define a row-major pixel grid
+    * (wrapped modulo payload length — the raster stand-in, same stub
+    * philosophy as the codec), and each of the 4×4 output cells
+    * gathers its source pixel at (ry·h/4, rx·w/4). The gather is a
+    * computed-offset substring — map-only, no UDF, 16 rows per doc —
+    * exactly the strided-read shape a real resize kernel runs per
+    * tile. Header fields are parsed FROM THE BYTES (hex → int);
+    * the oracle re-derives them arithmetically. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFrame(s, dir)
+      .withColumn("w", expr("conv(hex(substring(media, 3, 2)), 16, 10)").cast("long"))
+      .withColumn("h", expr("conv(hex(substring(media, 5, 2)), 16, 10)").cast("long"))
+      .withColumn("txt", decode(expr("substring(media, 7, length(media) - 6)"), "UTF-8"))
+      .where(octet_length($"txt") === length($"txt") && length($"txt") > 0)
+      .withColumn("ry", explode(expr("sequence(0, 3)")))
+      .withColumn("rx", explode(expr("sequence(0, 3)")))
+      .withColumn("off", expr("((ry * h div 4) * w + (rx * w div 4)) % length(txt)"))
+      .select($"doc_id", $"ry".cast("int").as("ry"), $"rx".cast("int").as("rx"),
+              expr("ascii(substring(txt, CAST(off AS INT) + 1, 1))")
+                .cast("int").as("px"))
+      .orderBy($"doc_id", $"ry", $"rx")
+  }
+
   /** Content-addressed dedup of binary media payloads — THE image/
     * audio dedup pattern at 100 TB: no perceptual decode, just a
     * digest of the raw bytes, group, keep the min id. Hashing runs on
@@ -154,6 +212,8 @@ object Multimodal extends QueryPack {
     "multimodal_audio_window" -> (multimodalAudioWindow _),
     "multimodal_cols" -> (multimodalCols _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_resize" -> (multimodalResize _),
     "multimodal_framesample" -> (multimodalFramesample _))
 
   def oracle: Map[String, String] = Map(
@@ -195,6 +255,40 @@ object Multimodal extends QueryPack {
         |  CAST((doc_id * 37) % 4096 + 16 AS BIGINT)
         |    * CAST((doc_id * 53) % 4096 + 16 AS BIGINT) / 1e6 AS mp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ASCII gate keeps byte == char, so the histogram re-derives from
+    // text; dense 8-bin vector ⇒ zero bins emitted explicitly
+    "multimodal_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)),
+        |c AS (
+        |  SELECT doc_id,
+        |    ascii(substring(text, CAST(i AS INT), 1)) % 8 AS bin
+        |  FROM d, UNNEST(generate_series(1, length(text))) AS u(i)),
+        |g AS (SELECT doc_id, bin, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |b AS (SELECT unnest(generate_series(0, 7)) AS bin)
+        |SELECT d.doc_id, CAST(b.bin AS INT) AS bin,
+        |  COALESCE(g.cnt, 0) AS cnt
+        |FROM d CROSS JOIN b
+        |LEFT JOIN g ON g.doc_id = d.doc_id AND g.bin = b.bin
+        |ORDER BY d.doc_id, b.bin""".stripMargin,
+    // header fields re-derived arithmetically (multimodal_decode's
+    // pattern); px gathers mirror the Spark side's strided offsets
+    "multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    (doc_id * 37) % 4096 + 16 AS w,
+        |    (doc_id * 53) % 4096 + 16 AS h
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)
+        |    AND length(text) > 0),
+        |g AS (SELECT unnest(generate_series(0, 3)) AS i)
+        |SELECT doc_id, CAST(ry.i AS INT) AS ry, CAST(rx.i AS INT) AS rx,
+        |  CAST(ascii(substring(text,
+        |    CAST(((ry.i * h // 4) * w + (rx.i * w // 4)) % n AS INT) + 1,
+        |    1)) AS INT) AS px
+        |FROM d, g ry, g rx
+        |ORDER BY doc_id, ry, rx""".stripMargin,
     "multimodal_framesample" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(floor(length(text) / 16) AS INT) AS nf
