@@ -648,7 +648,41 @@ object Streams extends QueryPack {
         .orderBy($"n".desc, $"tok").limit(20)
     }
 
+  /** Native checkpointed FILE SINK — the durable landing-zone path
+    * [[streamUpsert]]'s foreachBatch deliberately bypasses: writeStream
+    * straight to parquet with a checkpoint, so the sink's own commit
+    * protocol (`_spark_metadata`) provides exactly-once file semantics.
+    * A crashed micro-batch leaves orphan part-files, but the read-back
+    * goes THROUGH the metadata log and sees only committed batches —
+    * at 100 TB this is how a streaming ETL lands append-only fact
+    * files that downstream batch jobs can trust without a table
+    * format. The projection is per-row (no aggregation), so append
+    * mode needs no watermark and the sink cost is exactly the data
+    * volume. The one-file drain runs as a single committed batch;
+    * the read-back aggregate is DuckDB-oracled against the batch
+    * twin — any dropped or doubled row hash-mismatches. */
+  def streamFileSink(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val root = tempRootDeletedOnExit("graft_stream_sink")
+      val (path, ckpt) = (s"$root/out", s"$root/ckpt")
+      val q = eventStream(s, dir)
+        .select($"user_id", $"event_type",
+                round($"value" * 100).cast("long").as("cents"))
+        .writeStream.format("parquet")
+        .option("path", path).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      // read-back resolves through _spark_metadata: committed files only
+      s.read.parquet(path)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             (sum($"cents").cast("double") / 100).as("val_sum"))
+        .orderBy($"event_type")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_file_sink" -> (streamFileSink _),
     "stream_hot_tokens" -> (streamHotTokens _),
     "stream_watermark" -> (streamWatermark _),
     "stream_dedup" -> (streamDedup _),
@@ -669,6 +703,13 @@ object Streams extends QueryPack {
   // interval join emits every match, and the session aggregation
   // emits every fully-merged session — both equal their batch twins.
   def oracle: Map[String, String] = Map(
+    // the file sink is append-only per-row: the committed files hold
+    // exactly the input rows, so plain batch GROUP BY is the twin
+    "stream_file_sink" ->
+      s"""SELECT event_type, count(*) AS n,
+        |  ${graft.util.Det.sqlSumMoney("value")} AS val_sum
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // exact because the count monoid makes the final streaming state
     // micro-batch-split invariant — see streamHotTokens scaladoc
     "stream_hot_tokens" ->
