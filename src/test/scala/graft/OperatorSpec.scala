@@ -317,4 +317,30 @@ class OperatorSpec extends AnyFunSuite {
         s"$prio p=$p: $estCents outside [${sorted(lo)}, ${sorted(hi)}] (n=$n)")
     }
   }
+
+  test("join_fifo conservation: per user, matched quantity = min(total inflow, total outflow)") {
+    import spark.implicits._
+    // the law follows from the interval formulation — total overlap of
+    // [0, L) and [0, O) on the shared axis is min(L, O) — and holds
+    // independently of banding, bucket width, and match granularity;
+    // a dropped or double-counted match breaks it immediately
+    val matched = graft.ops.Joins.joinFifo(spark, SparkSpec.sfDir)
+      .groupBy($"user_id").agg(sum($"qty_matched").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totals = graft.io.Tables.t(spark, SparkSpec.sfDir, "events")
+      .select($"user_id", $"event_type",
+        get_json_object($"props", "$.k").cast("long").as("qty"))
+      .where($"qty" > 0 && $"event_type".isin("purchase", "view"))
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase", $"qty").otherwise(0L)).as("inflow"),
+           sum(when($"event_type" === "view", $"qty").otherwise(0L)).as("outflow"))
+      .collect()
+    assert(totals.nonEmpty)
+    totals.foreach { r =>
+      val (u, in, out) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val want = math.min(in, out)
+      val got = matched.getOrElse(u, 0L)
+      assert(got == want, s"user $u: matched $got != min($in, $out)")
+    }
+  }
 }
