@@ -256,6 +256,42 @@ object Joins extends QueryPack {
       .select($"id", round($"rank" * 1e6, 3).as("rank_ppm"))
   }
 
+  /** Connected components of the co-purchase part graph — the third
+    * classic graph primitive surfaced as a query (triangles and
+    * PageRank being the others), and deliberately run through
+    * [[graft.graph.Graph.connectedComponentsStar]]'s O(log n)
+    * star contraction: the co-purchase graph is the regime the dedup
+    * clusterers never reach — ONE giant component spanning most parts
+    * plus a long singleton-pair tail — where hash-min label
+    * propagation would need diameter-many passes and contraction
+    * converges in a handful. Output is the model-sized component
+    * census (size histogram), not the n-row label table.
+    *
+    * No oracle: a giant connected component makes the recursive-CTE
+    * reachability closure quadratic in DuckDB (dedup_clusters' oracle
+    * works because dup clusters are TINY). Instead PropertySpec-style
+    * exact verification lives in OperatorSpec: a driver-side
+    * union-find over the collected edge list must produce the
+    * identical component census at spec scale. */
+  def graphCc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    val pairs = li
+      .groupBy($"l_orderkey")
+      .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+    val vertices = pairs.select($"a".as("v"))
+      .unionByName(pairs.select($"b".as("v"))).distinct()
+    graft.graph.Graph.connectedComponentsStar(vertices, pairs)
+      .groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+      .groupBy($"n_members").agg(count(lit(1)).as("n_components"))
+      .orderBy($"n_members")
+  }
+
   def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "events")
@@ -558,7 +594,8 @@ object Joins extends QueryPack {
     "join_asof_forward" -> (joinAsofForward _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_cc" -> (graphCc _))
 
   def oracle: Map[String, String] = Map(
     // FIFO semantics stated declaratively: cumulative-interval overlap

@@ -343,4 +343,33 @@ class OperatorSpec extends AnyFunSuite {
       assert(got == want, s"user $u: matched $got != min($in, $out)")
     }
   }
+
+  test("graph_cc census equals driver-side union-find on the same edge list") {
+    import spark.implicits._
+    // re-derive the co-purchase edges exactly as the query does, then
+    // union-find them sequentially — the exact reference the star
+    // contraction must reproduce component-for-component
+    val li = graft.io.Tables.t(spark, SparkSpec.sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val edges = li.groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+      .select(explode($"ps").as("a"), $"ps")
+      .select($"a", explode($"ps").as("b")).where($"a" < $"b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val sizes = parent.keys.toSeq.groupBy(find).map(_._2.size.toLong)
+    val wantCensus = sizes.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val gotCensus = graft.ops.Joins.graphCc(spark, SparkSpec.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCensus == wantCensus,
+      s"census mismatch: got $gotCensus want $wantCensus")
+  }
 }

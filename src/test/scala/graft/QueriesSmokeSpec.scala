@@ -21,7 +21,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
   // query SURVEY didn't declare). Update BOTH when adding a query. The
   // title derives from the same constants so it can't drift from the
   // assertions (round-4 advice item).
-  val DeclaredQueries = 207
+  val DeclaredQueries = 208
   val DeclaredOracles = 181
   test(s"declared inventory matches SURVEY §2 count ($DeclaredQueries queries, $DeclaredOracles oracled)") {
     assert(SparkEntry.queries.size == DeclaredQueries,
