@@ -619,7 +619,66 @@ object Aggregates extends QueryPack {
       .orderBy($"sym", $"hour_us")
   }
 
+  /** Half-life-decayed spend per user (half-life = 7 days against the
+    * table's newest purchase): the recency-weighted engagement rollup
+    * feature stores and ranking pipelines maintain, where last week
+    * counts double vs the week before. Float discipline — the decay
+    * weight is 1/2^k with INTEGER k (dyadic, exactly representable),
+    * so decayed cents are exact multiples of 2⁻ᵏᵐᵃˣ·0.01 and every
+    * partial sum is IEEE-exact ⇒ the aggregate is summation-order
+    * independent, the same argument Det.sumMoney makes for plain
+    * cents. pow() is deliberately avoided: libm pow(0.5,k) is not
+    * guaranteed correctly rounded in both engines, while 1<<k and one
+    * double division are exact in both. Scale shape: the anchor
+    * (newest ts) is a one-row aggregate broadcast back; everything
+    * else is one map-side-partial hash agg keyed on user_id. */
+  def aggDecay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events").where($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
+              cents($"value").as("c"))
+    val anchor = e.agg(max($"us").as("aus"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("k", expr("CAST((aus - us) div 86400000000 div 7 AS INT)"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+           sum($"c".cast("double") /
+               expr("CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE)"))
+             .as("dc"))
+      // dc is an exact multiple of 2⁻ᵏᵐᵃˣ cents — emit it UNSCALED and
+      // UNROUNDED: /100-then-round(4) would park every value on the
+      // …5 boundary where the engines' half-up/half-even split
+      .select($"user_id", $"n", $"dc".as("decayed_cents"))
+      .orderBy($"user_id")
+  }
+
+  /** Exact distinct orders per returnflag via 32-bit BITMAP segments —
+    * the no-Expand distinct: groupBy (flag, key div 32) bit_or's a
+    * one-hot mask, then a flag-keyed sum of bit_count's collapses
+    * segments to the exact distinct count. vs count(DISTINCT): no
+    * Expand (no row multiplication), state per group is ONE long
+    * regardless of how many duplicates hit the segment, and both aggs
+    * take map-side partials — at 100 TB the shuffle carries at most
+    * |key-space|/32 segment rows instead of every distinct value.
+    * The DuckDB oracle runs count(DISTINCT ...) directly, so the
+    * differential proves bitmap ≡ true distinct (an algorithm-level
+    * check, not a mirror). 32-bit segments keep the shifted bit
+    * positive in both engines (DuckDB raises on 1<<63). */
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", expr("l_orderkey div 32").as("seg"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+                "CAST(l_orderkey % 32 AS INT)))").as("bm"))
+      .groupBy($"l_returnflag")
+      .agg(sum(expr("bit_count(bm)")).as("n_orders"),
+           count(lit(1)).as("n_segments"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_decay" -> (aggDecay _),
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_ohlc" -> (aggOhlc _),
     "agg_retention" -> (aggRetention _),
     "sample_weighted" -> (sampleWeighted _),
@@ -657,6 +716,23 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_decay" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT max(us) AS aus FROM e)
+        |SELECT user_id, count(*) AS n,
+        |  sum(CAST(c AS DOUBLE)
+        |      / CAST(1 << CAST(((aus - us) // 86400000000) // 7 AS INT)
+        |             AS DOUBLE)) AS decayed_cents
+        |FROM e CROSS JOIN a
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_orderkey // 32) AS n_segments
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_ohlc" ->
       """WITH e AS (
         |  SELECT event_type AS sym,

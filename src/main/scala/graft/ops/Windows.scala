@@ -467,7 +467,37 @@ object Windows extends QueryPack {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Per-customer price drawdown over the order timeline: running
+    * peak of o_totalprice and the gap to it — the equity-curve /
+    * KPI-regression shape monitoring dashboards compute per entity
+    * (how far below its historical best is this series NOW, and what
+    * was the worst excursion). Two window passes — the running-peak
+    * frame and the whole-partition max-drawdown — share ONE
+    * o_custkey-keyed sort+shuffle (Spark plans a single WindowExec
+    * input exchange for both, same reuse as win_rolling_stats), so
+    * the cost at any scale is one shuffle of the orders table keyed
+    * on the entity. All comparisons run on exact integer cents; the
+    * /100 happens once per output column. */
+  def winDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val run = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy($"o_custkey")
+    t(s, dir, "orders")
+      .withColumn("pc", cents($"o_totalprice"))
+      .withColumn("peak", max($"pc").over(run))
+      .withColumn("dd", $"peak" - $"pc")
+      .select($"o_custkey", $"o_orderkey",
+        ($"pc".cast("double") / 100).as("price"),
+        ($"peak".cast("double") / 100).as("peak"),
+        ($"dd".cast("double") / 100).as("drawdown"),
+        (max($"dd").over(whole).cast("double") / 100).as("max_drawdown"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_drawdown" -> (winDrawdown _),
     "ts_anomaly" -> (tsAnomaly _),
     "ts_interpolate" -> (tsInterpolate _),
     "win_ewma" -> (winEwma _),
@@ -486,6 +516,25 @@ object Windows extends QueryPack {
     "win_ntile_cumdist" -> (winNtileCumdist _))
 
   def oracle: Map[String, String] = Map(
+    "win_drawdown" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS pc
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_custkey, o_orderkey, pc,
+        |    max(pc) OVER (PARTITION BY o_custkey
+        |                  ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS peak
+        |  FROM o)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(pc AS DOUBLE)/100 AS price,
+        |  CAST(peak AS DOUBLE)/100 AS peak,
+        |  CAST(peak - pc AS DOUBLE)/100 AS drawdown,
+        |  CAST(max(peak - pc) OVER (PARTITION BY o_custkey) AS DOUBLE)/100
+        |    AS max_drawdown
+        |FROM w ORDER BY o_custkey, o_orderkey""".stripMargin,
     "ts_anomaly" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

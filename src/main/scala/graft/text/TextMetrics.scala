@@ -400,7 +400,91 @@ object TextMetrics extends QueryPack {
   def pipelineCurateFull(s: SparkSession, dir: String): DataFrame =
     curateFull(docs(s, dir))
 
+  /** Per-document keyword extraction: top-3 tokens by the integer
+    * rarity-weighted score tf·(N−df) — the df-discounted term ranking
+    * (the tf-idf ORDERING with an integer-exact discount: (N−df)/N is
+    * idf's first-order Taylor term, and since N is constant per run
+    * the rank order is the classic "frequent here, rare elsewhere").
+    * Deliberately integer: cross-engine top-k selection compares
+    * EXACT longs, immune to the libm-ln ulp skew a float idf could
+    * put exactly on a rank boundary ([[lmScore]] tolerates that skew
+    * because it only rounds a SUM; a top-k SELECTION cannot).
+    *
+    * Scale shape: tf keys on (doc_id, w), df on w — both map-side
+    * partial aggs; the df table is VOCAB-sized and broadcasts onto
+    * the tf stream; the per-doc top-3 window partitions on doc_id
+    * (doc-sized groups — no global sort anywhere). Ties break on the
+    * word so the cut is a total order. */
+  def keywords(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val tf = d.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"w".asc)
+    tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(n))
+      .withColumn("score", $"tf" * ($"n_docs" - $"df"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"doc_id", $"w".as("kw"), $"tf", $"df", $"score",
+              $"rk".cast("int").as("rk"))
+      .orderBy($"doc_id", $"rk")
+  }
+
+  def textKeywords(s: SparkSession, dir: String): DataFrame =
+    keywords(docs(s, dir))
+
+  /** Per-document BIGRAM language-model score with add-one smoothing:
+    * avg over the doc's bigrams of ln((C(w₁w₂)+1)/(C(w₁·)+V)) — the
+    * second-order fluency proxy that separates shuffled-word noise
+    * from natural sequences, which [[lmScore]]'s unigram model is
+    * blind to (same unigrams, same score). C counts come from the
+    * corpus itself; V (vocab size) is the add-one normalizer.
+    *
+    * Scale shape: bigrams are generated INSIDE the row (sequence →
+    * struct HOF, no self-join on position), per-doc counts key on
+    * (doc_id, w₁, w₂), and the MODEL tables — observed-bigram counts,
+    * left-context counts, the 1-row vocab size — are vocabulary²-
+    * bounded, broadcast onto the corpus stream like lmScore's unigram
+    * table. Float discipline: identical to lmScore — the only
+    * order-sensitive sum is Σ c·ln(·), rounded to 6 decimals; counts
+    * and the final division are exact. */
+  def bigramLm(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val bi = d.select($"doc_id", split($"text", " ").as("toks"))
+      .where(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS w1, " +
+        "element_at(toks, i + 1) AS w2))")).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val dc = bi.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
+    val cb = dc.groupBy($"w1", $"w2").agg(sum($"c").as("cb"))
+    val cu = cb.groupBy($"w1").agg(sum($"cb").as("cu"))
+    val vocab = d.select(explode(split($"text", " ")).as("w"))
+      .agg(countDistinct($"w").as("v"))
+    dc.join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(cu), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"),
+           sum($"c".cast("double") *
+               log(($"cb" + 1).cast("double") / ($"cu" + $"v").cast("double")))
+             .as("sl"))
+      .select($"doc_id", $"n_bigrams",
+        round($"sl" / $"n_bigrams".cast("double"), 6).as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  def textBigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLm(docs(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keywords" -> (textKeywords _),
+    "text_bigram_lm" -> (textBigramLm _),
     "dedup_winnow" -> (dedupWinnow _),
     "text_repetition" -> (textRepetition _),
     "filter_outlier_mad" -> (filterOutlierMad _),
@@ -413,6 +497,39 @@ object TextMetrics extends QueryPack {
     "text_source_overlap" -> (textSourceOverlap _))
 
   def oracle: Map[String, String] = Map(
+    "text_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, w AS kw, tf, df, tf * (n_docs - df) AS score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * (n_docs - df) DESC, w ASC) AS INTEGER) AS rk
+        |  FROM tf JOIN df USING (w) CROSS JOIN n)
+        |SELECT doc_id, kw, tf, df, score, rk FROM sc
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents),
+        |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |       WHERE len(toks) >= 2),
+        |dc AS (SELECT doc_id, w1, w2, count(*) AS c
+        |       FROM bi GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, sum(c) AS cb FROM dc GROUP BY 1, 2),
+        |cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  round(sum(CAST(c AS DOUBLE) *
+        |            ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE)))
+        |        / CAST(sum(c) AS DOUBLE), 6) AS avg_logprob
+        |FROM dc JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),

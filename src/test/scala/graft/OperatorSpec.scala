@@ -372,4 +372,112 @@ class OperatorSpec extends AnyFunSuite {
     assert(gotCensus == wantCensus,
       s"census mismatch: got $gotCensus want $wantCensus")
   }
+
+  test("graph_degree histogram mass equals 2|E| and |V| of the edge set") {
+    import spark.implicits._
+    val hist = graft.ops.Joins.graphDegree(spark, SparkSpec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent edge-set reference via a DISTINCT self-join
+    val li = graft.io.Tables.t(spark, SparkSpec.sfDir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = li.as("l").join(li.as("r"), $"l.o" === $"r.o" && $"l.p" < $"r.p")
+      .select($"l.p".as("a"), $"r.p".as("b")).distinct()
+    val nE = e.count()
+    val nV = e.select($"a").union(e.select($"b")).distinct().count()
+    assert(hist.map { case (d, n) => d * n }.sum == 2 * nE,
+      "sum(deg * n_nodes) must be twice the edge count")
+    assert(hist.map(_._2).sum == nV)
+  }
+
+  test("graph_jaccard rows are valid, brand-pure, hand-re-scored") {
+    import spark.implicits._
+    val rows = graft.ops.Joins.graphJaccard(spark, SparkSpec.sfDir).collect()
+    assert(rows.length <= 20)
+    val brandOf = graft.io.Tables.t(spark, SparkSpec.sfDir, "part")
+      .select($"p_partkey", $"p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (pa, pb, inter, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(pa < pb && inter >= 1 && j > 0.0 && j <= 1.0)
+      assert(brandOf(pa) == brandOf(pb), s"cross-brand pair $pa $pb")
+    }
+  }
+
+  test("agg_bitmap_distinct equals countDistinct, partition-independent") {
+    import spark.implicits._
+    val got = graft.ops.Aggregates
+      .aggBitmapDistinct(spark, SparkSpec.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.io.Tables.t(spark, SparkSpec.sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("agg_decay: weight 1/2^k is exact and bounded by the raw sum") {
+    import spark.implicits._
+    val rows = graft.ops.Aggregates.aggDecay(spark, SparkSpec.sfDir).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.io.Tables.t(spark, SparkSpec.sfDir, "events")
+      .where($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum(Det.cents($"value")).as("rc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (u, dc) = (r.getLong(0), r.getDouble(2))
+      // decayed cents ∈ (raw/16, raw]: k ≤ 4 on the 30-day fixture span
+      assert(dc <= raw(u) && dc > raw(u) / 16.0, s"user $u: $dc vs ${raw(u)}")
+      // exactness: dc is a multiple of 1/16 cent — scaling by 16 must
+      // land on an integer exactly (the order-independence argument)
+      assert((dc * 16) == (dc * 16).round.toDouble, s"user $u: $dc not dyadic")
+    }
+  }
+
+  test("join_nullsafe: signup events land in the P-status NULL bucket") {
+    import spark.implicits._
+    val out = graft.ops.Joins.joinNullsafe(spark, SparkSpec.sfDir)
+    // every event matches exactly one dim row (the join is a total map)
+    val nEvents = graft.io.Tables.t(spark, SparkSpec.sfDir, "events").count()
+    assert(out.count() == nEvents)
+    val nullRows = out.where($"ckey".isNull)
+    val nSignup = graft.io.Tables.t(spark, SparkSpec.sfDir, "events")
+      .where($"event_type" === "signup").count()
+    assert(nullRows.count() == nSignup)
+    val pOrders = graft.io.Tables.t(spark, SparkSpec.sfDir, "orders")
+      .where($"o_orderstatus" === "P").count()
+    val dN = nullRows.select($"d_n").distinct().collect()
+    assert(dN.length == 1 && dN(0).getLong(0) == pOrders,
+      "NULL-keyed events must enrich from the P-order catch-all bucket")
+  }
+
+  test("win_drawdown: dd = peak - price, non-negative, max matches scan") {
+    import spark.implicits._
+    val out = graft.ops.Windows.winDrawdown(spark, SparkSpec.sfDir)
+    val bad = out.where($"drawdown" < 0 || $"price" > $"peak" ||
+                        $"drawdown" > $"max_drawdown").count()
+    assert(bad == 0)
+    // sequential re-check for one customer, in the TRUE window order
+    // (o_orderdate, o_orderkey) — fetched from the table, since the
+    // query output's collect order is not a contract
+    val cust = out.select($"o_custkey").head().getLong(0)
+    val ordered = graft.io.Tables.t(spark, SparkSpec.sfDir, "orders")
+      .where($"o_custkey" === cust)
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .collect().map(r => r.getAs[Long]("o_orderkey"))
+    val byKey = out.where($"o_custkey" === cust).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // the query subtracts CENTS then divides once — mirror that here
+    // (peak - price in post-division doubles differs in the last ulp)
+    var peakC = Long.MinValue
+    ordered.foreach { k =>
+      val (price, p, dd) = byKey(k)
+      val priceC = math.round(price * 100)
+      peakC = math.max(peakC, priceC)
+      assert(p == peakC.toDouble / 100 && dd == (peakC - priceC).toDouble / 100,
+        s"order $k")
+    }
+  }
 }

@@ -151,4 +151,36 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((4L, 3L, 2L, 0.75, 2.0 / 3.0)),
       s"got ${got.mkString(",")}")
   }
+
+  test("keywords rank frequent-here-rare-elsewhere first, hand-checked") {
+    // corpus: "rare" appears only in doc 1 (tf=2, df=1); "common" in
+    // all 3 docs. N=3. doc1 scores: rare 2*(3-1)=4, common tf=1*(3-3)=0
+    val got = TextMetrics.keywords(corpus(Seq(
+      (1L, "s", "rare rare common"),
+      (2L, "s", "common filler words"),
+      (3L, "s", "common other stuff"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getInt(5)))
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.head == ((1L, "rare", 4L, 1)), s"got ${doc1.mkString(",")}")
+    // per-doc: at most 3 rows, scores non-increasing along rk
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).reverse.sorted.reverse.sameElements(sorted.map(_._3)))
+    }
+  }
+
+  test("bigram LM: natural order outscores a shuffled twin; probs <= 1") {
+    // 9 docs share the strict sequence a->b->c->d; one doc scrambles
+    // it. The scrambled doc's bigrams (b a, d c ...) are corpus-rare,
+    // so its smoothed avg logprob must be lower.
+    val natural = (1L to 9L).map(i => (i, "s", "a b c d a b c d"))
+    val shuffled = Seq((10L, "s", "b a d c b a d c"))
+    val gotMap = TextMetrics.bigramLm(corpus(natural ++ shuffled))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gotMap(1L)._1 == 7L) // 8 tokens -> 7 bigrams
+    assert(gotMap.values.forall(_._2 <= 0.0), "smoothed probs must be <= 1")
+    assert(gotMap(10L)._2 < gotMap(1L)._2,
+      s"shuffled ${gotMap(10L)._2} must score below natural ${gotMap(1L)._2}")
+  }
 }
