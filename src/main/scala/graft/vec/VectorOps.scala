@@ -944,7 +944,116 @@ object VectorOps extends QueryPack {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Matryoshka (MRL) truncated-prefix search: coarse-rank the corpus
+    * by the dot product of the FIRST 16 of 64 dims, keep a 50-deep
+    * shortlist per query, then exact full-dim cosine re-rank of the
+    * shortlist only — the dimension-truncation retrieval trick
+    * Matryoshka-trained embedders are built for (prefix dims carry
+    * the coarse semantics, so the 4×-cheaper scan loses little
+    * recall; arXiv:2205.13147's deployment shape). Same two-stage
+    * economics as [[simSearchRerank]], but the cheap pass saves
+    * BANDWIDTH (reads a quarter of each vector — with the corpus
+    * stored dim-major/chunked, 3/4 of the bytes never leave disk)
+    * rather than compute. Coarse top-50 via the BoundedTopK heap
+    * (map-side k-bounded, no corpus sort); the re-rank join touches
+    * 50 rows/query. Fully deterministic: both stages fold doubles
+    * sequentially in index order and rank with total tie-breaks, so
+    * the DuckDB window formulation hash-matches EXACTLY — unlike the
+    * hash-bucketed ANN variants, the truncation heuristic needs no
+    * recall tolerance in its oracle. */
+  def simSearchMrl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("pre", slice($"emb", 1, 16))
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"),
+              $"nrm".as("q_nrm"), $"pre".as("q_pre"))
+    val shortlist = e.crossJoin(broadcast(q))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("cscore", dot($"q_pre", $"pre"))
+      .groupBy($"q_id")
+      .agg(graft.functions.BoundedTopK.boundedTopK($"cscore", $"vec_id", 50)
+             .as("top"))
+      .select($"q_id", explode($"top").as("c"))
+      .select($"q_id", $"c.id".as("vec_id"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    shortlist
+      .join(emb(s, dir).select($"vec_id", $"emb", $"nrm"), Seq("vec_id"))
+      .join(broadcast(q.select($"q_id", $"q_emb", $"q_nrm")), Seq("q_id"))
+      .withColumn("cos", dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 10)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"),
+              $"rk".cast("int").as("rk"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** 1-BIT sign quantization + Hamming search: each 64-dim vector
+    * compresses to TWO 32-bit sign masks (64 bits total — a 32×
+    * storage cut vs float32, the binary-quantization lever vector
+    * stores ship for billion-vector tiers), and retrieval ranks by
+    * Hamming distance = popcount(xor) over the masks, re-scoring the
+    * winners with exact cosine for display. Ranking is INTEGER
+    * (hamming asc, vec_id asc) — zero float comparisons in the
+    * selection, so the top-10 cut is deterministic by construction,
+    * and the scan is two xors + two popcounts per candidate (SIMD
+    * fodder; at 100 TB the mask table is 8 bytes/vector and the
+    * float corpus is only touched for the 10 finalists/query). Masks
+    * split 32/32 because a single 1<<63 overflows DuckDB's BIGINT
+    * shift — and two-lane popcount sums identically. */
+  def simSearchBitq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def mask(lo: Int): Column = expr(
+      s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), " +
+      s"(acc, i) -> acc + IF(element_at(emb, i + $lo) > CAST(0 AS DOUBLE), " +
+      s"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
+    val e = emb(s, dir)
+      .withColumn("m1", mask(1)).withColumn("m2", mask(33))
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"),
+              $"nrm".as("q_nrm"), $"m1".as("qm1"), $"m2".as("qm2"))
+    val w = Window.partitionBy($"q_id").orderBy($"hamming".asc, $"vec_id".asc)
+    e.crossJoin(broadcast(q))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("hamming",
+        (expr("bit_count(m1 ^ qm1)") + expr("bit_count(m2 ^ qm2)"))
+          .cast("int"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 10)
+      .withColumn("cos", round(dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm"), 6))
+      .select($"q_id", $"vec_id", $"hamming", $"cos",
+              $"rk".cast("int").as("rk"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Per-label centroids on an exact 1e-6 grid: each coordinate is
+    * snapped to round(x·10⁶) BEFORE summing, so the cross-row sum is
+    * exact integer arithmetic (order-independent at any partition
+    * count — Det.cents' argument applied to embedding space) and the
+    * centroid is ONE deterministic division per (label, dim). The
+    * audit every clustering/retrieval pipeline runs on a labeled
+    * vector table (where is each class's center, how big is each
+    * class), and the same snap-to-grid trick that makes distributed
+    * vector averages reproducible run-to-run at 100 TB — a naive
+    * float mean would drift with partitioning, poisoning any
+    * downstream exact-match test. One posexplode (64 rows/vector,
+    * map-side) into one (label, pos)-keyed hash agg. */
+  def embedCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir)
+      .select($"label", posexplode($"emb").as(Seq("pos", "v")))
+      .withColumn("g", round($"v" * 1e6).cast("long"))
+      .groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n_vecs"), sum($"g").as("sg"))
+      .select($"label", $"pos".cast("int").as("pos"), $"n_vecs",
+        ($"sg".cast("double") / ($"n_vecs".cast("double") * 1e6))
+          .as("centroid"))
+      .orderBy($"label", $"pos")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_search_mrl" -> (simSearchMrl _),
+    "sim_search_bitq" -> (simSearchBitq _),
+    "embed_centroid" -> (embedCentroid _),
     "embed_quantize" -> (embedQuantize _),
     "sim_search_quant" -> (simSearchQuant _),
     "sim_search" -> (simSearch _),
@@ -967,6 +1076,65 @@ object VectorOps extends QueryPack {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _))
 
   def oracle: Map[String, String] = Map(
+    "sim_search_mrl" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+        |c AS (SELECT q_id, vec_id,
+        |        list_dot_product(q_emb[1:16], e.emb[1:16]) AS cscore
+        |      FROM e CROSS JOIN q WHERE vec_id <> q_id),
+        |sl AS (SELECT q_id, vec_id FROM (
+        |         SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cscore DESC, vec_id) AS crk FROM c)
+        |       WHERE crk <= 50),
+        |r AS (SELECT sl.q_id, sl.vec_id,
+        |        list_cosine_similarity(q.q_emb, e.emb) AS cos
+        |      FROM sl JOIN e ON sl.vec_id = e.vec_id
+        |             JOIN q ON sl.q_id = q.q_id),
+        |f AS (SELECT q_id, vec_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY cos DESC, vec_id) AS INTEGER) AS rk FROM r)
+        |SELECT q_id, vec_id, round(cos, 6) AS cos, rk
+        |FROM f WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    "sim_search_bitq" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        CAST(list_sum(list_transform(generate_series(0, 31),
+        |          i -> CASE WHEN emb[i+1] > 0 THEN 1::BIGINT << i
+        |               ELSE 0::BIGINT END)) AS BIGINT) AS m1,
+        |        CAST(list_sum(list_transform(generate_series(0, 31),
+        |          i -> CASE WHEN emb[i+33] > 0 THEN 1::BIGINT << i
+        |               ELSE 0::BIGINT END)) AS BIGINT) AS m2
+        |      FROM e),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, m1 AS qm1, m2 AS qm2
+        |      FROM m WHERE vec_id < 5),
+        |c AS (SELECT q_id, vec_id, emb, q_emb,
+        |        CAST(bit_count(xor(m1, qm1))
+        |             + bit_count(xor(m2, qm2)) AS INTEGER) AS hamming
+        |      FROM m CROSS JOIN q WHERE vec_id <> q_id),
+        |f AS (SELECT q_id, vec_id, hamming, emb, q_emb,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY hamming, vec_id) AS INTEGER) AS rk FROM c)
+        |SELECT q_id, vec_id, hamming,
+        |  round(list_cosine_similarity(q_emb, emb), 6) AS cos, rk
+        |FROM f WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    "embed_centroid" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(list_transform(range(len(emb)),
+        |      i -> CAST(i AS INTEGER))) AS pos,
+        |    unnest(list_transform(emb,
+        |      v -> CAST(round(v * 1000000) AS BIGINT))) AS g
+        |  FROM (SELECT label,
+        |          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        |        FROM embeddings))
+        |SELECT label, pos, count(*) AS n_vecs,
+        |  CAST(sum(g) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000)
+        |    AS centroid
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "embed_quantize" ->
       """SELECT vec_id, label,
         |  unnest(list_transform(range(len(emb)),

@@ -579,4 +579,50 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(totVecs == rawVecs.size, "cells must partition the corpus")
     assert(totKept > 0 && totKept < totVecs, "funnel must keep some, drop some")
   }
+
+  test("sim_search_mrl: recall well above chance; lists ranked and sized") {
+    val mrl = VectorOps.simSearchMrl(spark, SparkSpec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = VectorOps.simSearch(spark, SparkSpec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mrl.size == exact.size)
+    val recall = mrl.intersect(exact).size.toDouble / exact.size
+    // prefix dims carry 1/4 of a RANDOM vector's signal; measured
+    // 0.32-0.48 across sf; chance on a 50-of-500 shortlist is ~0.1
+    assert(recall >= 0.2, s"mrl recall $recall below floor")
+  }
+
+  test("sim_search_bitq: hamming bounds, monotone ranks, hand-check") {
+    val rows = VectorOps.simSearchBitq(spark, SparkSpec.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    rows.foreach { case (_, _, h, _) => assert(h >= 0 && h <= 64) }
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.sameElements(byRank.sorted), "hamming not monotone in rank")
+    }
+    // recompute one pair's hamming from the raw floats
+    val (qid, vid, h, _) = rows.head
+    val embOf = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .where($"vec_id".isin(qid, vid))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val want = embOf(qid).zip(embOf(vid))
+      .count { case (a, b) => (a > 0) != (b > 0) }
+    assert(h == want, s"hamming($qid,$vid): got $h want $want")
+  }
+
+  test("embed_centroid: exact grid sums match a driver-side recompute") {
+    val out = VectorOps.embedCentroid(spark, SparkSpec.sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val vecs = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .collect().map(r => r.getInt(2) -> r.getSeq[Float](1))
+    assert(out.keys.map(_._1).toSet == vecs.map(_._1).toSet)
+    // recompute label 0, pos 0 with the same snap-to-grid arithmetic
+    val l0 = vecs.filter(_._1 == vecs.head._1)
+    val grid = l0.map(v => math.round(v._2.head.toDouble * 1e6))
+    val (n, c) = out((vecs.head._1, 0))
+    assert(n == l0.length)
+    assert(c == grid.sum.toDouble / (n.toDouble * 1e6), "centroid not exact")
+  }
 }
