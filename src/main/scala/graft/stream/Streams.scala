@@ -18,6 +18,11 @@ case class UserSummary(user_id: Long, n: Long, val_sum: Double,
   * one row per (doc, band) with the bucket's admitted owner. */
 case class BandVerdict(doc_id: Long, band_id: Int, owner_id: Long)
 
+/** At-arrival anomaly verdict from the streaming z-score monitor:
+  * `n` = how many of the last 20 prior events backed the decision. */
+case class AnomalyVerdict(user_id: Long, event_id: Long, n: Long,
+                          flag: Boolean)
+
 /** A doc held in a band bucket's reconciliation buffer until the
   * event-time watermark passes its event time. */
 case class OooPending(doc_id: Long, event_us: Long)
@@ -681,7 +686,115 @@ object Streams extends QueryPack {
         .orderBy($"event_type")
     }
 
+  /** Stream-STATIC enrichment: the arriving purchase stream joined to
+    * the customer dimension (broadcast — the dim is batch, the join
+    * is STATELESS: no watermark, no state store, each micro-batch
+    * joins independently), rolled up per market segment. The single
+    * most common production streaming topology — enrich-then-aggregate
+    * against a slowly-changing reference table — and the one
+    * streaming join Spark executes with zero streaming state, which
+    * is why it is DuckDB-oracled EXACTLY: statelessness makes the
+    * drained final aggregate equal the batch join + GROUP BY under
+    * any micro-batch split. Complete-mode drain: the memory sink's
+    * last snapshot IS the final aggregate (segment cardinality is
+    * dim-bounded, so Complete state is model-sized at any stream
+    * length). At 100 TB/day the dim side re-broadcasts per batch —
+    * the documented refresh point for a slowly-changing dimension. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val dim = graft.io.Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+      val agg = eventStream(s, dir)
+        .where($"event_type" === "purchase")
+        .select($"user_id", round($"value" * 100).cast("long").as("cents"))
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cs"))
+        .select($"segment", $"n", ($"cs".cast("double") / 100).as("spend"))
+      drain(agg, "graft_stream_enrich", OutputMode.Complete())
+        .orderBy($"segment")
+    }
+
+  /** STATEFUL streaming anomaly monitor — the live twin of
+    * [[graft.ops.Windows.tsAnomaly]]: each arriving event is judged
+    * against the robust z-score of its user's last ≤20 PRIOR values
+    * (≥10 priors required), at arrival, with the verdict never
+    * revised. State per user is the 20-value ring the batch window
+    * frame reads — 160 bytes regardless of stream length, the
+    * bounded-state contract that separates a monitor from a replay.
+    * The flag is INTEGER arithmetic end to end (cross-multiplied
+    * (n−1)·dev² > 9·n·varnum on exact cents — bounds: |dev| ≤ 2.1e7,
+    * (n−1)·dev² ≤ 8.4e15 < 2⁶³), so streaming, batch window, and the
+    * DuckDB oracle agree bit-for-bit. Oracled BECAUSE arrival order
+    * is pinned: the staged replay delivers events in (ts, event_id)
+    * order — three range-split files, one per micro-batch, sorted
+    * within each group fold — which makes the prior-window identical
+    * to the batch frame's at every row; a production deployment
+    * would document its broker's per-key ordering guarantee the same
+    * way (Kafka: per-partition order, keyed by user). */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.config.Sessions.withShufflePartitionsCap(s, 4) {
+      import s.implicits._
+      val stage = stagedOnce("graft_stream_anomaly", dir) { stage =>
+        val ev = graft.io.Tables.events(s, dir)
+          .withColumn("us", unix_micros($"ts".cast("timestamp")))
+          .select($"event_id", $"us", $"user_id", $"value")
+        // three consecutive (ts, event_id)-range files: cross-batch
+        // arrival order == event-time order (the oracle's premise)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"us".asc, $"event_id".asc)
+        val split = ev.withColumn("part", ntile(3).over(w))
+        (1 to 3).foreach { i =>
+          val tmp = s"$stage/w$i"
+          split.where($"part" === i).drop("part")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$stage/f$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          ()
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("us", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val verdicts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*.parquet")
+        .select($"user_id", $"us", $"event_id",
+                round($"value" * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Seq[Long], AnomalyVerdict](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (user, rows, state: GroupState[Seq[Long]]) =>
+            var ring = state.getOption.getOrElse(Seq.empty) // oldest first
+            val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+              case (_, _, eid, v) =>
+                val n = ring.length
+                val verdict =
+                  if (n >= 10) {
+                    val sx = ring.sum
+                    val sxx = ring.map(x => x * x).sum
+                    val dev = n * v - sx
+                    val varnum = n * sxx - sx * sx
+                    Some(AnomalyVerdict(user, eid, n,
+                      (n - 1) * dev * dev > 9L * n * varnum))
+                  } else None
+                ring = (ring :+ v).takeRight(20)
+                verdict
+            }
+            state.update(ring)
+            out.iterator
+        }
+      drain(verdicts.toDF(), "graft_stream_anomaly", OutputMode.Append())
+        .orderBy($"user_id", $"event_id")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich" -> (streamEnrich _),
+    "stream_anomaly" -> (streamAnomaly _),
     "stream_file_sink" -> (streamFileSink _),
     "stream_hot_tokens" -> (streamHotTokens _),
     "stream_watermark" -> (streamWatermark _),
@@ -703,6 +816,36 @@ object Streams extends QueryPack {
   // interval join emits every match, and the session aggregation
   // emits every fully-merged session — both equal their batch twins.
   def oracle: Map[String, String] = Map(
+    // stream-static joins are STATELESS: the drained Complete-mode
+    // aggregate equals batch join + GROUP BY under any batch split
+    "stream_enrich" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100
+        |    AS spend
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer-exact verdicts + pinned (ts, event_id) arrival order
+    // make the stateful monitor equal the batch prior-window rule —
+    // ts_anomaly's frame, minus its float z column
+    "stream_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value*100) AS BIGINT) AS x
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, x,
+        |    count(x) OVER win AS n,
+        |    sum(x) OVER win AS sx,
+        |    sum(x*x) OVER win AS sxx
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, n,
+        |  (n - 1) * (n * x - sx) * (n * x - sx)
+        |    > 9 * n * (n * sxx - sx * sx) AS flag
+        |FROM w WHERE n >= 10
+        |ORDER BY user_id, event_id""".stripMargin,
     // the file sink is append-only per-row: the committed files hold
     // exactly the input rows, so plain batch GROUP BY is the twin
     "stream_file_sink" ->
