@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.QueryPack
@@ -207,7 +207,50 @@ object Multimodal extends QueryPack {
       .orderBy($"keep_id")
   }
 
+  /** Perceptual (difference) hash of each media payload — the
+    * near-dup fingerprint for images/audio where content-addressed
+    * digests ([[multimodalHashDedup]]) are blind: a re-encode or a
+    * one-pixel edit changes every byte but barely moves the GRADIENT
+    * structure dHash captures. 65 evenly spaced payload samples →
+    * 64 bits (bit j = sample j < sample j+1), packed into two 32-bit
+    * lanes plus four 16-bit bands. The bands are the LSH key for
+    * pair recovery: Hamming ≤ 3 ⟹ some band matches (pigeonhole),
+    * so banded equi-join + popcount filter finds every near-dup
+    * without an all-pairs product — dedup_simhash_pairs' machinery
+    * pointed at perceptual bits (MultimodalSpec plants a re-encoded
+    * copy and proves the recovery; the fixture corpus itself has no
+    * byte-near media, so the DECLARED output is the hash census all
+    * downstream pair joins consume). Pure-ASCII docs only (byte ==
+    * char, the [[multimodalAudioWindow]] guard) so Spark's ascii()
+    * and DuckDB's ord() read the same byte stream; at 100 TB the
+    * sampling stride reads 65 bytes per asset regardless of size. */
+  def multimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def lane(lo: Int): Column = expr(
+      s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+      s"IF(element_at(sm, j + $lo) < element_at(sm, j + $lo + 1), " +
+      s"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))")
+    mediaFrame(s, dir)
+      .withColumn("txt",
+        expr("CAST(substring(media, 7, length(media) - 6) AS STRING)"))
+      .where(octet_length($"txt") === length($"txt") &&
+             length($"txt") >= 2)
+      .withColumn("len", length($"txt"))
+      // 65 evenly spaced 1-based sample positions over the payload
+      .withColumn("sm", expr(
+        "transform(sequence(0, 64), j -> " +
+        "ascii(substring(txt, CAST(1 + (j * (len - 1)) div 64 AS INT), 1)))"))
+      .withColumn("h1", lane(1)).withColumn("h2", lane(33))
+      .select($"doc_id", $"h1", $"h2",
+        ($"h1" % 65536).cast("int").as("b0"),
+        expr("CAST(h1 div 65536 AS INT)").as("b1"),
+        ($"h2" % 65536).cast("int").as("b2"),
+        expr("CAST(h2 div 65536 AS INT)").as("b3"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash" -> (multimodalPhash _),
     "multimodal_hash_dedup" -> (multimodalHashDedup _),
     "multimodal_audio_window" -> (multimodalAudioWindow _),
     "multimodal_cols" -> (multimodalCols _),
@@ -217,6 +260,31 @@ object Multimodal extends QueryPack {
     "multimodal_framesample" -> (multimodalFramesample _))
 
   def oracle: Map[String, String] = Map(
+    // payload == utf-8 text bytes and the ASCII guard makes ord() ==
+    // ascii(), so DuckDB samples the identical byte stream
+    "multimodal_phash" ->
+      """WITH d AS (SELECT doc_id, text AS txt, length(text) AS len
+        |           FROM documents
+        |           WHERE octet_length(encode(text)) = length(text)
+        |             AND length(text) >= 2),
+        |sm AS (SELECT doc_id, list_transform(generate_series(0, 64),
+        |         j -> ord(substr(txt,
+        |                CAST(1 + (j * (len - 1)) // 64 AS INT), 1))) AS sm
+        |       FROM d),
+        |h AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(generate_series(0, 31),
+        |          j -> CASE WHEN sm[j+1] < sm[j+2] THEN 1::BIGINT << j
+        |               ELSE 0::BIGINT END)) AS BIGINT) AS h1,
+        |        CAST(list_sum(list_transform(generate_series(0, 31),
+        |          j -> CASE WHEN sm[j+33] < sm[j+34] THEN 1::BIGINT << j
+        |               ELSE 0::BIGINT END)) AS BIGINT) AS h2
+        |      FROM sm)
+        |SELECT doc_id, h1, h2,
+        |  CAST(h1 % 65536 AS INTEGER) AS b0,
+        |  CAST(h1 // 65536 AS INTEGER) AS b1,
+        |  CAST(h2 % 65536 AS INTEGER) AS b2,
+        |  CAST(h2 // 65536 AS INTEGER) AS b3
+        |FROM h ORDER BY doc_id""".stripMargin,
     // the stripped payload is exactly the utf-8 text bytes, so
     // DuckDB's md5(text) hashes the identical byte stream
     "multimodal_hash_dedup" ->

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.QueryPack
@@ -394,7 +395,58 @@ object Pipelines extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Distribution-drift audit between two data windows — the
+    * monitoring check every production pipeline runs before promoting
+    * a new partition (did the price distribution move?): 1996-H1
+    * orders are the reference window, 1996-H2 the candidate, prices
+    * histogram into $25k bands, and the verdict is a binned
+    * Kolmogorov–Smirnov statistic, max |ΔCDF| over the band edges.
+    * EVERYTHING is integer-exact: proportions never materialize —
+    * |cum_p·N_q − cum_q·N_p| is the cross-multiplied |ΔCDF|·N_p·N_q,
+    * so the 5%-threshold verdict compares exact BIGINTs and both
+    * engines agree bit-for-bit (a float-PSI formulation would put
+    * ln() ulps directly inside the pass/fail — the agg_decay lesson
+    * applied to monitoring). The one division, ks_delta for human
+    * eyes, happens once per row on exact integers.
+    *
+    * Scale shape: two partition-pruned scans → one 20-bucket hash
+    * agg each (map-side partials), a full-outer align on bucket,
+    * cumulative sums over a 20-row window, one-row totals broadcast —
+    * the corpus never shuffles on anything wider than the band id. */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .withColumn("pc", cents($"o_totalprice"))
+      .withColumn("bucket", expr("pc div 2500000"))
+    def half(from: String, until: String, n: String) =
+      o.where(expr(s"o_orderdate >= TIMESTAMP '$from' AND " +
+                   s"o_orderdate < TIMESTAMP '$until'"))
+        .groupBy($"bucket").agg(count(lit(1)).as(n))
+    val p = half("1996-01-01", "1996-07-01", "p_cnt")
+    val q = half("1996-07-01", "1997-01-01", "q_cnt")
+    val aligned = p.join(q, Seq("bucket"), "full_outer")
+      .select($"bucket",
+        coalesce($"p_cnt", lit(0L)).as("p_cnt"),
+        coalesce($"q_cnt", lit(0L)).as("q_cnt"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(lit(1))
+    aligned
+      .withColumn("np", sum($"p_cnt").over(whole))
+      .withColumn("nq", sum($"q_cnt").over(whole))
+      .withColumn("cum_p", sum($"p_cnt").over(w))
+      .withColumn("cum_q", sum($"q_cnt").over(w))
+      .withColumn("ks_x", abs($"cum_p" * $"nq" - $"cum_q" * $"np"))
+      .withColumn("ks_max", max($"ks_x").over(whole))
+      .select($"bucket", $"p_cnt", $"q_cnt",
+        ($"ks_x".cast("double") / ($"np" * $"nq").cast("double"))
+          .as("ks_delta"),
+        ($"ks_max" * 20 > $"np" * $"nq").as("drifted"))
+      .orderBy($"bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_drift" -> (dqDrift _),
     "pipeline_mix" -> (pipelineMix _),
     "pipeline_split" -> (pipelineSplit _),
     "pipeline_events_enrich" -> (eventsEnrich _),
@@ -412,6 +464,28 @@ object Pipelines extends QueryPack {
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
   def oracle: Map[String, String] = Map(
+    "dq_drift" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice*100) AS BIGINT)
+        |             // 2500000 AS bucket, o_orderdate FROM orders),
+        |p AS (SELECT bucket, count(*) AS p_cnt FROM o
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1),
+        |q AS (SELECT bucket, count(*) AS q_cnt FROM o
+        |      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |        AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+        |a AS (SELECT coalesce(p.bucket, q.bucket) AS bucket,
+        |        coalesce(p_cnt, 0) AS p_cnt, coalesce(q_cnt, 0) AS q_cnt
+        |      FROM p FULL OUTER JOIN q ON p.bucket = q.bucket),
+        |c AS (SELECT bucket, p_cnt, q_cnt,
+        |        sum(p_cnt) OVER () AS np, sum(q_cnt) OVER () AS nq,
+        |        sum(p_cnt) OVER (ORDER BY bucket) AS cum_p,
+        |        sum(q_cnt) OVER (ORDER BY bucket) AS cum_q
+        |      FROM a),
+        |k AS (SELECT *, abs(cum_p*nq - cum_q*np) AS ks_x FROM c)
+        |SELECT bucket, p_cnt, q_cnt,
+        |  CAST(ks_x AS DOUBLE) / CAST(np*nq AS DOUBLE) AS ks_delta,
+        |  max(ks_x) OVER () * 20 > np*nq AS drifted
+        |FROM k ORDER BY bucket""".stripMargin,
     "pipeline_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
         |m AS (SELECT min(n_src) AS mn FROM c),
