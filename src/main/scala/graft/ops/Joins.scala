@@ -336,13 +336,24 @@ object Joins extends QueryPack {
   def graphJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val brand = t(s, dir, "part").select($"p_partkey", $"p_brand")
-    val e = copurchasePairs(s, dir).distinct()
-      .join(broadcast(brand.select($"p_partkey".as("a"),
-                                   $"p_brand".as("brand_a"))), Seq("a"))
-      .join(broadcast(brand.select($"p_partkey".as("b"),
-                                   $"p_brand".as("brand_b"))), Seq("b"))
-      .where($"brand_a" === $"brand_b")
-      .select($"a", $"b", $"brand_a".as("brand"))
+    // generate WITHIN-BRAND pairs directly: brand joins onto lineitem
+    // map-side (broadcast), the grouping key is (order, brand), and
+    // the per-group combination explodes only same-brand items — the
+    // cross-brand 24/25 of the pair stream is never materialized
+    // (Σ_brand k_b² vs Σ k², the blocking applied at GENERATION).
+    // localCheckpoint pins the tiny edge set (~|E|/25 rows) for its
+    // three consumers (two wedge-join sides + degrees).
+    val e = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      .join(broadcast(brand), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey", $"p_brand")
+      .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .select($"p_brand".as("brand"), explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select($"brand", $"p.a".as("a"), $"p.b".as("b"))
+      .distinct()
+      .localCheckpoint()
     val adj = e.select($"brand", $"a".as("x"), $"b".as("w"))
       .unionByName(e.select($"brand", $"b".as("x"), $"a".as("w")))
     val sdeg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))
