@@ -431,7 +431,38 @@ object Ingest extends QueryPack {
       .orderBy($"channel")
   }
 
+  /** DYNAMIC PARTITION PRUNING demonstrated end-to-end: the fact
+    * table is hive-partitioned on o_orderstatus, the join keys ON the
+    * partition column, and the dim side carries a selective literal
+    * filter (tag = 'terminal') — so Catalyst inserts a
+    * `dynamicpruning` subquery into the fact scan's PartitionFilters
+    * and the 'O' partition's files are SKIPPED AT RUNTIME, before a
+    * row is read (locked in PlanSpec). This is THE partition-elision
+    * mechanism for star-schema joins at 100 TB — static pruning can't
+    * see through a join, and without DPP the fact scan reads every
+    * partition only to throw 1/3 away post-join. The dim filter must
+    * be a literal predicate: Spark's `isLikelySelective` gate
+    * (correctly) refuses to build a pruning subquery for a bare
+    * boolean column, which a naive `WHERE keep` formulation hits. */
+  def joinDpp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "orders")
+    val path = scratch(dir, "dpp_orders")
+    writePartitioned(src, path, "o_orderstatus")
+    val fact = s.read.parquet(path)
+    val dimPath = scratch(dir, "dpp_dim")
+    Seq(("F", "terminal"), ("O", "open"), ("P", "terminal"))
+      .toDF("st", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    fact.join(broadcast(dim), $"o_orderstatus" === $"st")
+      .where($"tag" === "terminal")
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_dpp" -> (joinDpp _),
     "ingest_evolve" -> (ingestEvolve _),
     "ingest_zorder" -> (ingestZorder _),
     "ingest_sorted" -> (ingestSorted _),
@@ -448,6 +479,12 @@ object Ingest extends QueryPack {
   // Oracles run on the ORIGINAL parquet tables: a hash match proves the
   // text round-trip / partitioned rewrite preserved every value.
   def oracle: Map[String, String] = Map(
+    "join_dpp" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
+        |    AS total
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // lossless round trip (fixture text is newline-free) — the oracle
     // derives the same measures from the original table
     "ingest_text" ->

@@ -676,7 +676,34 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Ordered string aggregation (LISTAGG, SQL:2023 / Spark 4's
+    * `listagg ... WITHIN GROUP`): each nation's top-3 customers by
+    * balance as one comma-joined display string — the report-label
+    * shape BI hand-offs ask for. The inputs are CAPPED BEFORE the
+    * aggregate (rank-3 window over nation-sized groups), which is the
+    * non-negotiable scale rule for string aggregation: LISTAGG over
+    * uncapped groups concatenates the whole corpus into single rows
+    * (the one aggregate whose state grows with group size, unlike
+    * every sum/count in this pack) — cap first, then concatenate
+    * model-sized survivors. WITHIN GROUP (ORDER BY rank) makes the
+    * string deterministic; the ranking itself is exact-cents with a
+    * key tie-break. */
+  def aggListagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy(cents($"c_acctbal").desc, $"c_custkey".asc)
+    t(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_top"),
+           expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY rn)")
+             .as("top_names"))
+      .orderBy($"c_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_listagg" -> (aggListagg _),
     "agg_decay" -> (aggDecay _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_ohlc" -> (aggOhlc _),
@@ -716,6 +743,17 @@ object Aggregates extends QueryPack {
       |  JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_listagg" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_name,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC,
+        |               c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_nationkey, count(*) AS n_top,
+        |  string_agg(c_name, ',' ORDER BY rn) AS top_names
+        |FROM r WHERE rn <= 3
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "agg_decay" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us,

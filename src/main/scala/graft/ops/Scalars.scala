@@ -161,7 +161,29 @@ object Scalars extends QueryPack {
       .orderBy($"c_custkey")
   }
 
+  /** Regex function family — extract / count / global replace /
+    * anchored match / trailing-number parse, the text-wrangling
+    * quintet ETL string cleanup leans on. Patterns stay in the
+    * POSIX-compatible intersection of Java regex (Spark) and RE2-ish
+    * DuckDB — char classes, anchors, alternation, no lookaround — so
+    * both engines read them identically; DuckDB's regexp_replace
+    * needs the explicit 'g' flag to match Spark's replace-all
+    * default (a classic cross-dialect trap the oracle pins). All
+    * codegen'd built-ins, map-only. */
+  def fnRegex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey",
+        regexp_extract($"p_name", "^([a-z]+)", 1).as("first_word"),
+        expr("CAST(regexp_count(p_name, '[aeiou]') AS INT)").as("n_vowels"),
+        regexp_replace($"p_name", "[aeiou]", "*").as("scrubbed"),
+        regexp_extract($"p_brand", "([0-9]+)$", 1).cast("int").as("brand_no"),
+        expr("regexp_like(p_type, '^(ECONOMY|SMALL)$')").as("is_cheap_class"))
+      .orderBy($"p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_regex" -> (fnRegex _),
     "fn_string" -> (fnString _),
     "fn_date" -> (fnDate _),
     "fn_math" -> (fnMath _),
@@ -172,6 +194,16 @@ object Scalars extends QueryPack {
     "fn_cond" -> (fnCond _))
 
   def oracle: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER)
+        |    AS n_vowels,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS scrubbed,
+        |  CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS INTEGER)
+        |    AS brand_no,
+        |  regexp_matches(p_type, '^(ECONOMY|SMALL)$') AS is_cheap_class
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  lower(p_type) AS lo, upper(p_name) AS up,

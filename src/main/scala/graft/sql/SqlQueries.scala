@@ -635,7 +635,24 @@ object SqlQueries extends QueryPack {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
       |ORDER BY c.c_custkey, tp DESC, o_orderkey""".stripMargin
 
+  /** SQL PIVOT syntax (Spark's relation-pivot clause): order counts
+    * per priority rotated to one column per status. The parser-level
+    * twin of the DataFrame agg_pivot — same Expand-free plan (pivot
+    * compiles to conditional aggregates), exercised through the SQL
+    * front door. Missing cells are NULL in pivot semantics (the
+    * aggregate never ran), which the oracle mirrors with
+    * nullif(count, 0) — the classic pivot-vs-CASE discrepancy pinned
+    * by the differential. */
+  def sqlPivot(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        |PIVOT (count(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pivot" -> (sqlPivot _),
     "sql_lateral" -> (sqlLateral _),
     "sql_recursive" -> (sqlRecursive _),
     "sql_exists" -> (sqlExists _),
@@ -664,6 +681,13 @@ object SqlQueries extends QueryPack {
     "sql_cte_window" -> (sqlCteWindow _))
 
   def oracle: Map[String, String] = Map(
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  nullif(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS f,
+        |  nullif(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS o,
+        |  nullif(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // identical text: DuckDB evaluates the same bounded recursion
     "sql_recursive" -> recursiveSql,
     // both engines speak the same text for the TPC-H shapes

@@ -1050,7 +1050,42 @@ object VectorOps extends QueryPack {
       .orderBy($"label", $"pos")
   }
 
+  /** Per-label distance-to-centroid OUTLIERS — the mislabeled-sample /
+    * contamination sweep every labeled vector table gets before
+    * training (FAISS-era data hygiene): each label's top-3 farthest
+    * members from its own [[embedCentroid]] center. The ranking is
+    * EXACT integer arithmetic end to end: with g = round(v·10⁶) and
+    * the centroid as (Σg)/n, the squared distance cross-multiplies to
+    * Σ_pos (g·n − Σg)² — decimal(38) — so the cut compares exact
+    * integers in both engines (a float sqrt ranking could ulp-flip a
+    * rank boundary; sqrt happens once, for display, after the cut).
+    * Scale shape: one posexplode → (label,pos) centroid agg (10×64
+    * rows, broadcast back) → per-(vec,label) distance agg → top-3
+    * window over label-sized groups. The corpus shuffles once, on
+    * the (vec_id, label) distance key. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val g = emb(s, dir)
+      .select($"vec_id", $"label", posexplode($"emb").as(Seq("pos", "v")))
+      .withColumn("g", round($"v" * 1e6).cast("long"))
+    val cent = g.groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n"), sum($"g").as("sg"))
+    val d2 = g.join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("dx", ($"g" * $"n" - $"sg").cast(dec))
+      .groupBy($"vec_id", $"label", $"n")
+      .agg(sum($"dx" * $"dx").as("d2x"))
+    val w = Window.partitionBy($"label").orderBy($"d2x".desc, $"vec_id".asc)
+    d2.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"label", $"vec_id", $"rk".cast("int").as("rk"),
+        round(sqrt($"d2x".cast("double")) /
+              ($"n".cast("double") * 1e6), 6).as("dist"))
+      .orderBy($"label", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_outliers" -> (embedOutliers _),
     "sim_search_mrl" -> (simSearchMrl _),
     "sim_search_bitq" -> (simSearchBitq _),
     "embed_centroid" -> (embedCentroid _),
@@ -1076,6 +1111,31 @@ object VectorOps extends QueryPack {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _))
 
   def oracle: Map[String, String] = Map(
+    "embed_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    unnest(list_transform(range(len(emb)),
+        |      i -> CAST(i AS INTEGER))) AS pos,
+        |    unnest(list_transform(emb,
+        |      v -> CAST(round(v * 1000000) AS BIGINT))) AS g
+        |  FROM (SELECT vec_id, label,
+        |          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        |        FROM embeddings)),
+        |c AS (SELECT label, pos, count(*) AS n, sum(g) AS sg
+        |      FROM x GROUP BY label, pos),
+        |d AS (SELECT vec_id, x.label AS label, n,
+        |        sum(CAST(g*n - sg AS HUGEINT)
+        |            * CAST(g*n - sg AS HUGEINT)) AS d2x
+        |      FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+        |      GROUP BY vec_id, x.label, n),
+        |r AS (SELECT label, vec_id, d2x, n,
+        |        CAST(row_number() OVER (PARTITION BY label
+        |          ORDER BY d2x DESC, vec_id) AS INTEGER) AS rk
+        |      FROM d)
+        |SELECT label, vec_id, rk,
+        |  round(sqrt(CAST(d2x AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000), 6)
+        |    AS dist
+        |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     "sim_search_mrl" ->
       """WITH e AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

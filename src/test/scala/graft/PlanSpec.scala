@@ -30,6 +30,25 @@ class PlanSpec extends AnyFunSuite {
       "l_quantity:double,l_extendedprice:double,l_shipdate:timestamp_ntz>"), p)
   }
 
+  test("join_dpp: fact scan carries a dynamicpruning partition filter") {
+    val p = plan("join_dpp")
+    // the pruning subquery in PartitionFilters is the whole point:
+    // the 'O' partition's files must be skipped at RUNTIME, through
+    // the join — without it this is just a broadcast join that reads
+    // every partition
+    assert(p.contains("dynamicpruning"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("agg_bitmap_distinct: two hash aggregates, no Expand") {
+    val p = plan("agg_bitmap_distinct")
+    // count(DISTINCT) would plan an Expand (row multiplication); the
+    // bitmap formulation must stay two plain hash aggs with map-side
+    // partials
+    assert(!p.contains("Expand"), p.take(800))
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"), p.take(800))
+  }
+
   test("sim_search_filtered pushes the label predicate into the corpus scan") {
     val p = plan("sim_search_filtered")
     // the metadata filter must prune at the parquet reader, not after
@@ -174,7 +193,12 @@ class PlanSpec extends AnyFunSuite {
                            // rerank fetch itself is a broadcast HASH join
       "text_cms_tokens",   // broadcast model-sized per-source sketches
       "text_lm_score",     // crossJoin of the 1-row corpus-total T
-      "text_tfidf")        // crossJoin of the 1-row corpus doc count
+      "text_tfidf",        // crossJoin of the 1-row corpus doc count
+      "agg_decay",         // crossJoin of the 1-row newest-ts anchor
+      "sim_search_mrl",    // broadcast 5-row query set × corpus (coarse)
+      "sim_search_bitq",   // broadcast 5-row query set × mask table
+      "text_bigram_lm",    // crossJoin of the 1-row vocab size V
+      "text_keywords")     // crossJoin of the 1-row corpus doc count N
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("stream_") || n.startsWith("ingest_"))
       .filterNot(allowed)
