@@ -445,7 +445,32 @@ object Pipelines extends QueryPack {
       .orderBy($"bucket")
   }
 
+  /** Observed-metrics pipeline (`Dataset.observe` / CollectMetrics):
+    * the quality-gated rollup carries its audit counters — rows seen,
+    * rows failing the gate — ON the main job, not as a second scan.
+    * This is the production "metrics on the side" pattern: at 100 TB
+    * a separate count(*) audit pass re-reads the table; observe()
+    * accumulates the counters inside the same whole-stage-codegen'd
+    * scan for free, and the driver reads them from
+    * `queryExecution.observedMetrics` after any action (PipelineSpec
+    * does exactly that, on a planted-bad-rows world). The oracle
+    * checks the gated OUTPUT; the observed metrics are the untyped
+    * side channel the ROW RESULT never sees. */
+  def pipelineObserve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .observe("graft_audit",
+        count(lit(1)).as("rows_seen"),
+        sum(when($"l_quantity" <= 0 || $"l_discount" < 0, 1L)
+              .otherwise(0L)).as("bad_rows"))
+      .where($"l_quantity" > 0 && $"l_discount" >= 0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sumMoney($"l_extendedprice").as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_observe" -> (pipelineObserve _),
     "dq_drift" -> (dqDrift _),
     "pipeline_mix" -> (pipelineMix _),
     "pipeline_split" -> (pipelineSplit _),
@@ -464,6 +489,12 @@ object Pipelines extends QueryPack {
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
   def oracle: Map[String, String] = Map(
+    "pipeline_observe" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100
+        |    AS revenue
+        |FROM lineitem WHERE l_quantity > 0 AND l_discount >= 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "dq_drift" ->
       """WITH o AS (SELECT CAST(round(o_totalprice*100) AS BIGINT)
         |             // 2500000 AS bucket, o_orderdate FROM orders),

@@ -373,6 +373,29 @@ class OperatorSpec extends AnyFunSuite {
       s"census mismatch: got $gotCensus want $wantCensus")
   }
 
+  test("bag set ops: intersectAll keeps min multiplicity, exceptAll subtracts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bagset").toString
+    // cust 1: 3×1995, 2×1996 -> IA 2, EA 1; cust 2: 1×1995 only -> EA 1
+    // cust 3: 2×1996 only -> neither
+    val rows =
+      Seq((1L, "1995-03-01"), (1L, "1995-04-01"), (1L, "1995-05-01"),
+          (1L, "1996-01-01"), (1L, "1996-02-01"),
+          (2L, "1995-06-01"),
+          (3L, "1996-03-01"), (3L, "1996-04-01"))
+        .zipWithIndex.map { case ((c, d), i) =>
+          (i.toLong, c, java.sql.Timestamp.valueOf(d + " 00:00:00"))
+        }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val ia = graft.ops.SetOps.setIntersectAll(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ea = graft.ops.SetOps.setExceptAll(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ia == Map(1L -> 2L), s"intersectAll: $ia")
+    assert(ea == Map(1L -> 1L, 2L -> 1L), s"exceptAll: $ea")
+  }
+
   test("graph_degree histogram mass equals 2|E| and |V| of the edge set") {
     import spark.implicits._
     val hist = graft.ops.Joins.graphDegree(spark, SparkSpec.sfDir)

@@ -140,4 +140,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!byName("li_quantity_in_1_45")._3, "quantity rule designed to fail")
     assert(!byName("li_price_in_1k_100k")._3, "price rule designed to fail")
   }
+
+  test("pipeline_observe: audit counters ride the job and see gated rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // plant a world with 2 bad rows among 5
+    val dir = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    Seq((1L, 1, 5.0, 0.1, 100.0, "A"),
+        (2L, 1, 0.0, 0.1, 200.0, "A"),   // bad: quantity 0
+        (3L, 1, 2.0, -0.5, 300.0, "N"),  // bad: negative discount
+        (4L, 1, 3.0, 0.0, 400.0, "N"),
+        (5L, 1, 4.0, 0.2, 500.0, "R"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "l_extendedprice", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.pipeline.Pipelines.pipelineObserve(spark, dir)
+    val rows = out.collect()
+    // gated output drops exactly the 2 bad rows
+    assert(rows.map(_.getLong(1)).sum == 3L)
+    // the metrics were accumulated on the SAME execution, pre-gate
+    val m = out.queryExecution.observedMetrics("graft_audit")
+    assert(m.getAs[Long]("rows_seen") == 5L, m.toString)
+    assert(m.getAs[Long]("bad_rows") == 2L, m.toString)
+  }
 }
