@@ -702,7 +702,70 @@ object Aggregates extends QueryPack {
       .orderBy($"c_nationkey")
   }
 
+  /** Time-BOUNDED funnel (ClickHouse windowFunnel semantics): signup →
+    * click → purchase all within 24 h of the SIGNUP — the conversion
+    * question product analytics actually asks ([[aggFunnel]]'s
+    * unbounded variant counts a purchase a year later as converted).
+    * Same stepwise min-timestamp joins as aggFunnel with the window
+    * guard added to each step; every join keys on user_id and each
+    * stage's output is one row per surviving user, so the funnel
+    * narrows monotonically — the 100 TB cost is ≤3 user-keyed
+    * shuffles of shrinking key sets. */
+  def aggFunnelWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 86400000000L // 24 h in µs
+    val e = t(s, dir, "events")
+      .select($"user_id", $"event_type",
+              unix_micros($"ts".cast("timestamp")).as("us"))
+    val s1 = e.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("us_signup"))
+    val s2 = e.where($"event_type" === "click")
+      .join(s1, "user_id")
+      .where($"us" > $"us_signup" && $"us" <= $"us_signup" + W)
+      .groupBy($"user_id")
+      .agg(min($"us").as("us_click"), first($"us_signup").as("us_signup"))
+    val s3 = e.where($"event_type" === "purchase")
+      .join(s2, "user_id")
+      .where($"us" > $"us_click" && $"us" <= $"us_signup" + W)
+      .groupBy($"user_id").agg(min($"us").as("us_purchase"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_24h")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_full_24h")))
+  }
+
+  /** Event-PATH mining: the top-10 most common 3-step event-type
+    * sequences across all user timelines — the "what do users
+    * actually do" exploration that precedes any funnel definition
+    * (path n-grams over the behavioral log; [[aggFunnel]] checks a
+    * HYPOTHESIZED path, this surfaces the real ones). Per-user
+    * ordered sequences come from ONE user-keyed aggregate
+    * (sort_array over (us, event_id, type) structs — deterministic
+    * total order, no window sort), trigrams explode INSIDE the row,
+    * and the path space is |event types|³-bounded, so the final agg
+    * is model-sized at any log scale. Top-10 with a total tie-break
+    * plans TakeOrderedAndProject. */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id",
+              struct(unix_micros($"ts".cast("timestamp")).as("us"),
+                     $"event_id", $"event_type").as("ev"))
+      .groupBy($"user_id")
+      .agg(expr("transform(sort_array(collect_list(ev)), x -> x.event_type)")
+             .as("types"))
+      .where(size($"types") >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(types) - 2), i -> concat_ws('>', " +
+        "element_at(types, i), element_at(types, i + 1), " +
+        "element_at(types, i + 2)))")).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path".asc)
+      .limit(10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_funnel_window" -> (aggFunnelWindow _),
+    "event_paths" -> (eventPaths _),
     "agg_listagg" -> (aggListagg _),
     "agg_decay" -> (aggDecay _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
@@ -860,6 +923,32 @@ object Aggregates extends QueryPack {
         |  count(*) AS n_orders,
         |  ${sqlSumMoney("o_totalprice")} AS spend
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "agg_funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS us_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(us) AS us_click,
+        |              any_value(us_signup) AS us_signup
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > us_signup
+        |         AND us <= us_signup + 86400000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(us) AS us_purchase
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > us_click
+        |         AND us <= us_signup + 86400000000 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_click_24h,
+        |       (SELECT count(*) FROM s3) AS n_full_24h""".stripMargin,
+    "event_paths" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |s AS (SELECT user_id, list(event_type ORDER BY us, event_id) AS types
+        |      FROM e GROUP BY user_id),
+        |tri AS (SELECT concat_ws('>', types[i], types[i+1], types[i+2]) AS path
+        |        FROM s, unnest(generate_series(1, len(types) - 2)) AS t(i)
+        |        WHERE len(types) >= 3)
+        |SELECT path, count(*) AS n FROM tri
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "agg_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |s1 AS (SELECT user_id, min(us) AS us_signup FROM e

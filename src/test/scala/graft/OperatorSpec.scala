@@ -373,6 +373,34 @@ class OperatorSpec extends AnyFunSuite {
       s"census mismatch: got $gotCensus want $wantCensus")
   }
 
+  test("agg_funnel_window is a monotone tightening of the unbounded funnel") {
+    val bounded = graft.ops.Aggregates
+      .aggFunnelWindow(spark, SparkSpec.sfDir).head()
+    val unbounded = graft.ops.Aggregates
+      .aggFunnel(spark, SparkSpec.sfDir).head()
+    assert(bounded.getLong(0) == unbounded.getLong(0), "step 1 has no window")
+    assert(bounded.getLong(1) <= unbounded.getLong(1))
+    assert(bounded.getLong(2) <= unbounded.getLong(2))
+    assert(bounded.getLong(2) <= bounded.getLong(1), "funnel must narrow")
+  }
+
+  test("event_paths counts hand-built trigrams in timeline order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_paths").toString
+    // user 1: a b c b -> a>b>c, b>c>b ; user 2: a b -> too short
+    val rows = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "c"),
+      (4L, 1L, 40L, "b"), (5L, 2L, 10L, "a"), (6L, 2L, 20L, "b"))
+    rows.toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds($"sec").cast("timestamp_ntz"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .drop("sec")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.Aggregates.eventPaths(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a>b>c" -> 1L, "b>c>b" -> 1L), s"got $got")
+  }
+
   test("bag set ops: intersectAll keeps min multiplicity, exceptAll subtracts") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bagset").toString
