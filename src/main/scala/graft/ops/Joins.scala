@@ -311,8 +311,23 @@ object Joins extends QueryPack {
     * |distinct degrees|-sized. */
   def graphDegree(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = copurchasePairs(s, dir).distinct()
-    e.select($"a".as("v")).unionByName(e.select($"b".as("v")))
+    // BOTH orientations are generated inside the row and dedup'd as
+    // ONE adjacency set — not union(e.a, e.b) over a shared distinct
+    // edge set: column pruning gives the union's two branches
+    // different plans, ReuseExchange can't kick in, and the whole
+    // pair-generation + distinct subtree executes TWICE (measured
+    // 109 s vs 23 s at sf1.0). One chain, one distinct, one degree
+    // agg, all map-side-partial.
+    t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> concat(" +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS v, y AS w)), " +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(y AS v, x AS w)))))"))
+        .as("p"))
+      .select($"p.v".as("v"), $"p.w".as("w"))
+      .distinct()
       .groupBy($"v").agg(count(lit(1)).as("deg"))
       .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
       .orderBy($"deg")
