@@ -173,6 +173,7 @@ class PlanSpec extends AnyFunSuite {
     val allowed = Set(
       "join_theta",        // intentional theta join, small side broadcast
       "agg_funnel",        // crossJoin of three 1-row scalar aggregates
+      "agg_funnel_window", // same three 1-row funnel-stage aggregates
       "win_ntile_cumdist", // crossJoin of the 1-row global count
       "profile_columns",   // crossJoin of two 1-row aggregate vectors
       "pipeline_mix",      // crossJoin of the 1-row min-count aggregate
