@@ -782,13 +782,13 @@ object Joins extends QueryPack {
         |  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0),
         |lots AS (
         |  SELECT user_id, event_id AS lot_id, hi - qty AS lot_lo, hi AS lot_hi
-        |  FROM (SELECT *, sum(qty) OVER (PARTITION BY user_id
-        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS hi
+        |  FROM (SELECT *, CAST(sum(qty) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
         |        FROM e WHERE event_type = 'purchase')),
         |outs AS (
         |  SELECT user_id, event_id AS out_id, hi - qty AS out_lo, hi AS out_hi
-        |  FROM (SELECT *, sum(qty) OVER (PARTITION BY user_id
-        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS hi
+        |  FROM (SELECT *, CAST(sum(qty) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
         |        FROM e WHERE event_type = 'view'))
         |SELECT l.user_id, lot_id, out_id,
         |  least(lot_hi, out_hi) - greatest(lot_lo, out_lo) AS qty_matched

@@ -595,11 +595,11 @@ object Pipelines extends QueryPack {
     "dq_expect" ->
       """WITH li AS (
         |  SELECT count(*) AS li_n,
-        |    sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS v_qty,
-        |    sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END) AS v_disc,
-        |    sum(CASE WHEN NOT (l_extendedprice BETWEEN 1000 AND 100000) THEN 1 ELSE 0 END) AS v_price,
-        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship,
-        |    sum(CASE WHEN l_tax < 0 OR l_tax > l_discount + 0.08 THEN 1 ELSE 0 END) AS v_tax
+        |    CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN NOT (l_extendedprice BETWEEN 1000 AND 100000) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+        |    CAST(sum(CASE WHEN l_tax < 0 OR l_tax > l_discount + 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_tax
         |  FROM lineitem),
         |fk AS (
         |  SELECT count(*) AS v_fk FROM lineitem

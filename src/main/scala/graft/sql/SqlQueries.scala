@@ -683,9 +683,9 @@ object SqlQueries extends QueryPack {
   def oracle: Map[String, String] = Map(
     "sql_pivot" ->
       """SELECT o_orderpriority,
-        |  nullif(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS f,
-        |  nullif(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS o,
-        |  nullif(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS p
+        |  CAST(nullif(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS f,
+        |  CAST(nullif(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS o,
+        |  CAST(nullif(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     // identical text: DuckDB evaluates the same bounded recursion

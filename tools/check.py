@@ -25,10 +25,26 @@ def canon(v):
     return v
 
 
-def rows_of(cur):
-    cols = [d[0] for d in cur.description]
+# DuckDB result types the driver's hash is known to agree with Spark on.
+# Anything else (HUGEINT from an uncast sum(), DECIMAL, TINYINT...) hashes
+# at a different width than the Spark parquet even when values are equal —
+# the r10 dq_expect/join_fifo/sql_pivot failure class. Fail loudly here.
+# NOTE: must come from con.sql(...).types — the DB-API cursor.description
+# collapses every numeric to 'NUMBER' and would hide HUGEINT.
+OK_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN",
+            "DATE", "TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP WITH TIME ZONE"}
+
+
+def bad_types(rel):
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t) not in OK_TYPES
+            and not str(t).endswith("[]")]  # list cols compare by value
+
+
+def rows_of(rel):
+    cols = list(rel.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = cur.fetchall()
+    data = rel.fetchall()
     return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in data]
 
 
@@ -47,15 +63,21 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL  {name}: no spark output parquet"); n_fail += 1
             continue
-        got_cols, got = rows_of(con.execute(
+        got_cols, got = rows_of(con.sql(
             f"SELECT * FROM read_parquet('{files[0]}')"))
         if name not in oracle:
             print(f"SKIP  {name}: no oracle ({len(got)} rows)"); n_noracle += 1
             continue
         try:
-            exp_cols, exp = rows_of(con.execute(oracle[name]))
+            rel = con.sql(oracle[name])
+            bad = bad_types(rel)
+            exp_cols, exp = rows_of(rel)
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}"); n_fail += 1
+            continue
+        if bad:
+            print(f"FAIL  {name}: oracle result types outside driver-safe "
+                  f"set: {bad} — CAST the offending aggregate"); n_fail += 1
             continue
         if got_cols != exp_cols:
             print(f"FAIL  {name}: columns {got_cols} != {exp_cols}"); n_fail += 1
@@ -71,7 +93,27 @@ def main(sf_dir, out_dir):
             n_fail += 1
         else:
             print(f"PASS  {name} ({len(got)} rows)"); n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    # Full-pack type sweep: even on a subset run, type-check every oracle
+    # (con.sql is lazy — .types binds the plan without executing it) so a
+    # latent HUGEINT in an unverified query still fails the gate.
+    n_type = 0
+    for name, sql in sorted(oracle.items()):
+        if name in names:
+            continue  # already type-checked above
+        try:
+            bad = bad_types(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error in type sweep: {e}")
+            n_fail += 1
+            continue
+        if bad:
+            print(f"FAIL  {name}: oracle result types outside driver-safe "
+                  f"set: {bad} — CAST the offending aggregate")
+            n_fail += 1
+        else:
+            n_type += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle, "
+          f"{n_type} type-swept")
     return 1 if n_fail else 0
 
 
