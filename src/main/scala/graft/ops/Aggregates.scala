@@ -629,7 +629,16 @@ object Aggregates extends QueryPack {
     * independent, the same argument Det.sumMoney makes for plain
     * cents. pow() is deliberately avoided: libm pow(0.5,k) is not
     * guaranteed correctly rounded in both engines, while 1<<k and one
-    * double division are exact in both. Scale shape: the anchor
+    * double division are exact in both. The exponent is CLAMPED at 62
+    * (least(k, 62)) in BOTH engines: unguarded, a table spanning ≥63
+    * weeks hits Java's masked shift (k & 63), so a 15-month-old row
+    * silently regains weight 1 while DuckDB's 1<<k errors — clamping
+    * makes multi-year tables well-defined and cross-engine-identical
+    * (weight 2⁻⁶² ≈ 2e-19, numerically nil). Precondition for the
+    * order-independence claim above: kmax + magnitude bits of the
+    * cent sum ≤ 53 (≈ a year of weeks against sub-billion-cent user
+    * totals); past that the weights are still identical in both
+    * engines but partial sums may round. Scale shape: the anchor
     * (newest ts) is a one-row aggregate broadcast back; everything
     * else is one map-side-partial hash agg keyed on user_id. */
   def aggDecay(s: SparkSession, dir: String): DataFrame = {
@@ -639,7 +648,7 @@ object Aggregates extends QueryPack {
               cents($"value").as("c"))
     val anchor = e.agg(max($"us").as("aus"))
     e.crossJoin(broadcast(anchor))
-      .withColumn("k", expr("CAST((aus - us) div 86400000000 div 7 AS INT)"))
+      .withColumn("k", expr("least(CAST((aus - us) div 86400000000 div 7 AS INT), 62)"))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"),
            sum($"c".cast("double") /
@@ -737,19 +746,31 @@ object Aggregates extends QueryPack {
     * sequences across all user timelines — the "what do users
     * actually do" exploration that precedes any funnel definition
     * (path n-grams over the behavioral log; [[aggFunnel]] checks a
-    * HYPOTHESIZED path, this surfaces the real ones). Per-user
+    * HYPOTHESIZED path, this surfaces the real ones). The per-user
+    * timeline is CAPPED FIRST — row_number ≤ 1024 most-recent events
+    * per user, the same cap-before-concatenate rule [[aggListagg]]
+    * calls non-negotiable, because collect_list state is otherwise
+    * proportional to the heaviest user's lifetime activity (a bot
+    * with 10⁸ events would OOM one aggregation state). The window
+    * and the groupBy share one user_id hash partitioning, so the cap
+    * costs an in-partition sort, not an extra shuffle. Then per-user
     * ordered sequences come from ONE user-keyed aggregate
     * (sort_array over (us, event_id, type) structs — deterministic
-    * total order, no window sort), trigrams explode INSIDE the row,
-    * and the path space is |event types|³-bounded, so the final agg
-    * is model-sized at any log scale. Top-10 with a total tie-break
+    * total order), trigrams explode INSIDE the row, and the path
+    * space is |event types|³-bounded, so the final agg is
+    * model-sized at any log scale. Top-10 with a total tie-break
     * plans TakeOrderedAndProject. */
   def eventPaths(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val wRecent = Window.partitionBy($"user_id")
+      .orderBy($"ev.us".desc, $"ev.event_id".desc)
     t(s, dir, "events")
       .select($"user_id",
               struct(unix_micros($"ts".cast("timestamp")).as("us"),
                      $"event_id", $"event_type").as("ev"))
+      .withColumn("rn", row_number().over(wRecent))
+      .where($"rn" <= 1024)
+      .drop("rn")
       .groupBy($"user_id")
       .agg(expr("transform(sort_array(collect_list(ev)), x -> x.event_type)")
              .as("types"))
@@ -825,7 +846,7 @@ object Aggregates extends QueryPack {
         |a AS (SELECT max(us) AS aus FROM e)
         |SELECT user_id, count(*) AS n,
         |  sum(CAST(c AS DOUBLE)
-        |      / CAST(1 << CAST(((aus - us) // 86400000000) // 7 AS INT)
+        |      / CAST(1::BIGINT << least(CAST(((aus - us) // 86400000000) // 7 AS INT), 62)
         |             AS DOUBLE)) AS decayed_cents
         |FROM e CROSS JOIN a
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -941,7 +962,9 @@ object Aggregates extends QueryPack {
         |       (SELECT count(*) FROM s3) AS n_full_24h""".stripMargin,
     "event_paths" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
-        |           FROM events),
+        |           FROM events
+        |           QUALIFY row_number() OVER (PARTITION BY user_id
+        |             ORDER BY us DESC, event_id DESC) <= 1024),
         |s AS (SELECT user_id, list(event_type ORDER BY us, event_id) AS types
         |      FROM e GROUP BY user_id),
         |tri AS (SELECT concat_ws('>', types[i], types[i+1], types[i+2]) AS path

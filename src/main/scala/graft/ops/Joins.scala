@@ -274,10 +274,15 @@ object Joins extends QueryPack {
     * union-find over the collected edge list must produce the
     * identical component census at spec scale. */
   /** Co-purchase pair stream (a < b, one row per order that contains
-    * the pair): the shared edge generator behind graph_cc /
-    * graph_degree / graph_jaccard. One shuffle on the order key; the
-    * per-order combination explodes inside the row (array HOF), so no
-    * self-join ever materializes the order × order space. */
+    * the pair): the edge generator for graph_cc ONLY. graph_degree
+    * generates both edge orientations inside the row instead (a
+    * union of two prunings of this subtree would plan as two
+    * scans — the ReuseExchange-defeating shape its comment
+    * documents), and graph_jaccard blocks pairs within (order,
+    * brand) so cross-brand pairs never materialize at all. One
+    * shuffle on the order key; the per-order combination explodes
+    * inside the row (array HOF), so no self-join ever materializes
+    * the order × order space. */
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")

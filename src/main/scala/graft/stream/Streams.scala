@@ -724,9 +724,13 @@ object Streams extends QueryPack {
     * frame reads — 160 bytes regardless of stream length, the
     * bounded-state contract that separates a monitor from a replay.
     * The flag is INTEGER arithmetic end to end (cross-multiplied
-    * (n−1)·dev² > 9·n·varnum on exact cents — bounds: |dev| ≤ 2.1e7,
-    * (n−1)·dev² ≤ 8.4e15 < 2⁶³), so streaming, batch window, and the
-    * DuckDB oracle agree bit-for-bit. Oracled BECAUSE arrival order
+    * (n−1)·dev² > 9·n·varnum on exact cents), so streaming, batch
+    * window, and the DuckDB oracle agree bit-for-bit. The comparison
+    * runs in BigInt: the state is only 20 values so the cost is nil,
+    * and it removes the value-range precondition a Long version would
+    * carry (9·n·sxx overflows 2⁶³ near ~$3M cent magnitudes, silently
+    * flipping verdicts on the stream side only — the batch twin
+    * already computes in decimal(38) headroom). Oracled BECAUSE arrival order
     * is pinned: the staged replay delivers events in (ts, event_id)
     * order — three range-split files, one per micro-batch, sorted
     * within each group fold — which makes the prior-window identical
@@ -775,12 +779,12 @@ object Streams extends QueryPack {
                 val n = ring.length
                 val verdict =
                   if (n >= 10) {
-                    val sx = ring.sum
-                    val sxx = ring.map(x => x * x).sum
-                    val dev = n * v - sx
-                    val varnum = n * sxx - sx * sx
+                    val sx = ring.foldLeft(BigInt(0))(_ + _)
+                    val sxx = ring.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+                    val dev = BigInt(n) * v - sx
+                    val varnum = BigInt(n) * sxx - sx * sx
                     Some(AnomalyVerdict(user, eid, n,
-                      (n - 1) * dev * dev > 9L * n * varnum))
+                      BigInt(n - 1) * dev * dev > BigInt(9) * n * varnum))
                   } else None
                 ring = (ring :+ v).takeRight(20)
                 verdict
