@@ -26,6 +26,36 @@ object Sessions {
     s
   }
 
+  /** Streaming state-store partition count. One state-store INSTANCE
+    * exists per shuffle partition with fixed per-micro-batch overhead,
+    * and the count is frozen at first checkpoint — so it is a named
+    * deployment setting (`spark.graft.stream.statePartitions`), sized
+    * to state volume, never inferred from core count. The default (4)
+    * is the local-harness value: at toy scale more instances only add
+    * snapshot/commit overhead. */
+  def streamStatePartitions(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(4)
+
+  /** Shuffle-partition count for graph-iteration state (CC label /
+    * star-contraction passes). The iteration shuffles tables sized by
+    * the EDGE set, not the corpus — and that set SHRINKS by orders of
+    * magnitude between the first and last pass (sf0.1 co-purchase:
+    * 1.2M → 20k in two rounds), so callers re-derive per pass from the
+    * live edge count: one partition per ~64k edge rows (window-sort
+    * passes are sort-bound, so partitions stay small), floored at the
+    * local-harness value (8) and capped at 4× the cluster's default
+    * parallelism. `spark.graft.graph.iterPartitions` overrides the
+    * derivation outright for deployments that have measured their
+    * edge volume. */
+  def graphIterPartitions(s: SparkSession, edgeRows: Long): Int =
+    s.conf.getOption("spark.graft.graph.iterPartitions")
+      .map(_.toInt).getOrElse {
+        val derived = edgeRows / 65536L + 1L
+        math.min(math.max(derived, 8L),
+                 2L * s.sparkContext.defaultParallelism).toInt
+      }
+
   /** Run `f` with `spark.sql.shuffle.partitions` capped at `n`,
     * restoring the previous value after.
     *

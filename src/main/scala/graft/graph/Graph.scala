@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-pass convergence diagnostics, off unless GRAFT_GRAPH_LOG=1:
+    * the iteration cost profile (rounds × per-round time) is the
+    * first thing to read when a CC run is slow, and stdout-gating
+    * keeps Verify/Bench output byte-stable. */
+  private def dbg(msg: => String): Unit =
+    if (sys.env.get("GRAFT_GRAPH_LOG").contains("1"))
+      println(s"[graph] $msg")
+
   /** Min-label propagation to a fixed point. `vertices`: one column
     * `v`; `edges`: columns `a`,`b` (undirected, any orientation).
     * Returns (v, lbl) where lbl = min vertex id in v's component.
@@ -40,10 +48,12 @@ object Graph {
     val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // ...but the iteration shuffles tables sized by the PAIR set, so
-    // its partition count follows that size, not the corpus default —
-    // locally a cap (the same lever the streaming queries use); on a
-    // cluster this is one conf sized to the dup-pair volume.
-    graft.config.Sessions.withShufflePartitionsCap(e.sparkSession, 8) {
+    // its partition count derives from the edge rows actually entering
+    // the loop (Sessions.graphIterPartitions: ~1M rows/partition,
+    // conf-overridable) — the count action is against the eager
+    // checkpoint, so it costs a partition-local scan, no recompute.
+    graft.config.Sessions.withShufflePartitionsCap(e.sparkSession,
+        graft.config.Sessions.graphIterPartitions(e.sparkSession, e.count())) {
       var labels = sym.select(col("a").as("v")).distinct()
         .withColumn("lbl", col("v"))
         .localCheckpoint(true)
@@ -109,31 +119,76 @@ object Graph {
     * passes, one join each); prefer this when the diameter is unknown
     * or adversarial (general graphs, path-/mesh-like structure). */
   def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
-                              maxPasses: Int = 20): DataFrame = {
+                              maxPasses: Int = 20): DataFrame =
+    ccStarImpl(Some(vertices), edges, maxPasses)
+
+  /** [[connectedComponentsStar]] restricted to edge-TOUCHED vertices:
+    * labels exactly the vertices appearing in `edges`, no singleton
+    * coverage. For callers whose vertex set IS the edge endpoints
+    * (graph_cc: every co-purchase vertex is on a pair by
+    * construction), passing vertices separately forces the caller to
+    * materialize the edge stream twice — here the star's own
+    * checkpointed canonical edge set supplies the vertex universe and
+    * the pair generator is consumed exactly once. */
+  def connectedComponentsStarTouched(edges: DataFrame,
+                                     maxPasses: Int = 20): DataFrame =
+    ccStarImpl(None, edges, maxPasses)
+
+  private def ccStarImpl(vertices: Option[DataFrame], edges: DataFrame,
+                         maxPasses: Int): DataFrame = {
+    // NO input distinct: contraction is duplicate-tolerant (window
+    // mins ignore multiplicity and every pass output is distinct'd),
+    // so canonicalization is a map-only projection and the checkpoint
+    // materializes WITHOUT a corpus-scale shuffle. Only cost: pass
+    // 0's windows sort the dup-bearing set, and the initial sig
+    // counts multi-edges — both strictly cheaper than the shuffle
+    // they replace. (Convergence-at-pass-0 stays sound: count
+    // equality requires zero duplicates, so dup-bearing inputs can
+    // never spuriously match their distinct'd pass-0 output.)
     val canon = edges.select(
         greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
-    graft.config.Sessions.withShufflePartitionsCap(edges.sparkSession, 8) {
+    // canonical edges checkpoint at FULL parallelism (corpus-scale
+    // work); only the iteration below runs at the edge-derived count.
+    val tCanon = System.nanoTime()
+    val e0 = canon.localCheckpoint(true)
+    dbg(f"star canonCheckpointSec=${(System.nanoTime() - tCanon) / 1e9}%.2f")
+    // one action per pass: the count and an order-free content
+    // fingerprint (bit_xor of per-edge hashes — xor, not sum, so ANSI
+    // overflow can't fire) ride the same aggregate. The initial sig
+    // ALSO supplies the edge count the partition derivation needs —
+    // one action serves both.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val sig0 = sig(e0)
+    graft.config.Sessions.withShufflePartitionsCap(edges.sparkSession,
+        graft.config.Sessions.graphIterPartitions(edges.sparkSession,
+          sig0._1)) {
       // edges point larger → smaller (a > b) throughout
-      var e = canon.localCheckpoint(true)
-      // one action per pass: the count and an order-free content
-      // fingerprint (bit_xor of per-edge hashes — xor, not sum, so ANSI
-      // overflow can't fire) ride the same aggregate. Count alone can
-      // stabilize while edges still re-wire, so it is NOT a fixed
-      // point; count+fp equality nominates a candidate, and ONE exact
-      // except certifies it (round-7 verdict: the per-round except was
-      // the heavy half of each pass — now it runs once, at the end).
-      def sig(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)),
-          bit_xor(xxhash64(col("a"), col("b")))).head()
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-      var (nE, fpE) = sig(e)
+      var e = e0
+      // Count alone can stabilize while edges still re-wire, so it is
+      // NOT a fixed point; count+fp equality nominates a candidate,
+      // and ONE exact except certifies it (round-7 verdict: the
+      // per-round except was the heavy half of each pass — now it
+      // runs once, at the end).
+      var (nE, fpE) = sig0
       var converged = nE == 0L
       var pass = 0
       while (!converged && pass < maxPasses) {
+        val tPass = System.nanoTime()
+        // re-derive parallelism from the LIVE edge count: pass 0 runs
+        // corpus-scale (wants real parallelism), the tail passes run
+        // on a few-10k-edge remnant (want few partitions); a single
+        // loop-wide constant is wrong at one end or the other. The
+        // conf is read at each pass's action, so setting it here
+        // rescopes only this pass's shuffles.
+        e.sparkSession.conf.set("spark.sql.shuffle.partitions",
+          graft.config.Sessions.graphIterPartitions(e.sparkSession, nE)
+            .toString)
         // large-star: symmetrize, m = min(neighborhood ∪ self), link
         // every LARGER neighbor v > u to m (m ≤ u < v keeps it
         // canonical and self-loop-free)
@@ -154,11 +209,15 @@ object Graph {
           .unionByName(sm.select(col("a"), col("m").as("b")))
           .distinct()
           .localCheckpoint(true)
+        val t0 = System.nanoTime()
         val (nSS, fpSS) = sig(ss)
         // candidate fixed point → certify with the single exact except
         // (loud and collision-proof: an xxhash64-xor collision merely
         // costs one extra except, never a wrong answer)
         converged = nSS == nE && fpSS == fpE && ss.except(e).isEmpty
+        dbg(f"star pass=$pass edges=$nE%d -> $nSS%d converged=$converged " +
+            f"contractSec=${(t0 - tPass) / 1e9}%.2f " +
+            f"sigCertSec=${(System.nanoTime() - t0) / 1e9}%.2f")
         e = ss
         nE = nSS
         fpE = fpSS
@@ -169,11 +228,19 @@ object Graph {
           "rounds; rounds needed grow with log²(n) — raise maxPasses")
       // fixed point = star forest: children point at their component
       // min, roots label themselves; edge-untouched vertices are
-      // singletons (the same anti-join as the min-label twin)
+      // singletons (the same anti-join as the min-label twin). The
+      // singleton universe is the caller's vertex table when given,
+      // else the checkpointed INITIAL edge set's endpoints — a vertex
+      // can drop out of the forest mid-contraction (absorbed into a
+      // root it no longer links), so the anti-join runs against e0's
+      // endpoints, not the final forest's.
       val labels = e.select(col("a").as("v"), col("b").as("lbl"))
         .unionByName(e.select(col("b").as("v"), col("b").as("lbl")))
         .distinct()
-      val singletons = vertices.select(col("v"))
+      val universe = vertices.getOrElse(
+        e0.select(col("a").as("v"))
+          .unionByName(e0.select(col("b").as("v"))).distinct())
+      val singletons = universe.select(col("v"))
         .join(labels.select(col("v")), Seq("v"), "left_anti")
         .withColumn("lbl", col("v"))
       labels.unionByName(singletons)

@@ -297,10 +297,14 @@ object Joins extends QueryPack {
 
   def graphCc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Touched-variant CC: every co-purchase vertex is on a pair by
+    // construction, so the vertex universe comes from the star's own
+    // checkpointed edge set — the pair generator is consumed exactly
+    // once (a separate vertices derivation would either re-run the
+    // lineitem groupBy per pruned union branch or force a second
+    // corpus-scale checkpoint).
     val pairs = copurchasePairs(s, dir)
-    val vertices = pairs.select($"a".as("v"))
-      .unionByName(pairs.select($"b".as("v"))).distinct()
-    graft.graph.Graph.connectedComponentsStar(vertices, pairs)
+    graft.graph.Graph.connectedComponentsStarTouched(pairs)
       .groupBy($"lbl").agg(count(lit(1)).as("n_members"))
       .groupBy($"n_members").agg(count(lit(1)).as("n_components"))
       .orderBy($"n_members")
@@ -353,7 +357,10 @@ object Joins extends QueryPack {
     * block instead of a hashed one. Jaccard divides exact integers
     * once per pair (bit-deterministic cross-engine) and the top-20
     * plans TakeOrderedAndProject — no global sort. */
-  def graphJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** graph_jaccard's edge builder, pre-checkpoint — package-visible so
+    * PlanSpec can lock the broadcast brand join (the checkpoint hides
+    * this subtree behind a Scan ExistingRDD in the outer plan). */
+  private[graft] def graphJaccardEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val brand = t(s, dir, "part").select($"p_partkey", $"p_brand")
     // generate WITHIN-BRAND pairs directly: brand joins onto lineitem
@@ -361,9 +368,7 @@ object Joins extends QueryPack {
     // the per-group combination explodes only same-brand items — the
     // cross-brand 24/25 of the pair stream is never materialized
     // (Σ_brand k_b² vs Σ k², the blocking applied at GENERATION).
-    // localCheckpoint pins the tiny edge set (~|E|/25 rows) for its
-    // three consumers (two wedge-join sides + degrees).
-    val e = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
       .join(broadcast(brand), $"l_partkey" === $"p_partkey")
       .groupBy($"l_orderkey", $"p_brand")
       .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
@@ -373,7 +378,13 @@ object Joins extends QueryPack {
         .as("p"))
       .select($"brand", $"p.a".as("a"), $"p.b".as("b"))
       .distinct()
-      .localCheckpoint()
+  }
+
+  def graphJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // localCheckpoint pins the tiny edge set (~|E|/25 rows) for its
+    // three consumers (two wedge-join sides + degrees).
+    val e = graphJaccardEdges(s, dir).localCheckpoint()
     val adj = e.select($"brand", $"a".as("x"), $"b".as("w"))
       .unionByName(e.select($"brand", $"b".as("x"), $"a".as("w")))
     val sdeg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))

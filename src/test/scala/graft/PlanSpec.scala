@@ -346,6 +346,50 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  // regression lock for the round-10 graph_degree fix (union of two
+  // prunings of a shared distinct subtree planned the whole
+  // pair-generation chain TWICE — 109 s vs 23 s at sf1.0): both edge
+  // orientations must be generated inside the row, giving ONE
+  // lineitem scan and one adjacency chain, no Union anywhere.
+  test("graph_degree plans one adjacency chain: single scan, no Union") {
+    val p = plan("graph_degree")
+    // formatted mode prints each node twice (tree + detail); count the
+    // numbered detail headers only
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert(p.contains("Generate"), p.take(800))
+    assert(!p.contains("Union"), p.take(1200))
+  }
+
+  test("graph_jaccard: broadcast brand join at edge generation; wedge and degree joins stay equi; top-20 is TakeOrderedAndProject") {
+    // the edge builder's plan (pre-checkpoint): brand must ride a
+    // broadcast onto the lineitem scan — a shuffled brand join would
+    // shuffle the whole fact table to tag 25 brands
+    val eplan = graft.ops.Joins.graphJaccardEdges(spark, SparkSpec.sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(eplan.contains("BroadcastHashJoin"), eplan.take(1000))
+    assert(!eplan.contains("SortMergeJoin"), eplan.take(1000))
+    // the outer plan: every join equi (wedge join on (brand, w) —
+    // all-pairs would be a nested loop), one shared checkpoint RDD
+    // feeding all consumers, top-20 without a global sort
+    val p = plan("graph_jaccard")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    val rdds = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(p).toSet
+    assert(rdds.size == 1,
+      s"edge checkpoint not shared across consumers: $rdds\n${p.take(1200)}")
+  }
+
+  // PIVOT over literal status values must compile to conditional
+  // aggregates on one scan — an Expand-based plan multiplies every
+  // input row by the pivot-column count before aggregating
+  test("sql_pivot: conditional aggregates on one scan, no Expand") {
+    val p = plan("sql_pivot")
+    assert(!p.contains("Expand"), p.take(1000))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p.take(1000))
+  }
+
   // join_skew_salted sells explicit salting as the portable skew fix;
   // this is the other half of the 100 TB story: AQE detecting the hot
   // key at runtime and splitting the skewed partition itself. Thresholds
