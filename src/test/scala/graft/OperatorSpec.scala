@@ -531,4 +531,29 @@ class OperatorSpec extends AnyFunSuite {
         s"order $k")
     }
   }
+
+  test("graphIterPartitions: edge-derived, floored, clamped, conf-overridable") {
+    import graft.config.Sessions
+    val par = spark.sparkContext.defaultParallelism
+    // tiny edge sets stay at the local floor (tail contraction rounds)
+    assert(Sessions.graphIterPartitions(spark, 0L) == 8)
+    assert(Sessions.graphIterPartitions(spark, 20000L) == 8)
+    // corpus-scale derives ~1 partition per 64k edges
+    assert(Sessions.graphIterPartitions(spark, 1200000L) ==
+      math.min(1200000L / 65536 + 1, 2L * par).toInt)
+    // a 100 TB edge set clamps at 2x parallelism, not unbounded
+    assert(Sessions.graphIterPartitions(spark, 10000000000L) == 2 * par)
+    // explicit conf wins outright
+    spark.conf.set("spark.graft.graph.iterPartitions", "17")
+    try assert(Sessions.graphIterPartitions(spark, 10000000000L) == 17)
+    finally spark.conf.unset("spark.graft.graph.iterPartitions")
+  }
+
+  test("streamStatePartitions: named conf with local default 4") {
+    import graft.config.Sessions
+    assert(Sessions.streamStatePartitions(spark) == 4)
+    spark.conf.set("spark.graft.stream.statePartitions", "12")
+    try assert(Sessions.streamStatePartitions(spark) == 12)
+    finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
 }
