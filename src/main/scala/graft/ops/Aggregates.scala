@@ -129,7 +129,9 @@ object Aggregates extends QueryPack {
     val c = cents($"l_extendedprice")
     val n = count(lit(1)).cast("double")
     val s1 = sum(c).cast("double")
-    val s2 = sum((c * c).cast("decimal(38,0)")).cast("double")
+    // widen BEFORE squaring: c*c in Long overflows (ANSI: errors) past
+    // |c| ~3e9 cents; decimal(38,0)×long stays exact to 1e38
+    val s2 = sum(c.cast("decimal(38,0)") * c).cast("double")
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -145,8 +147,11 @@ object Aggregates extends QueryPack {
     * moment [[aggStats]] stops short of, and the one that catches
     * asymmetric drift (a fat tail of debtors) that mean/variance
     * monitoring misses. Float discipline: all three raw moments
-    * accumulate EXACT integer cents (c³ ≤ 10¹⁸ fits a Long per row;
-    * the sums ride decimal(38,0) / HUGEINT, both exact), so the only
+    * accumulate EXACT integer cents, widened to decimal(38,0) BEFORE
+    * any multiplication (the oracle mirrors with HUGEINT-first
+    * products) — a Long-first c³ would overflow at |c| > ~2.1e6
+    * cents, i.e. a $21k balance, silently wrapping with ANSI off and
+    * erroring with it on; decimal-first is exact to 1e38 — so the only
     * doubles are the identical closed-form arithmetic both engines run
     * on identical inputs — order-free, partition-proof. skew carries
     * the one transcendental (pow 1.5), rounded to 6 (text_tfidf
@@ -157,8 +162,8 @@ object Aggregates extends QueryPack {
     val c = cents($"c_acctbal")
     val n = count(lit(1)).cast("double")
     val s1 = sum(c.cast("decimal(38,0)")).cast("double")
-    val s2 = sum((c * c).cast("decimal(38,0)")).cast("double")
-    val s3 = sum((c * c * c).cast("decimal(38,0)")).cast("double")
+    val s2 = sum(c.cast("decimal(38,0)") * c).cast("double")
+    val s3 = sum(c.cast("decimal(38,0)") * c * c).cast("double")
     t(s, dir, "customer")
       .groupBy($"c_mktsegment".as("seg"))
       .agg(count(lit(1)).as("n"),
@@ -198,7 +203,9 @@ object Aggregates extends QueryPack {
       .groupBy($"seg")
       .agg(count(lit(1)).as("n"),
            sum($"c".cast("decimal(38,0)")).as("s1"),
-           sum(($"i" * $"c").cast("decimal(38,0)")).as("sic"))
+           // widen BEFORE the product (oracle mirrors HUGEINT-first):
+           // i·c in Long needs only ~1e13 rows/segment at max cents
+           sum($"i".cast("decimal(38,0)") * $"c").as("sic"))
       .select($"seg", $"n",
         ((lit(2L) * $"sic" - ($"n" + 1L) * $"s1").cast("double") /
          nullif(($"n" * $"s1").cast("double"), lit(0.0))).as("gini_signed"))
