@@ -141,7 +141,11 @@ object Ingest extends QueryPack {
     val src = Tables.t(s, dir, "orders")
     val path = scratch(dir, "part_orders")
     writePartitioned(src, path, "o_orderstatus")
-    s.read.parquet(path)
+    // explicit schema on read-back: a 0-row partitioned write emits no
+    // data files, and schema inference over an empty layout fails —
+    // an empty PARTITION of a production table must read as 0 rows,
+    // not an error (also skips the footer-sampling inference pass)
+    s.read.schema(src.schema).parquet(path)
       .where($"o_orderstatus" === "F")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
@@ -182,7 +186,8 @@ object Ingest extends QueryPack {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    s.read.parquet(path)
+    // explicit schema: plan-derived, no execution; see ingestPartitioned
+    s.read.schema(rollup(ev).schema).parquet(path)
       .select($"day", $"event_type", $"n",
               ($"cents".cast("double") / 100).as("val_sum"))
       .orderBy($"day", $"event_type")
@@ -376,7 +381,9 @@ object Ingest extends QueryPack {
         .sortWithinPartitions($"z")
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    // explicit schema (data cols + z): a 0-row write leaves no data
+    // files to infer from — empty input must read as 0 rows
+    s.read.schema(src.schema.add("z", "long")).parquet(path)
       .where($"l_orderkey".between(1000L, 5000L) &&
              $"l_partkey".between(100L, 500L))
       .groupBy($"l_returnflag")
@@ -399,9 +406,12 @@ object Ingest extends QueryPack {
       .agg(max(col(c1)), max(col(c2)))
 
   private def boundsBySample(t: DataFrame, c1: String, c2: String): (Long, Long) = {
-    val s = t.sparkSession
-    import s.implicits._
-    boundsSamplePlan(t, c1, c2).as[(Long, Long)].head()
+    // Row access, not a (Long, Long) Encoder: max() over an empty (or
+    // fully sampled-out) table is NULL, and the non-nullable tuple
+    // decode would throw where a 0-bound layout is the right answer
+    val r = boundsSamplePlan(t, c1, c2).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+     if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Schema evolution across parquet generations — the drift every
@@ -449,7 +459,9 @@ object Ingest extends QueryPack {
     val src = Tables.t(s, dir, "orders")
     val path = scratch(dir, "dpp_orders")
     writePartitioned(src, path, "o_orderstatus")
-    val fact = s.read.parquet(path)
+    // explicit schema (see ingestPartitioned); partition discovery and
+    // the dynamicpruning subquery are unaffected (PlanSpec-locked)
+    val fact = s.read.schema(src.schema).parquet(path)
     val dimPath = scratch(dir, "dpp_dim")
     Seq(("F", "terminal"), ("O", "open"), ("P", "terminal"))
       .toDF("st", "tag").write.mode("overwrite").parquet(dimPath)

@@ -185,6 +185,13 @@ object Pipelines extends QueryPack {
       .write.mode("overwrite").partitionBy("seg").parquet(path)
   }
 
+  /** The partitioned base table's schema, for explicit-schema
+    * read-backs: a 0-row partitioned write emits no data files, and
+    * schema inference over the empty layout errors where an empty
+    * base table should read as 0 rows. */
+  private val upsertPartSchema = new StructType()
+    .add("key", "long").add("bal_cents", "long").add("seg", "string")
+
   /** The change batch for [[upsertMergePartitioned]]: upserts and
     * deletes confined to TWO of the five segments plus inserts landing
     * in one of them — deterministically derived from customer (key mod
@@ -218,7 +225,8 @@ object Pipelines extends QueryPack {
     val changes = upsertPartChanges(s, dir)
     val dirtySegs = changes.select($"seg").distinct()
       .collect().map(_.getString(0)).toSeq
-    val dirtyBase = s.read.parquet(path).where($"seg".isin(dirtySegs: _*))
+    val dirtyBase = s.read.schema(upsertPartSchema).parquet(path)
+      .where($"seg".isin(dirtySegs: _*))
     val merged = dirtyBase
       .join(changes, Seq("key", "seg"), "full_outer")
       .where($"op".isNull || $"op" =!= "D")
@@ -248,7 +256,7 @@ object Pipelines extends QueryPack {
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "/upsert_part_customer"
     upsertPartBase(s, dir, path)
     upsertPartApply(s, dir, path)
-    s.read.parquet(path)
+    s.read.schema(upsertPartSchema).parquet(path)
       .select($"key", $"seg",
               ($"bal_cents".cast("double") / 100).as("bal"))
       .orderBy($"key")

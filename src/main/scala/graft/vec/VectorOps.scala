@@ -512,6 +512,17 @@ object VectorOps extends QueryPack {
     import s.implicits._
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val e = emb(s, dir).select($"vec_id", array_to_vector($"emb").as("fv"))
+    // PCA.fit reduces over rows and throws on an empty corpus; an
+    // empty input (empty table, empty partition of a pipeline) must
+    // yield 0 component rows, not a driver exception. The isEmpty
+    // probe is a take(1) — noise next to the fit it guards.
+    if (e.isEmpty) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("pc", IntegerType), StructField("coord", DoubleType),
+          StructField("explained_share", DoubleType))))
+    }
     val model = new org.apache.spark.ml.feature.PCA()
       .setInputCol("fv").setOutputCol("pc").setK(8).fit(e)
     val evShare = model.explainedVariance.toArray

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every query must run to completion on a 0-row world.
+  *
+  * Empty inputs are not an edge case at 100 TB — they are Tuesday: a
+  * partition with no late data, a backfill window before go-live, a
+  * filter that eliminates a whole source, a dim table mid-rebuild.
+  * The failure classes this locks (all found by running the full pack
+  * against a limit-0 fixture, round 11):
+  *   - partitioned parquet write of 0 rows emits NO data files, so a
+  *     schema-INFERRED read-back errors (ingest_partitioned,
+  *     ingest_backfill, join_dpp, pipeline_upsert_partitioned — all
+  *     now read with explicit schemas);
+  *   - driver-side bounds/models over empty aggregates: max() is NULL
+  *     (ingest_zorder's non-nullable tuple decode), ML fits reduce
+  *     over no rows (embed_pca's "empty collection");
+  *   - any future `.head()`/Encoder assumption a new query sneaks in.
+  *
+  * The empty fixture is built once per suite from the real fixture's
+  * schemas (limit 0 — schema-exact, content-free). Queries only —
+  * row counts are NOT asserted (a scalar aggregate legitimately
+  * returns 1 row on empty input; a grouped one returns 0).
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+
+  private lazy val emptyDir: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_empty")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"${SparkSpec.sfDir}/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/$t.parquet")
+    }
+    root.toString
+  }
+
+  test("all queries complete on an all-empty fixture (no driver exceptions)") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, emptyDir).collect(); None }
+        catch { case e: Exception =>
+          Some(s"$name: ${e.getClass.getSimpleName}: " +
+               s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail on empty input:\n${failures.mkString("\n")}")
+  }
+}
