@@ -473,7 +473,37 @@ object Ingest extends QueryPack {
       .orderBy($"o_orderstatus", $"o_orderpriority")
   }
 
+  /** Partition manifest audit — the file-level observability a 100 TB
+    * lake runs before every incident hunt: per-partition file count
+    * and row count read from the parquet reader's hidden `_metadata`
+    * struct (populated from split info — no extra data scan). The
+    * writer repartitions on the partition key first, so each
+    * partition directory receives exactly ONE file — a layout
+    * invariant the manifest then PROVES (n_files = 1; a small-files
+    * regression or a stray speculative write flips it), while the
+    * oracle pins the row counts to the logical source. rows_by_index
+    * re-derives the count from max(_metadata.row_index) + 1 —
+    * metadata-vs-data consistency a truncated or duplicated file
+    * would break. Empty input: the explicit-schema read-back returns
+    * 0 rows (EmptyInputSpec class). */
+  def ingestManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.t(s, dir, "orders")
+    val path = scratch(dir, "manifest_orders")
+    src.repartition($"o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    s.read.schema(src.schema).parquet(path)
+      .select($"o_orderstatus", col("_metadata.file_name").as("fname"),
+              col("_metadata.row_index").as("ri"))
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"fname").as("n_files"),
+           count(lit(1)).as("n_rows"),
+           (max($"ri") + 1).as("rows_by_index"))
+      .orderBy($"o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_manifest" -> (ingestManifest _),
     "join_dpp" -> (joinDpp _),
     "ingest_evolve" -> (ingestEvolve _),
     "ingest_zorder" -> (ingestZorder _),
@@ -491,6 +521,13 @@ object Ingest extends QueryPack {
   // Oracles run on the ORIGINAL parquet tables: a hash match proves the
   // text round-trip / partitioned rewrite preserved every value.
   def oracle: Map[String, String] = Map(
+    // n_files = 1 is the repartition-by-partition-key layout
+    // invariant; both row counts re-derive from the logical source
+    "ingest_manifest" ->
+      """SELECT o_orderstatus, CAST(1 AS BIGINT) AS n_files,
+        |  count(*) AS n_rows, count(*) AS rows_by_index
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "join_dpp" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100

@@ -791,9 +791,54 @@ object Aggregates extends QueryPack {
       .limit(10)
   }
 
+  /** Multi-touch attribution: each purchase is credited to the user's
+    * FIRST and LAST preceding event inside a 7-day lookback window
+    * (first-/last-touch marketing attribution), then conversions and
+    * revenue roll up per channel (= event type). Purchases with no
+    * prior event in the window are unattributable and drop (inner
+    * join) — both engines agree. Determinism: the per-purchase
+    * min/max folds lexicographic (ts, event_id, type) structs, so a
+    * ts tie (none in the fixture, routine in production) breaks on
+    * the unique event_id identically in both engines. Both touch
+    * tallies come from ONE pass: the two touches unpivot inside the
+    * row (explode of a 2-element array) and a single conditional
+    * aggregate splits first/last — the purchase-events join subtree
+    * is never computed twice.
+    * At 100 TB: purchases join prior events on user_id — one shuffle
+    * on the natural key, candidate space bounded by per-user activity
+    * inside the 7-day horizon (the agg_funnel_window argument); the
+    * struct min/max folds map-side, and the channel rollup is
+    * |event types|-sized, i.e. model-sized at any log scale. */
+  def eventAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val p = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id",
+              $"ts".as("p_ts"), cents($"value").as("rev_cents"))
+    val e = ev.select($"user_id".as("u"), $"ts".as("e_ts"),
+                      $"event_id".as("e_id"), $"event_type".as("e_type"))
+    p.join(e, $"u" === $"user_id" && $"e_ts" < $"p_ts" &&
+              $"e_ts" >= $"p_ts" - expr("INTERVAL 7 DAYS"))
+      .groupBy($"p_id", $"rev_cents")
+      .agg(min(struct($"e_ts", $"e_id", $"e_type")).as("ft"),
+           max(struct($"e_ts", $"e_id", $"e_type")).as("lt"))
+      .select($"rev_cents", explode(array(
+          struct(lit("F").as("k"), $"ft.e_type".as("ch")),
+          struct(lit("L").as("k"), $"lt.e_type".as("ch")))).as("x"))
+      .groupBy($"x.ch".as("channel"))
+      .agg(sum(when($"x.k" === "F", 1L).otherwise(0L)).as("n_first"),
+           (sum(when($"x.k" === "F", $"rev_cents").otherwise(0L))
+              .cast("double") / 100).as("rev_first"),
+           sum(when($"x.k" === "L", 1L).otherwise(0L)).as("n_last"),
+           (sum(when($"x.k" === "L", $"rev_cents").otherwise(0L))
+              .cast("double") / 100).as("rev_last"))
+      .orderBy($"channel")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_funnel_window" -> (aggFunnelWindow _),
     "event_paths" -> (eventPaths _),
+    "event_attribution" -> (eventAttribution _),
     "agg_listagg" -> (aggListagg _),
     "agg_decay" -> (aggDecay _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
@@ -967,6 +1012,27 @@ object Aggregates extends QueryPack {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         |       (SELECT count(*) FROM s2) AS n_click_24h,
         |       (SELECT count(*) FROM s3) AS n_full_24h""".stripMargin,
+    "event_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value*100) AS BIGINT) AS rev_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT p.event_id, any_value(p.rev_cents) AS rev_cents,
+        |    min({'ts': e.ts, 'id': e.event_id, 'et': e.event_type}).et AS first_touch,
+        |    max({'ts': e.ts, 'id': e.event_id, 'et': e.event_type}).et AS last_touch
+        |  FROM p JOIN events e ON e.user_id = p.user_id
+        |    AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 7 DAY
+        |  GROUP BY p.event_id),
+        |f AS (SELECT first_touch AS channel, count(*) AS n_first,
+        |    CAST(sum(rev_cents) AS BIGINT) AS rev_first_cents FROM t GROUP BY 1),
+        |l AS (SELECT last_touch AS channel, count(*) AS n_last,
+        |    CAST(sum(rev_cents) AS BIGINT) AS rev_last_cents FROM t GROUP BY 1)
+        |SELECT channel,
+        |  coalesce(n_first, 0) AS n_first,
+        |  CAST(coalesce(rev_first_cents, 0) AS DOUBLE)/100 AS rev_first,
+        |  coalesce(n_last, 0) AS n_last,
+        |  CAST(coalesce(rev_last_cents, 0) AS DOUBLE)/100 AS rev_last
+        |FROM f FULL JOIN l USING (channel)
+        |ORDER BY channel""".stripMargin,
     "event_paths" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
         |           FROM events

@@ -182,7 +182,41 @@ object Scalars extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** URL parsing + canonicalization — the web-corpus intake scalars:
+    * host / path / single-query-param extraction via parse_url
+    * (Catalyst's native ParseUrl expression) and tracking-parameter
+    * stripping (utm_*) in one regexp pass — the canonical-URL key
+    * every crawl pipeline computes before exact dedup. URLs are
+    * synthesized deterministically from documents so both engines see
+    * identical inputs; the oracle mirrors parse_url with anchored
+    * regexps (DuckDB has no URL parser). Rolled up per (host, lang
+    * param): row count plus the exact total length of the canonical
+    * forms — a corpus-wide canonicalization checksum any single-row
+    * divergence flips. Map-only until the (sources × langs)-sized
+    * rollup; at 100 TB the parse/strip work rides whole-stage
+    * codegen with zero shuffle before the model-sized agg. */
+  def fnUrl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(concat(lit("https://"), $"source", lit(".example.org/d/"),
+                     $"doc_id".cast("string"), lit("?utm_source=feed&lang="),
+                     $"lang", lit("&p="), ($"doc_id" % 7).cast("string"))
+                .as("url"))
+      .select(
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang_q"),
+        regexp_replace(regexp_replace($"url", "utm_[a-z]+=[^&#]*&?", ""),
+                       "[?&]$", "").as("canonical"))
+      .groupBy($"host", $"lang_q")
+      .agg(count(lit(1)).as("n"),
+           sum(length($"canonical")).cast("long").as("canon_chars"),
+           min($"path").as("sample_path"))
+      .orderBy($"host", $"lang_q")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_url" -> (fnUrl _),
     "fn_regex" -> (fnRegex _),
     "fn_string" -> (fnString _),
     "fn_date" -> (fnDate _),
@@ -194,6 +228,23 @@ object Scalars extends QueryPack {
     "fn_cond" -> (fnCond _))
 
   def oracle: Map[String, String] = Map(
+    "fn_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || source || '.example.org/d/' || doc_id ||
+        |    '?utm_source=feed&lang=' || lang || '&p=' || (doc_id % 7) AS url
+        |  FROM documents),
+        |x AS (SELECT
+        |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_q,
+        |    regexp_replace(regexp_replace(url, 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+        |                   '[?&]$', '') AS canonical
+        |  FROM u)
+        |SELECT host, lang_q, count(*) AS n,
+        |  CAST(sum(length(canonical)) AS BIGINT) AS canon_chars,
+        |  min(path) AS sample_path
+        |FROM x GROUP BY host, lang_q
+        |ORDER BY host, lang_q""".stripMargin,
     "fn_regex" ->
       """SELECT p_partkey,
         |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,

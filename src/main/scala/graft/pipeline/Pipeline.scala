@@ -477,7 +477,50 @@ object Pipelines extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Snapshot reconciliation (the CDC-read / table_changes audit):
+    * given two versions of a table, RECOVER the change log — the
+    * inverse of [[upsertMerge]]'s apply, and the question every
+    * migration cutover asks ("what exactly did this batch do?").
+    * Snapshot B derives by applying upsertMerge's deterministic
+    * change batch to the customer base; the diff is ONE full-outer
+    * join on the key classifying each row I/U/D, with unchanged
+    * rows — the overwhelming mass of any real diff — dropped BEFORE
+    * the output sort, so the result is change-sized, not
+    * table-sized. Balances compare as exact integer cents (Det
+    * discipline): reconciliation must be bit-exact or re-applied
+    * batches "drift" forever.
+    * At 100 TB: both the B derivation and the diff shuffle on the
+    * same key, so the exchanges align; nothing table-sized reaches
+    * the driver or the sort. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val a = cust.select($"c_custkey".as("key"),
+                        cents($"c_acctbal").as("a_cents"))
+    val chg = cust.where($"c_custkey" % 3 === 0)
+      .select($"c_custkey".as("key"),
+        when($"c_custkey" % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (cents($"c_acctbal") + 10000L).as("new_cents"))
+      .unionByName(cust.where($"c_custkey" % 5 === 1)
+        .select(($"c_custkey" + 1000000L).as("key"), lit("I").as("op"),
+          cents($"c_acctbal").as("new_cents")))
+    val b = a.join(chg, Seq("key"), "full_outer")
+      .where($"op".isNull || $"op" =!= "D")
+      .select($"key", coalesce($"new_cents", $"a_cents").as("b_cents"))
+    a.join(b, Seq("key"), "full_outer")
+      .select($"key",
+        when($"b_cents".isNull, "D")
+          .when($"a_cents".isNull, "I")
+          .when($"a_cents" =!= $"b_cents", "U")
+          .otherwise("=").as("op"),
+        ($"a_cents".cast("double") / 100).as("old_bal"),
+        ($"b_cents".cast("double") / 100).as("new_bal"))
+      .where($"op" =!= "=")
+      .orderBy($"key")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_snapshot_diff" -> (snapshotDiff _),
     "pipeline_observe" -> (pipelineObserve _),
     "dq_drift" -> (dqDrift _),
     "pipeline_mix" -> (pipelineMix _),
@@ -497,6 +540,33 @@ object Pipelines extends QueryPack {
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
   def oracle: Map[String, String] = Map(
+    "pipeline_snapshot_diff" ->
+      """WITH a AS (SELECT c_custkey AS key,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer),
+        |chg AS (
+        |  SELECT c_custkey AS key,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(c_acctbal*100) AS BIGINT) + 10000 AS new_cents
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS key, 'I' AS op,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS new_cents
+        |  FROM customer WHERE c_custkey % 5 = 1),
+        |b AS (
+        |  SELECT coalesce(a.key, chg.key) AS key,
+        |    coalesce(chg.new_cents, a.cents) AS cents
+        |  FROM a FULL JOIN chg ON a.key = chg.key
+        |  WHERE chg.op IS NULL OR chg.op <> 'D'),
+        |d AS (
+        |  SELECT coalesce(a.key, b.key) AS key,
+        |    CASE WHEN b.key IS NULL THEN 'D'
+        |         WHEN a.key IS NULL THEN 'I'
+        |         WHEN a.cents <> b.cents THEN 'U' ELSE '=' END AS op,
+        |    CAST(a.cents AS DOUBLE)/100 AS old_bal,
+        |    CAST(b.cents AS DOUBLE)/100 AS new_bal
+        |  FROM a FULL JOIN b ON a.key = b.key)
+        |SELECT key, op, old_bal, new_bal FROM d WHERE op <> '='
+        |ORDER BY key""".stripMargin,
     "pipeline_observe" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100

@@ -21,8 +21,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
   // query SURVEY didn't declare). Update BOTH when adding a query. The
   // title derives from the same constants so it can't drift from the
   // assertions (round-4 advice item).
-  val DeclaredQueries = 233
-  val DeclaredOracles = 206
+  val DeclaredQueries = 237
+  val DeclaredOracles = 210
   test(s"declared inventory matches SURVEY §2 count ($DeclaredQueries queries, $DeclaredOracles oracled)") {
     assert(SparkEntry.queries.size == DeclaredQueries,
       s"queries.size=${SparkEntry.queries.size} — update SURVEY §2 count + this spec")
