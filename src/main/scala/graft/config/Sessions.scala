@@ -44,7 +44,7 @@ object Sessions {
     * 1.2M → 20k in two rounds), so callers re-derive per pass from the
     * live edge count: one partition per ~64k edge rows (window-sort
     * passes are sort-bound, so partitions stay small), floored at the
-    * local-harness value (8) and capped at 4× the cluster's default
+    * local-harness value (8) and capped at 2× the cluster's default
     * parallelism. `spark.graft.graph.iterPartitions` overrides the
     * derivation outright for deployments that have measured their
     * edge volume. */
@@ -78,5 +78,41 @@ object Sessions {
       s.conf.set("spark.sql.shuffle.partitions",
         math.min(prevN, n).toString)
       try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` set to EXACTLY `n`
+    * (restored after) — the override path: a named graft conf is a
+    * deployment decision and must win even when it exceeds the
+    * session's shuffle-partition setting, which the min-cap would
+    * silently swallow. */
+  def withShufflePartitionsSet[T](s: SparkSession, n: Int)(f: => T): T =
+    s.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+  /** Scope a STREAMING query start to its state-store partition
+    * count: `spark.graft.stream.statePartitions`, when explicitly
+    * set, is applied exactly (raising past the session's shuffle
+    * setting included — it sizes state volume, a different axis from
+    * batch shuffle width); otherwise the local-harness default (4)
+    * only ever lowers, so batch queries sharing the session keep
+    * their parallelism. */
+  def withStreamStatePartitions[T](s: SparkSession)(f: => T): T =
+    s.conf.getOption("spark.graft.stream.statePartitions") match {
+      case Some(n) => withShufflePartitionsSet(s, n.toInt)(f)
+      case None    => withShufflePartitionsCap(s, streamStatePartitions(s))(f)
+    }
+
+  /** Scope a graph-iteration action block: the explicit
+    * `spark.graft.graph.iterPartitions` conf is applied exactly (same
+    * deployment-override contract as the streaming twin); otherwise
+    * the edge-derived count caps the session setting. */
+  def withGraphIterPartitions[T](s: SparkSession, edgeRows: Long)(f: => T): T =
+    s.conf.getOption("spark.graft.graph.iterPartitions") match {
+      case Some(n) => withShufflePartitionsSet(s, n.toInt)(f)
+      case None =>
+        withShufflePartitionsCap(s, graphIterPartitions(s, edgeRows))(f)
     }
 }

@@ -49,11 +49,11 @@ object Graph {
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // ...but the iteration shuffles tables sized by the PAIR set, so
     // its partition count derives from the edge rows actually entering
-    // the loop (Sessions.graphIterPartitions: ~1M rows/partition,
+    // the loop (Sessions.graphIterPartitions: ~64k rows/partition,
     // conf-overridable) — the count action is against the eager
     // checkpoint, so it costs a partition-local scan, no recompute.
-    graft.config.Sessions.withShufflePartitionsCap(e.sparkSession,
-        graft.config.Sessions.graphIterPartitions(e.sparkSession, e.count())) {
+    graft.config.Sessions.withGraphIterPartitions(e.sparkSession,
+        e.count()) {
       var labels = sym.select(col("a").as("v")).distinct()
         .withColumn("lbl", col("v"))
         .localCheckpoint(true)
@@ -123,8 +123,12 @@ object Graph {
     ccStarImpl(Some(vertices), edges, maxPasses)
 
   /** [[connectedComponentsStar]] restricted to edge-TOUCHED vertices:
-    * labels exactly the vertices appearing in `edges`, no singleton
-    * coverage. For callers whose vertex set IS the edge endpoints
+    * labels exactly the vertices appearing in `edges` — including a
+    * vertex whose only edges are self-loops, which comes back as its
+    * own singleton (the universe is captured from the canonical edge
+    * checkpoint BEFORE the self-loop filter) — but no coverage for
+    * vertices appearing in no edge at all. For callers whose vertex
+    * set IS the edge endpoints
     * (graph_cc: every co-purchase vertex is on a pair by
     * construction), passing vertices separately forces the caller to
     * materialize the edge stream twice — here the star's own
@@ -148,12 +152,17 @@ object Graph {
     val canon = edges.select(
         greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
-      .where(col("a") =!= col("b"))
     // canonical edges checkpoint at FULL parallelism (corpus-scale
     // work); only the iteration below runs at the edge-derived count.
+    // Self-loops stay IN the checkpoint (they must appear in the
+    // touched vertex universe as singletons) and are filtered out of
+    // the contraction input below — a partition-local scan over the
+    // checkpoint blocks, not a recompute. graph_cc's strict a < b
+    // pairs make both the retained rows and the filter free there.
     val tCanon = System.nanoTime()
     val e0 = canon.localCheckpoint(true)
     dbg(f"star canonCheckpointSec=${(System.nanoTime() - tCanon) / 1e9}%.2f")
+    val loopEdges = e0.where(col("a") =!= col("b"))
     // one action per pass: the count and an order-free content
     // fingerprint (bit_xor of per-edge hashes — xor, not sum, so ANSI
     // overflow can't fire) ride the same aggregate. The initial sig
@@ -164,12 +173,11 @@ object Graph {
         bit_xor(xxhash64(col("a"), col("b")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    val sig0 = sig(e0)
-    graft.config.Sessions.withShufflePartitionsCap(edges.sparkSession,
-        graft.config.Sessions.graphIterPartitions(edges.sparkSession,
-          sig0._1)) {
+    val sig0 = sig(loopEdges)
+    graft.config.Sessions.withGraphIterPartitions(edges.sparkSession,
+        sig0._1) {
       // edges point larger → smaller (a > b) throughout
-      var e = e0
+      var e = loopEdges
       // Count alone can stabilize while edges still re-wire, so it is
       // NOT a fixed point; count+fp equality nominates a candidate,
       // and ONE exact except certifies it (round-7 verdict: the
@@ -230,10 +238,13 @@ object Graph {
       // min, roots label themselves; edge-untouched vertices are
       // singletons (the same anti-join as the min-label twin). The
       // singleton universe is the caller's vertex table when given,
-      // else the checkpointed INITIAL edge set's endpoints — a vertex
-      // can drop out of the forest mid-contraction (absorbed into a
-      // root it no longer links), so the anti-join runs against e0's
-      // endpoints, not the final forest's.
+      // else the checkpointed INITIAL edge set's endpoints. In this
+      // large-star/small-star formulation every endpoint provably
+      // survives each pass, so the e0 universe is NOT a mid-
+      // contraction repair — it exists to label vertices the caller
+      // never passes (the `touched` variant's universe) and, with an
+      // explicit vertex table, isolated vertices that appear in no
+      // edge at all.
       val labels = e.select(col("a").as("v"), col("b").as("lbl"))
         .unionByName(e.select(col("b").as("v"), col("b").as("lbl")))
         .distinct()
@@ -333,8 +344,24 @@ object Graph {
     * scatter/gather on vertex-hashed partitions. Iterations are a
     * FIXED count (power iteration converges geometrically at rate d;
     * ranking stabilizes long before values do), so the plan depth is
-    * bounded and deterministic. */
-  def pagerank(edges: DataFrame, iters: Int, damp: Double): DataFrame = {
+    * bounded and deterministic.
+    *
+    * The per-pass join strategy is SIZE-GATED, not assumed (the same
+    * discipline as [[triangleEstimate]]): the vertex count `n` —
+    * already paid as the rank-initialization denominator — decides it
+    * once, up front. At or below `broadcastMaxVertices` the rank
+    * vector (one double per vertex, ~24 B/row hashed) broadcasts, so
+    * the 2|E|-row adj stream is never re-shuffled. Past broadcast
+    * reach (a 100 TB-scale graph where even the vertex table is
+    * executor-memory-sized) the SAME loop runs with adj
+    * hash-partitioned on the join key: the repartition subtree is
+    * identical in every pass of the one lazy plan, so ReuseExchange
+    * materializes it once, and each pass's rank aggregate is already
+    * hash-partitioned on the vertex id — only the model-sized rank
+    * side moves per pass. Both paths produce the same result (the
+    * spec pins them equal on a forced-tiny threshold). */
+  def pagerank(edges: DataFrame, iters: Int, damp: Double,
+               broadcastMaxVertices: Long = 4000000L): DataFrame = {
     val e = edges.select(col("a"), col("b")).distinct()
     // the two sym branches share e's distinct via ReuseExchange — no
     // eager materialization of the edge list needed before adj's
@@ -347,19 +374,19 @@ object Graph {
       .select(col("a").as("src"), col("b").as("dst"), col("dg"))
       .localCheckpoint(true)
     val n = adj.select(col("src")).distinct().count()
+    val useBroadcast = n <= broadcastMaxVertices
+    // partitioned path: one exchange subtree shared by every pass via
+    // ReuseExchange — adj's blocks are hashed on the join key once
+    val adjIter = if (useBroadcast) adj else adj.repartition(col("src"))
     var ranks = adj.select(col("src").as("id")).distinct()
       .withColumn("rank", lit(1.0 / n))
     // Unlike connectedComponents there is NO per-pass action (fixed
     // iteration count, no convergence test), so the passes stay LAZY:
     // the caller's single action executes one iters-deep pipeline with
     // AQE sizing each shuffle, instead of per-pass materializations.
-    // The vertex-state side BROADCASTS (one double per vertex — the
-    // fits-in-memory regime, and the hint is what keeps the 2|E|-row
-    // adj stream from re-shuffling every pass); past broadcast reach
-    // the same loop runs with both sides hash-partitioned on the
-    // vertex id, where adj's partitioning is reused across passes.
     for (_ <- 1 to iters) {
-      ranks = adj.join(broadcast(ranks), col("src") === col("id"))
+      val state = if (useBroadcast) broadcast(ranks) else ranks
+      ranks = adjIter.join(state, col("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("dg")).as("c"))
         .groupBy(col("id"))
         .agg((lit((1.0 - damp) / n) + lit(damp) * sum(col("c"))).as("rank"))

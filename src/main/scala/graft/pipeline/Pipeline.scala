@@ -176,21 +176,27 @@ object Pipelines extends QueryPack {
     * integer cents, hive-partitioned by market segment. Rewritten
     * unconditionally so every invocation merges against the same
     * pristine world (idempotent under the bench's min-of-2 policy). */
-  private[graft] def upsertPartBase(s: SparkSession, dir: String,
-                                    path: String): Unit = {
+  private def upsertPartFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "customer")
       .select($"c_custkey".as("key"), cents($"c_acctbal").as("bal_cents"),
               $"c_mktsegment".as("seg"))
-      .write.mode("overwrite").partitionBy("seg").parquet(path)
   }
+
+  private[graft] def upsertPartBase(s: SparkSession, dir: String,
+                                    path: String): Unit =
+    upsertPartFrame(s, dir)
+      .write.mode("overwrite").partitionBy("seg").parquet(path)
 
   /** The partitioned base table's schema, for explicit-schema
     * read-backs: a 0-row partitioned write emits no data files, and
     * schema inference over the empty layout errors where an empty
-    * base table should read as 0 rows. */
-  private val upsertPartSchema = new StructType()
-    .add("key", "long").add("bal_cents", "long").add("seg", "string")
+    * base table should read as 0 rows. DERIVED from the frame the
+    * writer actually writes (plan-only, no job runs) so a writer
+    * column rename/type change breaks the read-back loudly instead of
+    * surfacing as NULL columns at the oracle. */
+  private def upsertPartSchema(s: SparkSession, dir: String): StructType =
+    upsertPartFrame(s, dir).schema
 
   /** The change batch for [[upsertMergePartitioned]]: upserts and
     * deletes confined to TWO of the five segments plus inserts landing
@@ -225,7 +231,7 @@ object Pipelines extends QueryPack {
     val changes = upsertPartChanges(s, dir)
     val dirtySegs = changes.select($"seg").distinct()
       .collect().map(_.getString(0)).toSeq
-    val dirtyBase = s.read.schema(upsertPartSchema).parquet(path)
+    val dirtyBase = s.read.schema(upsertPartSchema(s, dir)).parquet(path)
       .where($"seg".isin(dirtySegs: _*))
     val merged = dirtyBase
       .join(changes, Seq("key", "seg"), "full_outer")
@@ -256,7 +262,7 @@ object Pipelines extends QueryPack {
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "/upsert_part_customer"
     upsertPartBase(s, dir, path)
     upsertPartApply(s, dir, path)
-    s.read.schema(upsertPartSchema).parquet(path)
+    s.read.schema(upsertPartSchema(s, dir)).parquet(path)
       .select($"key", $"seg",
               ($"bal_cents".cast("double") / 100).as("bal"))
       .orderBy($"key")

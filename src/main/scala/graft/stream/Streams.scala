@@ -224,8 +224,7 @@ object Streams extends QueryPack {
     * full running total. Multi-batch + checkpoint-resume behavior of
     * the sink itself is pinned separately in StreamsSpec. */
   def streamUpsert(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       // the returned DataFrame reads `path` lazily for the rest of the
       // session, so the temp table can't be deleted inline — register
@@ -248,8 +247,7 @@ object Streams extends QueryPack {
     * beyond 10 min is dropped, duplicate event_ids inside the
     * watermark are deduped before aggregation. */
   def streamWatermark(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val agg = eventStream(s, dir)
         .withWatermark("ts", "10 minutes")
@@ -265,8 +263,7 @@ object Streams extends QueryPack {
     * exact sum / first / last per user. State updates are commutative
     * + associative, so results are identical under any input order. */
   def streamStateful(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
     import s.implicits._
     val typed = eventStream(s, dir)
       .select($"user_id", unix_micros($"ts").as("us"),
@@ -294,8 +291,7 @@ object Streams extends QueryPack {
     * also the right choice at scale: state lives off-heap/on-disk with
     * changelog checkpointing instead of full in-memory maps). */
   def streamTws(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
     import s.implicits._
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -323,8 +319,7 @@ object Streams extends QueryPack {
     * state once the watermark passes the interval — bounded state at
     * any scale, the canonical streaming-join pattern. */
   def streamJoin(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
     import s.implicits._
     val ev = eventStream(s, dir)
     val clicks = ev.where($"event_type" === "click")
@@ -351,8 +346,7 @@ object Streams extends QueryPack {
     * against that watermark are intentionally absent — the oracle
     * mirrors the same emission predicate. */
   def streamSessionRs(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val agg = eventStream(s, dir)
         .withWatermark("ts", "10 minutes")
@@ -372,8 +366,7 @@ object Streams extends QueryPack {
     * table holds each window's final counts — the batch oracle applies
     * verbatim. */
   def streamSlideRs(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val agg = eventStream(s, dir)
         .withWatermark("ts", "10 minutes")
@@ -394,8 +387,7 @@ object Streams extends QueryPack {
     * drain is one micro-batch, so the result equals the batch OHLC
     * and the same row_number oracle applies. */
   def streamOhlc(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val ord = struct($"ts", $"event_id")
       val agg = eventStream(s, dir)
@@ -423,8 +415,7 @@ object Streams extends QueryPack {
     * oracle-able (a one-file drain is one micro-batch, so the state
     * sees every row and the result is the exact DISTINCT). */
   def streamDedup(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val deduped = eventStream(s, dir)
         .withColumn("w_start", window($"ts", "15 minutes").getField("start"))
@@ -529,8 +520,7 @@ object Streams extends QueryPack {
     * StreamsSpec pins planted cross-batch near-copies AND agreement
     * with the batch banding. */
   def streamDedupNear(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType),
@@ -566,8 +556,7 @@ object Streams extends QueryPack {
     * check. Production tuning note lives on the core:
     * [[nearDedupBandVerdictsOoo]]. */
   def streamDedupNearOoo(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType),
@@ -633,8 +622,7 @@ object Streams extends QueryPack {
     * downstream consumer reads the state store's changelog or swaps
     * in the MG sketch (text_hot_tokens) when top-k is all it needs. */
   def streamHotTokens(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType),
@@ -679,8 +667,7 @@ object Streams extends QueryPack {
     * the read-back aggregate is DuckDB-oracled against the batch
     * twin — any dropped or doubled row hash-mismatches. */
   def streamFileSink(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val root = tempRootDeletedOnExit("graft_stream_sink")
       val (path, ckpt) = (s"$root/out", s"$root/ckpt")
@@ -714,8 +701,7 @@ object Streams extends QueryPack {
     * length). At 100 TB/day the dim side re-broadcasts per batch —
     * the documented refresh point for a slowly-changing dimension. */
   def streamEnrich(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val dim = graft.io.Tables.t(s, dir, "customer")
         .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
@@ -752,8 +738,7 @@ object Streams extends QueryPack {
     * would document its broker's per-key ordering guarantee the same
     * way (Kafka: per-partition order, keyed by user). */
   def streamAnomaly(s: SparkSession, dir: String): DataFrame =
-    graft.config.Sessions.withShufflePartitionsCap(
-      s, graft.config.Sessions.streamStatePartitions(s)) {
+    graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
       val stage = stagedOnce("graft_stream_anomaly", dir) { stage =>
         val ev = graft.io.Tables.events(s, dir)

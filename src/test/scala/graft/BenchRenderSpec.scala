@@ -77,6 +77,39 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.contentionStreak(contended, sparseRef) >= 4)
   }
 
+  test("over_ref annotates each 2x-breach with its ratio; stdout caps at 5, full keeps all") {
+    val rs = fake(20)
+    val ref = rs.map { case (n, t, _) => n -> t }.toMap
+    // 8 scattered breaches at varying ratios — below the streak flag,
+    // but every one must be annotated per-query
+    val breached = rs.zipWithIndex.map { case ((n, t, e), i) =>
+      if (i % 2 == 0 && i < 16) (n, t * (2.5 + i * 0.1), e) else (n, t, e)
+    }
+    val (line, full) = Bench.render(breached, "/sf", "/f", ref)
+    val fj = mapper.readTree(full)
+    assert(fj.get("contention_suspect").asBoolean() == false)
+    assert(fj.get("n_over_ref").asInt() == 8)
+    assert(fj.get("over_ref").size() == 8)
+    breached.zipWithIndex.foreach { case ((n, t, _), i) =>
+      if (i % 2 == 0 && i < 16) {
+        val ratio = fj.get("over_ref").get(n).asDouble()
+        assert(math.abs(ratio - t / ref(n)) < 5e-3, s"$n: $ratio")
+      } else assert(fj.get("over_ref").get(n) == null, s"$n should not be flagged")
+    }
+    val lj = mapper.readTree(line)
+    assert(lj.get("n_over_ref").asInt() == 8)
+    assert(lj.get("over_ref").size() == 5, "stdout breach list must cap at 5")
+    // the stdout cap keeps the WORST breaches
+    val worst = breached.collect { case (n, t, _) if ref(n) > 0 && t / ref(n) > 2.0 => (n, t / ref(n)) }
+      .sortBy(-_._2).take(5).map(_._1).toSet
+    val stdoutNames = lj.get("over_ref").fieldNames()
+    while (stdoutNames.hasNext) assert(worst.contains(stdoutNames.next()))
+    // no reference → no annotation, and the line stays inside budget
+    val (noRefLine, noRefFull) = Bench.render(breached, "/sf", "/f")
+    assert(mapper.readTree(noRefFull).get("n_over_ref").asInt() == 0)
+    assert(noRefLine.length <= Bench.StdoutBudget)
+  }
+
   test("parseRefTimes reads the queries map out of a committed BENCH_FULL.json") {
     val rs = fake(12)
     val (_, full) = Bench.render(rs, "/sf", "/f")

@@ -46,6 +46,11 @@ class EmptyInputSpec extends AnyFunSuite {
   }
 
   test("all queries complete on an all-empty fixture (no driver exceptions)") {
+    // the sweep must cover the FULL declared inventory — a query
+    // registered after the sweep was written is still swept (the map
+    // is enumerated live), and this pin goes red if the two drift
+    assert(SparkEntry.queries.size == QueriesSmokeSpec.DeclaredQueries,
+      "empty-input sweep inventory drifted from the declared query count")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try { fn(spark, emptyDir).collect(); None }

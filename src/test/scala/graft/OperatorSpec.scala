@@ -532,6 +532,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  // agg_approx_distinct's declared contract (SURVEY §2): the HLL++
+  // estimate tracks the exact count within the requested rsd. rsd is
+  // the STANDARD DEVIATION of the relative error, so the hard envelope
+  // pinned here is 2σ — measured worst case on these deterministic
+  // inputs is 1.49×rsd (1M ids at rsd 0.05); everything is
+  // hash-deterministic, so the bound can never flake.
+  test("agg_approx_distinct: estimate within 2×rsd of exact, across 3 rsd values") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
+    for (rsd <- Seq(0.05, 0.02, 0.01)) {
+      // the query's own shape: per-group over the fixture
+      val rows = spark.read.parquet(s"${SparkSpec.sfDir}/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), rsd).as("a"),
+             countDistinct(col("l_partkey")).as("e"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (a, e) = (r.getLong(1), r.getLong(2))
+        assert(math.abs(a - e).toDouble / e <= 2 * rsd,
+          s"rsd=$rsd group=${r.getString(0)}: approx=$a exact=$e")
+      }
+      // high-cardinality stress (1M): the regime where the sketch, not
+      // the small-range linear-counting correction, does the work
+      val n = 1000000L
+      val big = spark.range(n)
+        .agg(approx_count_distinct(col("id"), rsd)).head().getLong(0)
+      assert(math.abs(big - n).toDouble / n <= 2 * rsd,
+        s"rsd=$rsd on 1M ids: approx=$big")
+    }
+  }
+
   test("graphIterPartitions: edge-derived, floored, clamped, conf-overridable") {
     import graft.config.Sessions
     val par = spark.sparkContext.defaultParallelism
@@ -555,5 +586,32 @@ class OperatorSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.stream.statePartitions", "12")
     try assert(Sessions.streamStatePartitions(spark) == 12)
     finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
+
+  test("explicit graft partition confs RAISE past the session shuffle setting; defaults only lower") {
+    import graft.config.Sessions
+    val key = "spark.sql.shuffle.partitions"
+    val sessionN = spark.conf.get(key).toInt
+    // default path: local stream default (4) caps, never raises
+    val inDefault = Sessions.withStreamStatePartitions(spark) {
+      spark.conf.get(key).toInt
+    }
+    assert(inDefault == math.min(sessionN, 4))
+    // explicit conf ABOVE the session setting must win — the
+    // deployment override contract (round-11 advice: the min-cap was
+    // silently swallowing it)
+    val big = sessionN + 100
+    spark.conf.set("spark.graft.stream.statePartitions", big.toString)
+    try assert(Sessions.withStreamStatePartitions(spark) {
+      spark.conf.get(key).toInt
+    } == big)
+    finally spark.conf.unset("spark.graft.stream.statePartitions")
+    spark.conf.set("spark.graft.graph.iterPartitions", (sessionN + 50).toString)
+    try assert(Sessions.withGraphIterPartitions(spark, 0L) {
+      spark.conf.get(key).toInt
+    } == sessionN + 50)
+    finally spark.conf.unset("spark.graft.graph.iterPartitions")
+    // and both restore the session value on exit
+    assert(spark.conf.get(key).toInt == sessionN)
   }
 }

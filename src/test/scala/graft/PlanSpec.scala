@@ -381,6 +381,48 @@ class PlanSpec extends AnyFunSuite {
       s"edge checkpoint not shared across consumers: $rdds\n${p.take(1200)}")
   }
 
+  // The manifest audit's whole value claim is that it costs METADATA,
+  // not data: the read-back scan must read zero data columns — the
+  // row index rides the reader's hidden temp column, the file name
+  // and partition value come from split info. A data column leaking
+  // into ReadSchema means the audit re-reads the table it audits.
+  test("ingest_manifest: read-back scan reads ZERO data columns (metadata-only ReadSchema)") {
+    val p = plan("ingest_manifest")
+    assert(p.contains("ReadSchema: struct<_tmp_metadata_row_index:bigint>"),
+      p.take(1500))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  // Both touch tallies (first + last) must come off ONE
+  // purchases⋈events join: the two touches unpivot inside the row
+  // (one Generate), so the join subtree — the expensive part — is
+  // never computed twice. A Union-of-two-aggregates shape would scan
+  // and join events twice (the graph_degree round-10 failure class).
+  test("event_attribution: one purchase-events join feeds both touch tallies") {
+    val p = plan("event_attribution")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2, p.take(1200))
+    assert(("\\(\\d+\\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size == 1), p.take(1200))
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Union"), p.take(1200))
+  }
+
+  // The snapshot diff promises its exchanges ALIGN: the B derivation
+  // and the diff both shuffle on the merge key, so every hash
+  // exchange in the plan keys on `key` — an exchange on any other
+  // column would mean a table-sized re-shuffle the scaladoc claims
+  // not to pay. Two full-outer joins exactly; nothing nested-loop.
+  test("pipeline_snapshot_diff: every hash exchange keys on the merge key; two full-outer joins") {
+    val p = plan("pipeline_snapshot_diff")
+    assert("\\(\\d+\\) SortMergeJoin".r.findAllIn(p).size == 2, p.take(1200))
+    assert(p.contains("FullOuter"), p.take(1200))
+    val keys = "hashpartitioning\\(([A-Za-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("key"), s"exchanges not aligned on key: $keys")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   // PIVOT over literal status values must compile to conditional
   // aggregates on one scan — an Expand-based plan multiplies every
   // input row by the pivot-column count before aggregating

@@ -186,6 +186,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStarTouched labels self-loop-only vertices as singletons") {
+    import spark.implicits._
+    // vertex 9's only edge is the self-loop (9,9): it appears in
+    // `edges`, so the touched contract includes it — as its own
+    // singleton — while the contraction loop itself never sees the
+    // self-loop row. Duplicates and reversed orientation ride along.
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 9L), (9L, 9L), (5L, 4L))
+      .toDF("a", "b")
+    val got = graft.graph.Graph.connectedComponentsStarTouched(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                      4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
   test("connectedComponentsStar handles the long-chain adversary min-label refuses") {
     import spark.implicits._
     // a 200-vertex path has diameter 199: min-label propagation at its
@@ -262,6 +276,57 @@ class PropertySpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(pr.maxBy(_._2)._1 == 0L, "star center not top-ranked")
     assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("pagerank: partitioned path (forced-tiny broadcast gate) matches the broadcast path") {
+    import spark.implicits._
+    val raw = Gen.listOfN(90,
+        Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
+      .apply(Gen.Parameters.default, rng.Seed(777L)).get
+      .collect { case (x, y) if x != y => (math.min(x, y), math.max(x, y)) }
+      .distinct
+    val edges = raw.toDF("a", "b")
+    val viaBroadcast = graft.graph.Graph.pagerank(edges, 5, 0.85)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    // broadcastMaxVertices = 0 forces the hash-partitioned loop —
+    // the 100 TB path, proven equivalent on the same input
+    val viaPartitioned = graft.graph.Graph.pagerank(edges, 5, 0.85,
+        broadcastMaxVertices = 0L)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(viaPartitioned.length == viaBroadcast.length)
+    viaBroadcast.zip(viaPartitioned).foreach { case ((vb, rb), (vp, rp)) =>
+      assert(vb == vp, s"vertex sets diverge at $vb vs $vp")
+      // True bit-identity is unattainable: float sum is not
+      // associative and the join strategy (BHJ vs SMJ) changes the
+      // order rows reach the per-vertex sum — measured divergence is
+      // 1 ULP after 5 passes. Pin a tight ULP envelope on the raw
+      // ranks, and EXACT equality at the precision graph_pagerank
+      // actually emits (ppm rounded to 3 dp).
+      val ulps = math.abs(java.lang.Double.doubleToLongBits(rb) -
+                          java.lang.Double.doubleToLongBits(rp))
+      assert(ulps <= 8L, s"vertex $vb: $rb vs $rp ($ulps ulps apart)")
+      assert(BigDecimal(rb * 1e6).setScale(3, BigDecimal.RoundingMode.HALF_UP) ==
+             BigDecimal(rp * 1e6).setScale(3, BigDecimal.RoundingMode.HALF_UP),
+        s"vertex $vb: paths differ at the query's emitted ppm precision")
+    }
+    // and the partitioned path really does drop the broadcast HINT:
+    // with auto-broadcast disabled, a leftover hint would still force
+    // BroadcastHashJoin (hints override the threshold), so its absence
+    // proves the gate removed the hint — Spark's cost-based planner
+    // remains free to broadcast when runtime stats say it fits.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val partPlan = graft.graph.Graph.pagerank(edges, 2, 0.85,
+          broadcastMaxVertices = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!partPlan.contains("BroadcastHashJoin"),
+        "forced-partitioned pagerank still hints a broadcast join")
+      val bcastPlan = graft.graph.Graph.pagerank(edges, 2, 0.85)
+        .queryExecution.executedPlan.toString
+      assert(bcastPlan.contains("BroadcastHashJoin"),
+        "broadcast-path hint went missing")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
   test("triangle estimator: exact mode equals brute force; sampling is a sub-count") {

@@ -16,13 +16,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
-  // SURVEY.md §2's count line is the binding inventory; this fails the
-  // build when code and survey drift (round-2 verdict item: code had a
-  // query SURVEY didn't declare). Update BOTH when adding a query. The
-  // title derives from the same constants so it can't drift from the
-  // assertions (round-4 advice item).
-  val DeclaredQueries = 237
-  val DeclaredOracles = 210
+  import QueriesSmokeSpec.{DeclaredQueries, DeclaredOracles}
   test(s"declared inventory matches SURVEY §2 count ($DeclaredQueries queries, $DeclaredOracles oracled)") {
     assert(SparkEntry.queries.size == DeclaredQueries,
       s"queries.size=${SparkEntry.queries.size} — update SURVEY §2 count + this spec")
@@ -36,4 +30,14 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(n >= 0)
     }
   }
+}
+
+/** SURVEY.md §2's count line is the binding inventory; the pins fail
+  * the build when code and survey drift (round-2 verdict item: code
+  * had a query SURVEY didn't declare). Update BOTH when adding a
+  * query. Companion-scoped so other sweeps (EmptyInputSpec) pin the
+  * same constant instead of a drifting copy. */
+object QueriesSmokeSpec {
+  val DeclaredQueries = 237
+  val DeclaredOracles = 210
 }
