@@ -13,7 +13,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Numerics are identical (same accumulation order, same final ops);
   * the one behavioral delta is zero-norm input, where the fused form
   * yields NULL instead of an ANSI divide-by-zero error — acceptable
-  * for a similarity metric that is undefined there anyway.
+  * for a similarity metric that is undefined there anyway. The fuse
+  * requires BOTH operands non-foldable: a literal vector's l2_norm is
+  * constant-folded to a number in the same optimizer batch, which
+  * removes the L2Norm node the pattern needs — correctly, since the
+  * folded divide is already cheaper than a fused loop.
   *
   * Registered by GraftExtensions via `injectOptimizerRule`; the
   * FuseCosineRuleSpec asserts both the rewrite and result equality.

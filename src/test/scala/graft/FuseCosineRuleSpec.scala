@@ -48,4 +48,26 @@ class FuseCosineRuleSpec extends AnyFunSuite {
     val opt = other.queryExecution.optimizedPlan.toString
     assert(opt.contains("dot_product"), opt)
   }
+
+  test("zero-norm input: fused form yields NULL (the documented delta)") {
+    // the scaladoc promises NULL where the unfused ANSI divide would
+    // error — pin it so a CosineSim change can't silently turn the
+    // undefined-similarity case into a crash or a NaN. Parquet-backed
+    // for the same reason as `pairs`: on a LocalRelation the Divide is
+    // constant-folded (and ANSI-errors) before the injected rule runs.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fuse_zero").toString + "/t.parquet"
+    // BOTH operands must be real columns: a foldable array literal's
+    // l2_norm is constant-folded away, which (correctly) breaks the
+    // fuse pattern and leaves the naive ANSI divide in place
+    Seq((1L, Seq(0.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0)),
+        (2L, Seq(1.0, 2.0, 2.0), Seq(1.0, 0.0, 0.0)))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(path)
+    val zero = spark.read.parquet(path)
+    val rows = zero
+      .select($"id", (dotProduct($"a", $"b") / (l2Norm($"a") * l2Norm($"b"))).as("cos"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).isNullAt(1), "zero-norm row must be NULL, not error/NaN")
+    assert(!rows(1).isNullAt(1) && !rows(1).getDouble(1).isNaN)
+  }
 }
