@@ -26,8 +26,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmptyInputSpec extends AnyFunSuite {
   lazy val spark = SparkSpec.session
 
-  private lazy val emptyDir: String = {
-    val root = java.nio.file.Files.createTempDirectory("graft_empty")
+  private val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** A fixture copy with `emptied` tables at 0 rows (schema-exact) and
+    * the rest as-is (symlink-free real copies via read+write). */
+  private def world(tag: String, emptied: Set[String]): String = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_empty_$tag")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
@@ -35,15 +40,24 @@ class EmptyInputSpec extends AnyFunSuite {
       }
       rm(root.toFile)
     }))
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    tables.foreach { t =>
-      spark.read.parquet(s"${SparkSpec.sfDir}/$t.parquet").limit(0)
+    allTables.foreach { t =>
+      val df = spark.read.parquet(s"${SparkSpec.sfDir}/$t.parquet")
+      (if (emptied(t)) df.limit(0) else df)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$root/$t.parquet")
     }
     root.toString
   }
+
+  private lazy val emptyDir: String = world("all", allTables.toSet)
+
+  /** Dims populated, facts empty — the backfill-before-go-live world.
+    * A DIFFERENT failure class from all-empty: joins see a non-empty
+    * build side against an empty stream side, and per-dim aggregates
+    * produce rows whose fact-derived columns are NULL. */
+  private lazy val factsEmptyDir: String =
+    world("facts", Set("orders", "lineitem", "events", "documents",
+                       "embeddings"))
 
   test("all queries complete on an all-empty fixture (no driver exceptions)") {
     // the sweep must cover the FULL declared inventory — a query
@@ -61,5 +75,18 @@ class EmptyInputSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty,
       s"${failures.size} queries fail on empty input:\n${failures.mkString("\n")}")
+  }
+
+  test("all queries complete with dims populated and facts empty") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, factsEmptyDir).collect(); None }
+        catch { case e: Exception =>
+          Some(s"$name: ${e.getClass.getSimpleName}: " +
+               s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail on the facts-empty world:\n${failures.mkString("\n")}")
   }
 }
