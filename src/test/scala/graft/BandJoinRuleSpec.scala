@@ -111,6 +111,36 @@ class BandJoinRuleSpec extends AnyFunSuite {
     assert(q.count() == 0L)
   }
 
+  test("randomized band bounds: result equals brute force whether or not the rule fires") {
+    import org.scalacheck.{Gen, rng}
+    val df = rows.toDF("user_id", "t", "id")
+    val a = df.select($"user_id", $"t".as("t_a"), $"id".as("id_a"))
+    val b = df.select($"user_id".as("u2"), $"t".as("t_b"), $"id".as("id_b"))
+    // bounds spanning the interesting classes: negative lo (lookahead
+    // AND lookback), lo = hi (exact-offset), wide, narrow — with a
+    // fixed seed so any failure reproduces
+    val cases = Gen.listOfN(12, Gen.zip(
+        Gen.chooseNum(-60L, 40L), Gen.chooseNum(0L, 80L)))
+      .apply(Gen.Parameters.default, rng.Seed(99L)).get
+      .map { case (lo, width) => (lo, lo + width) }
+    cases.foreach { case (lo, hi) =>
+      val q = a.join(b, $"user_id" === $"u2" &&
+          $"t_b" - $"t_a" >= lo && $"t_b" - $"t_a" <= hi)
+        .select($"user_id", $"id_a", $"id_b")
+      val fired = q.queryExecution.optimizedPlan.toString
+        .contains("__graft_band_bucket")
+      assert(fired, s"[$lo,$hi]: rule should fire on every valid band")
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val expect = (for {
+        (u1, t1, i1) <- rows; (u2, t2, i2) <- rows
+        if u1 == u2 && t2 - t1 >= lo && t2 - t1 <= hi
+      } yield (u1, i1, i2)).sorted
+      assert(got == expect,
+        s"[$lo,$hi]: ${got.length} rows vs brute-force ${expect.length}")
+    }
+  }
+
   test("rule leaves pure-band joins (no equi key) alone") {
     val df = rows.toDF("user_id", "t", "id")
     val a = df.select($"t".as("t_a"), $"id".as("id_a"))
