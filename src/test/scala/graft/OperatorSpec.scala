@@ -203,6 +203,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("must not be NULL"), e3.getMessage)
   }
 
+  test("bounded_topk tie storm: all-equal ord resolves to the k smallest ids under any partitioning") {
+    import graft.functions.BoundedTopK.boundedTopK
+    // every ord identical — the selection is decided ENTIRELY by the
+    // documented tie rule (smallest id wins); nulls are skipped
+    val rows = (1L to 500L).map(i => (i % 3, 1.0, i)) :+ ((0L, 1.0, -7L))
+    Seq(1, 13).foreach { parts =>
+      val got = rows.toDF("g", "ord", "id").repartition(parts)
+        .withColumn("ord", when($"id" === -7L,
+          lit(null).cast("double")).otherwise($"ord"))
+        .groupBy($"g").agg(boundedTopK($"ord", $"id", 4).as("top"))
+        .select($"g", explode($"top.id").as("id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      (0L to 2L).foreach { g =>
+        val expect = (1L to 500L).filter(_ % 3 == g).sorted.take(4).toSet
+        assert(got(g) == expect, s"parts=$parts group $g: ${got(g)}")
+      }
+      assert(!got(0L).contains(-7L), "null-ord row must be skipped")
+    }
+  }
+
   test("bounded_topk keeps exact top-k per group under any partitioning, SQL surface included") {
     import graft.functions.BoundedTopK.boundedTopK
     // 1000 rows, 4 groups, known answer: top-3 ord per group = the 3
