@@ -52,7 +52,11 @@ object Multimodal extends QueryPack {
     * real bytes to parse. */
   private def mediaFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // a doc whose fetch produced no payload (null text) has no media
+    // bytes — excluded before decode, matching a real ingest where an
+    // undownloaded asset never reaches the codec
     t(s, dir, "documents")
+      .filter($"text".isNotNull)
       .withColumn("media", concat(
         lit(Array[Byte](0x42, 0x4D)),                       // magic "BM"
         expr("unhex(lpad(hex(pmod(doc_id * 37, 4096) + 16), 4, '0'))"),  // width

@@ -19,12 +19,18 @@ import graft.io.Tables.t
 object Udfs extends QueryPack {
 
   /** Polynomial text hash mod 1e9+7 — same recurrence as
-    * TextOps.docFingerprint but as a Scala closure. */
-  private val polyHash: String => Long = { s =>
-    var acc = 0L
-    var i = 0
-    while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % 1000000007L; i += 1 }
-    acc
+    * TextOps.docFingerprint but as a Scala closure. Boxed return so a
+    * null document hashes to NULL instead of NPE-ing the task: unlike
+    * primitive-typed UDFs, Spark does not auto-skip null inputs for
+    * object-typed (String) parameters. */
+  private val polyHash: String => java.lang.Long = { s =>
+    if (s == null) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+      acc
+    }
   }
 
   /** Scalar Scala UDF, registered for both Column and SQL use. */
@@ -46,6 +52,7 @@ object Udfs extends QueryPack {
       extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
     def zero: (Array[Double], Long) = (Array.fill(64)(0.0), 0L)
     def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      if (v == null) return b // null vector contributes nothing (= SQL avg)
       var i = 0
       while (i < v.length) { b._1(i) += v(i); i += 1 }
       (b._1, b._2 + 1)

@@ -412,13 +412,19 @@ object Windows extends QueryPack {
         first(when($"v".isNotNull, $"hu"), ignoreNulls = true).over(wNext))
       .select($"user_id", $"h",
         when($"v".isNotNull, lit("obs")).otherwise(lit("interp")).as("kind"),
-        round(
-          when($"v".isNotNull, $"v")
-            .when($"hp".isNull, $"vn")
-            .when($"hn".isNull, $"vp")
-            .otherwise($"vp" + ($"vn" - $"vp") *
-              (($"hu" - $"hp").cast("double") /
-               ($"hn" - $"hp").cast("double"))), 6).as("val"))
+        // emitted UNROUNDED: vp/vn are exact-cents quotients and the
+        // lerp is one identical IEEE tree in both engines, so the raw
+        // doubles are bit-equal — whereas round(x, 6) on a value that
+        // lands exactly on the half-way point at 6 dp diverges between
+        // engines (Spark rounds the double's exact decimal expansion,
+        // DuckDB scales by 1e6 first; seen live at sf0.001:
+        // 65.404688 vs 65.404687)
+        when($"v".isNotNull, $"v")
+          .when($"hp".isNull, $"vn")
+          .when($"hn".isNull, $"vp")
+          .otherwise($"vp" + ($"vn" - $"vp") *
+            (($"hu" - $"hp").cast("double") /
+             ($"hn" - $"hp").cast("double"))).as("val"))
       .orderBy($"user_id", $"h")
   }
 
@@ -591,12 +597,12 @@ object Windows extends QueryPack {
         |      FROM j)
         |SELECT user_id, h,
         |  CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS kind,
-        |  round(CASE WHEN v IS NOT NULL THEN v
-        |             WHEN hp IS NULL THEN vn
-        |             WHEN hn IS NULL THEN vp
-        |             ELSE vp + (vn - vp) * (CAST(hu - hp AS DOUBLE)
-        |                                    / CAST(hn - hp AS DOUBLE))
-        |        END, 6) AS val
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN hp IS NULL THEN vn
+        |       WHEN hn IS NULL THEN vp
+        |       ELSE vp + (vn - vp) * (CAST(hu - hp AS DOUBLE)
+        |                              / CAST(hn - hp AS DOUBLE))
+        |  END AS val
         |FROM f ORDER BY user_id, h""".stripMargin,
     "win_ewma" ->
       """WITH o AS (

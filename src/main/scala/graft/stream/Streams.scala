@@ -265,7 +265,11 @@ object Streams extends QueryPack {
   def streamStateful(s: SparkSession, dir: String): DataFrame =
     graft.config.Sessions.withStreamStatePartitions(s) {
     import s.implicits._
+    // value-less events carry nothing to roll up; dropped BEFORE the
+    // tuple encoder, whose primitive Long field (rightly) asserts
+    // non-null rather than silently coercing to 0 cents
     val typed = eventStream(s, dir)
+      .where($"value".isNotNull)
       .select($"user_id", unix_micros($"ts").as("us"),
               (round($"value" * 100)).cast("long").as("cents"))
       .as[(Long, Long, Long)]
@@ -298,6 +302,7 @@ object Streams extends QueryPack {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val typed = eventStream(s, dir)
+        .where($"value".isNotNull) // see streamStateful: encoder contract
         .select($"user_id", unix_micros($"ts").as("us"),
                 (round($"value" * 100)).cast("long").as("cents"))
         .as[(Long, Long, Long)]
@@ -766,6 +771,7 @@ object Streams extends QueryPack {
         StructField("user_id", LongType), StructField("value", DoubleType)))
       val verdicts = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*.parquet")
+        .where($"value".isNotNull) // see streamStateful: encoder contract
         .select($"user_id", $"us", $"event_id",
                 round($"value" * 100).cast("long").as("cents"))
         .as[(Long, Long, Long, Long)]

@@ -32,8 +32,13 @@ object VectorOps extends QueryPack {
   // work is exactly one fused dot-product loop (native codegen'd
   // expression — graft.functions.DotProduct), not three interpreted
   // HOF folds.
+  // A null embedding (failed embed shard — steady state at 100 TB) has
+  // no geometry: it can't be assigned a cell, scored, or deduped, so it
+  // is excluded at the front door rather than null-guarded through every
+  // kernel (the k-means seeder and DotProduct both assume a vector).
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
       .withColumn("emb", col("embedding").cast(ArrayType(DoubleType)))
       .withColumn("nrm", l2Norm(col("emb")))
 

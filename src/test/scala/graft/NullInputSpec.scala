@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every query must run to completion on a world with NULLs in the
+  * nullable value columns of the LLM-pipeline tables.
+  *
+  * At 100 TB nulls are not malformed input — they are the steady
+  * state: a crawler that timed out mid-page (null text), a document
+  * whose language detector abstained (null lang), an embedding job
+  * whose shard failed (null vector), an event emitted before the
+  * client set its type field. The companion sweep, EmptyInputSpec,
+  * proves 0-row survival; this one proves null-ROW survival, which is
+  * a different failure class entirely: typed `Dataset` decodes with
+  * primitive-field encoders NPE on null, `Row.getLong`/`getString`
+  * NPE inside mapPartitions, and array HOFs return null where
+  * downstream code expects a length.
+  *
+  * Injection is deterministic (xxhash64-residue per column, distinct
+  * residues so single-column nulls dominate but co-null rows exist)
+  * and targets VALUE columns only — ids, keys and event time stay
+  * non-null, matching what any production ingest contract enforces
+  * at the front door (a null primary key or event time is rejected at
+  * ingest; a null payload flows through and must not kill the job).
+  * TPC-H tables are left untouched: their spec declares every column
+  * NOT NULL, so nulling them would test a world that cannot occur.
+  *
+  * Queries only — result semantics under nulls are pinned per
+  * operator in their own specs where they matter (e.g. lang_id and
+  * text_quality treat null text as scoreless, dedup keys skip null);
+  * here the single assertion is completion without a driver
+  * exception, the same contract as EmptyInputSpec.
+  */
+class NullInputSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.session
+
+  private val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The fixture with nulls planted in the pipeline tables' value
+    * columns: ~1-in-8 rows per column, residues offset so most nulls
+    * are single-column but residue overlaps produce fully-nulled
+    * payload rows too. */
+  private lazy val nullDir: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_nullworld")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    def nullify(df: org.apache.spark.sql.DataFrame, idCol: String,
+                cols: Seq[String]) =
+      cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        d.withColumn(c,
+          when(pmod(xxhash64(col(idCol), lit(i)), lit(8)) === 0, lit(null))
+            .otherwise(col(c)))
+      }
+    allTables.foreach { t =>
+      val df = spark.read.parquet(s"${SparkSpec.sfDir}/$t.parquet")
+      val out = t match {
+        case "documents" =>
+          nullify(df, "doc_id", Seq("text", "lang", "source", "n_chars"))
+        case "embeddings" =>
+          nullify(df, "vec_id", Seq("embedding", "label"))
+        case "events" =>
+          nullify(df, "event_id", Seq("event_type", "value", "props"))
+        case _ => df
+      }
+      out.coalesce(1).write.mode("overwrite").parquet(s"$root/$t.parquet")
+    }
+    root.toString
+  }
+
+  test("all queries complete on the null-planted world (no driver exceptions)") {
+    // live-enumerated against the declared inventory, like EmptyInputSpec
+    assert(SparkEntry.queries.size == QueriesSmokeSpec.DeclaredQueries,
+      "null-input sweep inventory drifted from the declared query count")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, nullDir).collect(); None }
+        catch { case e: Exception =>
+          Some(s"$name: ${e.getClass.getSimpleName}: " +
+               s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail on the null world:\n${failures.mkString("\n")}")
+  }
+}
