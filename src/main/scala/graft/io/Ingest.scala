@@ -89,7 +89,11 @@ object Ingest extends QueryPack {
     import s.implicits._
     val src = Tables.t(s, dir, "documents")
     val path = scratch(dir, "text_documents")
-    src.select($"text").write.mode("overwrite")
+    // text is a schema-less format with no null representation: the
+    // sink would silently write a null doc as an EMPTY line, which
+    // reads back as one zero-char one-token line — a phantom document.
+    // A null payload has no line to land; skip it at the sink.
+    src.select($"text").where($"text".isNotNull).write.mode("overwrite")
       .option("compression", "gzip").text(path)
     s.read.text(path)
       .select(length($"value").as("n_chars"),
@@ -540,7 +544,7 @@ object Ingest extends QueryPack {
       """SELECT count(*) AS n_lines,
         |  CAST(sum(length(text)) AS BIGINT) AS chars_total,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "ingest_evolve" ->
       s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
         |            ELSE 'ch_' || CAST(o_orderkey % 3 AS VARCHAR) END AS channel,

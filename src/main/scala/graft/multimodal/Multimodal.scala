@@ -294,7 +294,7 @@ object Multimodal extends QueryPack {
     "multimodal_hash_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
-        |FROM documents GROUP BY md5(text)
+        |FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
         |ORDER BY keep_id""".stripMargin,
     "multimodal_audio_window" ->
       """WITH d AS (
@@ -326,7 +326,7 @@ object Multimodal extends QueryPack {
         |  CAST((doc_id * 53) % 4096 + 16 AS INTEGER) AS height,
         |  CAST((doc_id * 37) % 4096 + 16 AS BIGINT)
         |    * CAST((doc_id * 53) % 4096 + 16 AS BIGINT) / 1e6 AS mp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     // ASCII gate keeps byte == char, so the histogram re-derives from
     // text; dense 8-bin vector ⇒ zero bins emitted explicitly
     "multimodal_features" ->

@@ -468,12 +468,16 @@ object Aggregates extends QueryPack {
     * shrinks the data to ≤ users × |types| rows BEFORE the window,
     * and the window partitions on user_id — never a global sort. At
     * 100 TB the raw events never reach the window; only the counts
-    * do. */
+    * do. Untyped events (null event_type) don't vote: a missing type
+    * isn't a type — and the tie-break's `event_type ASC` would
+    * otherwise be engine-ambiguous on the null candidate (Spark sorts
+    * nulls first ascending, DuckDB last). */
   def aggMode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id")
       .orderBy($"n".desc, $"event_type".asc)
     t(s, dir, "events")
+      .where($"event_type".isNotNull)
       .groupBy($"user_id", $"event_type")
       .agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(w))
@@ -815,8 +819,13 @@ object Aggregates extends QueryPack {
     val p = ev.where($"event_type" === "purchase")
       .select($"event_id".as("p_id"), $"user_id",
               $"ts".as("p_ts"), cents($"value").as("rev_cents"))
-    val e = ev.select($"user_id".as("u"), $"ts".as("e_ts"),
-                      $"event_id".as("e_id"), $"event_type".as("e_type"))
+    // an untyped event is not an attributable channel: excluded from
+    // the touch candidates (also keeps the channel rollup key non-null
+    // — the oracle's FULL JOIN USING(channel) would split a null
+    // channel into two rows, null keys never matching in joins)
+    val e = ev.where($"event_type".isNotNull)
+      .select($"user_id".as("u"), $"ts".as("e_ts"),
+              $"event_id".as("e_id"), $"event_type".as("e_type"))
     p.join(e, $"u" === $"user_id" && $"e_ts" < $"p_ts" &&
               $"e_ts" >= $"p_ts" - expr("INTERVAL 7 DAYS"))
       .groupBy($"p_id", $"rev_cents")
@@ -989,7 +998,8 @@ object Aggregates extends QueryPack {
         |  SELECT user_id, event_type, count(*) AS n,
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY count(*) DESC, event_type) AS rn
-        |  FROM events GROUP BY user_id, event_type)
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY user_id, event_type)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "agg_histogram" ->
       s"""SELECT CAST(round(o_totalprice*100) AS BIGINT) // 5000000 AS bucket,
@@ -1021,6 +1031,7 @@ object Aggregates extends QueryPack {
         |    max({'ts': e.ts, 'id': e.event_id, 'et': e.event_type}).et AS last_touch
         |  FROM p JOIN events e ON e.user_id = p.user_id
         |    AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 7 DAY
+        |    AND e.event_type IS NOT NULL
         |  GROUP BY p.event_id),
         |f AS (SELECT first_touch AS channel, count(*) AS n_first,
         |    CAST(sum(rev_cents) AS BIGINT) AS rev_first_cents FROM t GROUP BY 1),

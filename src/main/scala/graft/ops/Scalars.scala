@@ -319,8 +319,12 @@ object Scalars extends QueryPack {
         |  (list_sort(embedding, 'DESC'))[2] AS top2,
         |  (list_sort(embedding, 'DESC'))[3] AS top3,
         |  CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.5)) AS INTEGER) AS n_gt_half,
-        |  round(list_reduce(list_prepend(0.0::DOUBLE, embedding::DOUBLE[]), (acc, x) -> acc + x*x), 4) AS sumsq,
-        |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> x*x)), (acc, x) -> acc + x), 4) AS self_dot,
+        |  -- CASE: the list_prepend(0.0, ...) seed folds a NULL vector to
+        |  -- 0.0 where Spark's aggregate() yields NULL — guard to match
+        |  CASE WHEN embedding IS NULL THEN NULL ELSE
+        |    round(list_reduce(list_prepend(0.0::DOUBLE, embedding::DOUBLE[]), (acc, x) -> acc + x*x), 4) END AS sumsq,
+        |  CASE WHEN embedding IS NULL THEN NULL ELSE
+        |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> x*x)), (acc, x) -> acc + x), 4) END AS self_dot,
         |  array_to_string(list_transform(embedding::DOUBLE[], x -> CAST(floor(x*10) AS BIGINT)), ',') AS buckets
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
     "fn_map" ->

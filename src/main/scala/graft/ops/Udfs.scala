@@ -93,9 +93,12 @@ object Udfs extends QueryPack {
     "udf_scalar" ->
       """WITH n AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents),
         |h AS (SELECT doc_id,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(string_split(norm, ''), c -> ascii(c))),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  -- NULL on null text, matching the boxed UDF (the
+        |  -- list_prepend(0, ...) seed would fold a NULL list to 0)
+        |  CASE WHEN norm IS NULL THEN NULL ELSE
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(norm, ''), c -> ascii(c))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) END AS h
         |  FROM n)
         |SELECT doc_id, h AS h_col, h AS h_sql FROM h ORDER BY doc_id""".stripMargin,
     "udaf_typed" ->

@@ -837,12 +837,15 @@ object Streams extends QueryPack {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // integer-exact verdicts + pinned (ts, event_id) arrival order
     // make the stateful monitor equal the batch prior-window rule —
-    // ts_anomaly's frame, minus its float z column
+    // ts_anomaly's frame, minus its float z column. Value-less events
+    // are excluded HERE (not just skipped by count(x)) so they don't
+    // occupy prior-window frame positions the stream's state ring —
+    // which only ever holds real cents — never sees.
     "stream_anomaly" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,
         |    CAST(round(value*100) AS BIGINT) AS x
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |w AS (
         |  SELECT user_id, event_id, x,
         |    count(x) OVER win AS n,

@@ -30,11 +30,18 @@ object TextOps extends QueryPack {
     * doc_id. groupBy + min_by (not a window): aggregates partially
     * map-side, so the shuffle carries one row per distinct norm text
     * instead of every document — the formulation that survives 100 TB.
-    * (doc_id is unique, so min_by is deterministic.) */
+    * (doc_id is unique, so min_by is deterministic.)
+    * Null text is UNKNOWN content, not empty content: a failed crawl
+    * can't be asserted duplicate of another failed crawl, so each
+    * null-text doc is its own group (n_copies = 1) — a doc-unique
+    * sentinel key keeps the single-scan single-shuffle shape instead
+    * of a second pass for the null slice. The whole dedup family
+    * shares this rule (see dupEdges / dedupSurvivors). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .withColumn("norm", normCol)
+      .withColumn("norm",
+        coalesce(normCol, concat(lit("\u0001"), $"doc_id")))
       .groupBy($"norm")
       .agg(min_by(struct($"doc_id", $"lang", $"source"), $"doc_id").as("srv"),
            count(lit(1)).as("n_copies"))
@@ -462,7 +469,11 @@ object TextOps extends QueryPack {
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir)
+    // null text never pairs (unknown content — the dedupExact rule),
+    // so null-text docs always survive; filtered BEFORE the window so
+    // they don't ride the norm shuffle either
     val exactPairs = d.withColumn("norm", normCol)
+      .where($"norm".isNotNull)
       .select($"doc_id", $"norm")
       .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"norm")))
       .where($"doc_id" =!= $"keep_id")
@@ -492,7 +503,10 @@ object TextOps extends QueryPack {
     * near pairs. */
   private def dupEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // null text contributes no edges (unknown content — the dedupExact
+    // rule): null-text docs stay singleton clusters
     val exactE = docs(s, dir).withColumn("norm", normCol)
+      .where($"norm".isNotNull)
       .select($"doc_id", $"norm")
       .withColumn("m", min($"doc_id").over(Window.partitionBy($"norm")))
       .where($"doc_id" =!= $"m")
@@ -843,7 +857,8 @@ object TextOps extends QueryPack {
     "dedup_exact" ->
       """WITH n AS (
         |  SELECT doc_id, lang, source,
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |    coalesce(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |             chr(1) || doc_id) AS norm
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, lang, source,
@@ -933,9 +948,12 @@ object TextOps extends QueryPack {
         |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
         |  FROM documents)
         |SELECT doc_id,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(string_split(norm, ''), c -> ascii(c))),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+        |  -- null text has no fingerprint (the list_prepend(0, ...) seed
+        |  -- would otherwise fold a NULL list to 0, a REAL hash value)
+        |  CASE WHEN norm IS NULL THEN NULL ELSE
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(norm, ''), c -> ascii(c))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) END AS fp,
         |  list_min(list_transform(generate_series(1, length(norm) - 7),
         |    i -> list_reduce(list_prepend(0::BIGINT,
         |           list_transform(string_split(substring(norm, i, 8), ''), c -> ascii(c))),

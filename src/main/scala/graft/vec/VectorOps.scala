@@ -1155,7 +1155,7 @@ object VectorOps extends QueryPack {
     "sim_search_mrl" ->
       """WITH e AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |           FROM embeddings),
+        |           FROM embeddings WHERE embedding IS NOT NULL),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
         |c AS (SELECT q_id, vec_id,
         |        list_dot_product(q_emb[1:16], e.emb[1:16]) AS cscore
@@ -1176,7 +1176,7 @@ object VectorOps extends QueryPack {
     "sim_search_bitq" ->
       """WITH e AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |           FROM embeddings),
+        |           FROM embeddings WHERE embedding IS NOT NULL),
         |m AS (SELECT vec_id, emb,
         |        CAST(list_sum(list_transform(generate_series(0, 31),
         |          i -> CASE WHEN emb[i+1] > 0 THEN 1::BIGINT << i
@@ -1237,7 +1237,7 @@ object VectorOps extends QueryPack {
         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
         |          list_max(list_transform(embedding,
         |            x -> abs(CAST(x AS DOUBLE)))) AS mx
-        |        FROM embeddings)),
+        |        FROM embeddings WHERE embedding IS NOT NULL)),
         |q AS (SELECT vec_id AS q_id, qvec AS q_qvec, scale AS q_scale
         |      FROM qz WHERE vec_id < 5),
         |c AS (SELECT q_id, vec_id,
@@ -1252,23 +1252,27 @@ object VectorOps extends QueryPack {
         |SELECT q_id, vec_id, round(score, 6) AS score, rk FROM r
         |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
     "sim_search_filtered" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |           WHERE vec_id < 5 AND embedding IS NOT NULL),
         |c AS (
         |  SELECT q_id, vec_id,
         |    list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]) AS cos
         |  FROM embeddings CROSS JOIN q
-        |  WHERE vec_id <> q_id AND label IN (2, 3)),
+        |  WHERE vec_id <> q_id AND label IN (2, 3)
+        |    AND embedding IS NOT NULL),
         |r AS (SELECT q_id, vec_id, cos,
         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk
         |      FROM c)
         |SELECT q_id, vec_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,
     "sim_search" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |           WHERE vec_id < 5 AND embedding IS NOT NULL),
         |c AS (
         |  SELECT q_id, vec_id,
         |    list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]) AS cos
-        |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+        |  FROM embeddings CROSS JOIN q
+        |  WHERE vec_id <> q_id AND embedding IS NOT NULL),
         |r AS (SELECT q_id, vec_id, cos,
         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk
         |      FROM c)
@@ -1279,7 +1283,8 @@ object VectorOps extends QueryPack {
         |  SELECT a.vec_id AS id_a, a.label, b.vec_id AS id_b,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
         |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL),
         |r AS (SELECT id_a, label, id_b, cos,
         |        CAST(row_number() OVER (PARTITION BY id_a
         |          ORDER BY cos DESC, id_b ASC) AS INTEGER) AS rk

@@ -35,13 +35,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class NullInputSpec extends AnyFunSuite {
   lazy val spark = SparkSpec.session
 
-  private val allTables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
-
   /** The fixture with nulls planted in the pipeline tables' value
-    * columns: ~1-in-8 rows per column, residues offset so most nulls
-    * are single-column but residue overlaps produce fully-nulled
-    * payload rows too. */
+    * columns — injection lives in graft.tools.NullWorld (shared with
+    * the null-world oracle differential; see its scaladoc for the
+    * residue design). */
   private lazy val nullDir: String = {
     val root = java.nio.file.Files.createTempDirectory("graft_nullworld")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -51,26 +48,7 @@ class NullInputSpec extends AnyFunSuite {
       }
       rm(root.toFile)
     }))
-    def nullify(df: org.apache.spark.sql.DataFrame, idCol: String,
-                cols: Seq[String]) =
-      cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-        d.withColumn(c,
-          when(pmod(xxhash64(col(idCol), lit(i)), lit(8)) === 0, lit(null))
-            .otherwise(col(c)))
-      }
-    allTables.foreach { t =>
-      val df = spark.read.parquet(s"${SparkSpec.sfDir}/$t.parquet")
-      val out = t match {
-        case "documents" =>
-          nullify(df, "doc_id", Seq("text", "lang", "source", "n_chars"))
-        case "embeddings" =>
-          nullify(df, "vec_id", Seq("embedding", "label"))
-        case "events" =>
-          nullify(df, "event_id", Seq("event_type", "value", "props"))
-        case _ => df
-      }
-      out.coalesce(1).write.mode("overwrite").parquet(s"$root/$t.parquet")
-    }
+    graft.tools.NullWorld.write(spark, SparkSpec.sfDir, root.toString)
     root.toString
   }
 

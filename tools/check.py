@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB differential check.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--unordered]
 
 Reads <verifyOutDir>/oracle_sql.json, registers the fixture tables from
 <sfDir> as DuckDB views, runs each oracle, and compares against the
 Spark parquet dump in <verifyOutDir>/<name>/. Comparison: sort columns
 by name, then exact value equality row-by-row (floats compared by bits)
 — stricter than any plausible driver hash, so passing here is safe.
+
+--unordered compares rows as multisets instead of in emitted order.
+Used by the null-world differential (NullWorld fixtures plant NULLs in
+columns many queries ORDER BY, and the engines disagree on default
+null placement: Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST — a
+presentation difference, not a value-semantics one). The driver's own
+check always runs ordered, on the standard world.
 
 Dev-only tool; not part of the shipped library.
 """
@@ -48,11 +55,20 @@ def rows_of(rel):
     return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in data]
 
 
-def main(sf_dir, out_dir):
+def sort_key(row):
+    # None is not comparable to values in py3; a (is_null, value) pair per
+    # cell sorts nulls first consistently. Columns are type-homogeneous so
+    # non-null cells always compare.
+    return tuple((v is None, v) for v in row)
+
+
+def main(sf_dir, out_dir, unordered=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table: directory of parts
+            p = f"{p}/*.parquet"
+        if glob.glob(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
@@ -85,6 +101,8 @@ def main(sf_dir, out_dir):
         if len(got) != len(exp):
             print(f"FAIL  {name}: rows {len(got)} != {len(exp)}"); n_fail += 1
             continue
+        if unordered:
+            got, exp = sorted(got, key=sort_key), sorted(exp, key=sort_key)
         bad = next((i for i, (g, e) in enumerate(zip(got, exp)) if g != e), None)
         if bad is not None:
             print(f"FAIL  {name}: first diff at row {bad}:")
@@ -118,4 +136,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], "--unordered" in sys.argv[3:]))

@@ -4,6 +4,12 @@
 #
 #   bash tools/gate.sh            # full: compile + tests + verify + check + bench smoke
 #   bash tools/gate.sh --fast     # skip the test suite (verify+check only)
+#   bash tools/gate.sh --null     # ALSO run the null-world differential:
+#                                 # NullWorld fixtures @ sf0.01 -> Verify ->
+#                                 # check.py --unordered (unordered because
+#                                 # the engines disagree on default null
+#                                 # placement under ORDER BY; value equality
+#                                 # is what the differential proves)
 #
 # A round must never end on a commit that hasn't passed this script
 # (round 2 shipped a non-compiling HEAD; this is the fix for the
@@ -30,6 +36,20 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_vout" > /tmp/ga
 python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_vout | tail -3
 python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_vout | tail -1 | grep -q " 0 fail" \
   || { echo "GATE FAIL: oracle mismatch"; exit 1; }
+
+if [[ "$FAST" == "--null" ]]; then
+  echo "== gate: null-world differential @ sf0.01 =="
+  sbt -batch "runMain graft.tools.NullWorld /root/testdata/sf0.01 /tmp/gate_nullworld" \
+    > /tmp/gate_nullgen.log 2>&1 \
+    || { tail -30 /tmp/gate_nullgen.log; echo "GATE FAIL: NullWorld gen"; exit 1; }
+  sbt -batch "runMain graft.Verify /tmp/gate_nullworld /tmp/gate_vnull" \
+    > /tmp/gate_vnull.log 2>&1 \
+    || { tail -30 /tmp/gate_vnull.log; echo "GATE FAIL: Verify on null world"; exit 1; }
+  python3 tools/check.py /tmp/gate_nullworld /tmp/gate_vnull --unordered | tail -3
+  python3 tools/check.py /tmp/gate_nullworld /tmp/gate_vnull --unordered | tail -1 \
+    | grep -q " 0 fail" \
+    || { echo "GATE FAIL: null-world oracle mismatch"; exit 1; }
+fi
 
 echo "== gate: Bench contract smoke @ sf0.001 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_FILE=/tmp/gate_bench.json \
