@@ -1176,6 +1176,11 @@ object Aggregates extends QueryPack {
         |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
         |  count(*) AS n_cust, ${sqlSumMoney("c_acctbal")} AS bal
         |FROM cust_geo GROUP BY ROLLUP(r_name, n_name)
+        |-- no input, no report rows: the SQL-standard () grouping set
+        |-- emits a grand-total row even over an empty table; Spark's
+        |-- Expand-based rollup emits nothing. The guard is a no-op on
+        |-- any non-empty input (every grouping row has count(*) >= 1).
+        |HAVING count(*) > 0
         |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
     "agg_cube" ->
       s"""$geoCte
@@ -1183,6 +1188,7 @@ object Aggregates extends QueryPack {
         |  CAST(GROUPING(c_mktsegment, r_name) AS INTEGER) AS gid,
         |  count(*) AS n_cust, ${sqlSumMoney("c_acctbal")} AS bal
         |FROM cust_geo GROUP BY CUBE(c_mktsegment, r_name)
+        |HAVING count(*) > 0 -- see agg_rollup: empty-input () row
         |ORDER BY gid, c_mktsegment ASC NULLS FIRST, r_name ASC NULLS FIRST""".stripMargin,
     "agg_gsets" ->
       s"""$geoCte
@@ -1190,6 +1196,7 @@ object Aggregates extends QueryPack {
         |  CAST(GROUPING(r_name, c_mktsegment) AS INTEGER) AS gid,
         |  count(*) AS n_cust, ${sqlSumMoney("c_acctbal")} AS bal
         |FROM cust_geo GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |HAVING count(*) > 0 -- see agg_rollup: empty-input () row
         |ORDER BY gid, r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
     "agg_stats" ->
       s"""SELECT l_returnflag, count(*) AS n,

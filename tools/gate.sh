@@ -4,12 +4,15 @@
 #
 #   bash tools/gate.sh            # full: compile + tests + verify + check + bench smoke
 #   bash tools/gate.sh --fast     # skip the test suite (verify+check only)
-#   bash tools/gate.sh --null     # ALSO run the null-world differential:
-#                                 # NullWorld fixtures @ sf0.01 -> Verify ->
-#                                 # check.py --unordered (unordered because
-#                                 # the engines disagree on default null
-#                                 # placement under ORDER BY; value equality
-#                                 # is what the differential proves)
+#   bash tools/gate.sh --worlds   # ALSO run the adversarial-world
+#                                 # differentials: null-planted payloads,
+#                                 # all-empty, and facts-empty fixtures
+#                                 # @ sf0.01 -> Verify -> check.py
+#                                 # --unordered (unordered because the
+#                                 # engines disagree on default null
+#                                 # placement under ORDER BY; value
+#                                 # equality is what the differential
+#                                 # proves). --null = same (legacy alias).
 #
 # A round must never end on a commit that hasn't passed this script
 # (round 2 shipped a non-compiling HEAD; this is the fix for the
@@ -37,18 +40,24 @@ python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_vout | tail -3
 python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_vout | tail -1 | grep -q " 0 fail" \
   || { echo "GATE FAIL: oracle mismatch"; exit 1; }
 
-if [[ "$FAST" == "--null" ]]; then
-  echo "== gate: null-world differential @ sf0.01 =="
-  sbt -batch "runMain graft.tools.NullWorld /root/testdata/sf0.01 /tmp/gate_nullworld" \
-    > /tmp/gate_nullgen.log 2>&1 \
-    || { tail -30 /tmp/gate_nullgen.log; echo "GATE FAIL: NullWorld gen"; exit 1; }
-  sbt -batch "runMain graft.Verify /tmp/gate_nullworld /tmp/gate_vnull" \
-    > /tmp/gate_vnull.log 2>&1 \
-    || { tail -30 /tmp/gate_vnull.log; echo "GATE FAIL: Verify on null world"; exit 1; }
-  python3 tools/check.py /tmp/gate_nullworld /tmp/gate_vnull --unordered | tail -3
-  python3 tools/check.py /tmp/gate_nullworld /tmp/gate_vnull --unordered | tail -1 \
-    | grep -q " 0 fail" \
-    || { echo "GATE FAIL: null-world oracle mismatch"; exit 1; }
+if [[ "$FAST" == "--null" || "$FAST" == "--worlds" ]]; then
+  run_world() {  # <label> <gen main> [gen mode arg]
+    local label=$1 main=$2 mode=${3:-}
+    echo "== gate: $label-world differential @ sf0.01 =="
+    sbt -batch "runMain $main /root/testdata/sf0.01 /tmp/gate_${label}world $mode" \
+      > "/tmp/gate_${label}gen.log" 2>&1 \
+      || { tail -30 "/tmp/gate_${label}gen.log"; echo "GATE FAIL: $label world gen"; exit 1; }
+    sbt -batch "runMain graft.Verify /tmp/gate_${label}world /tmp/gate_v$label" \
+      > "/tmp/gate_v$label.log" 2>&1 \
+      || { tail -30 "/tmp/gate_v$label.log"; echo "GATE FAIL: Verify on $label world"; exit 1; }
+    python3 tools/check.py "/tmp/gate_${label}world" "/tmp/gate_v$label" --unordered | tail -2
+    python3 tools/check.py "/tmp/gate_${label}world" "/tmp/gate_v$label" --unordered | tail -1 \
+      | grep -q " 0 fail" \
+      || { echo "GATE FAIL: $label-world oracle mismatch"; exit 1; }
+  }
+  run_world null graft.tools.NullWorld
+  run_world empty graft.tools.EmptyWorld all
+  run_world facts graft.tools.EmptyWorld facts
 fi
 
 echo "== gate: Bench contract smoke @ sf0.001 =="
