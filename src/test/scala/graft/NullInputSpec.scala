@@ -67,4 +67,43 @@ class NullInputSpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"${failures.size} queries fail on the null world:\n${failures.mkString("\n")}")
   }
+
+  /** The doc_ids NullWorld nulled the text column of (column index 0
+    * in its documents plan) — recomputed with the identical predicate
+    * so the pin can't drift from the injection. */
+  private def nullTextIds: Set[Long] =
+    spark.read.parquet(s"$nullDir/documents.parquet")
+      .where(col("text").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("dedup family: null payloads pass through as singletons, never pair") {
+    val nulls = nullTextIds
+    assert(nulls.nonEmpty, "fixture regression: no null-text docs planted")
+    // exact dedup: each null doc is its own group, never merged away
+    val exact = SparkEntry.queries("dedup_exact")(spark, nullDir)
+      .select("doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nulls.foreach { id =>
+      assert(exact.get(id).contains(1L),
+        s"null-text doc $id should survive exact dedup as a 1-copy group")
+    }
+    // survivors: every null doc survives (was never a loser)
+    val surv = SparkEntry.queries("dedup_survivors")(spark, nullDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nulls.subsetOf(surv), "a null-text doc was dropped as a dup loser")
+    // clusters: every null doc is a size-1 cluster labeled by itself
+    val clus = SparkEntry.queries("dedup_clusters")(spark, nullDir)
+      .select("doc_id", "cluster_id", "csize").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    nulls.foreach { id =>
+      assert(clus.get(id).contains((id, 1L)),
+        s"null-text doc $id should be its own singleton cluster")
+    }
+  }
+
+  test("agg_mode: untyped events never win (no null mode_type)") {
+    val modes = SparkEntry.queries("agg_mode")(spark, nullDir).collect()
+    assert(modes.nonEmpty)
+    assert(modes.forall(!_.isNullAt(1)), "a null event_type won a mode vote")
+  }
 }
