@@ -28,7 +28,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(v):
     if isinstance(v, float):
-        return ("f", math.nan if math.isnan(v) else v)
+        # NaN canonicalizes to a sortable MARKER, not float('nan'):
+        # nan != nan, so a query where BOTH engines emit NaN would
+        # spuriously fail equality (and unordered-mode sorting would be
+        # unstable). The rank element keeps NaN comparable to reals.
+        return ("f", 1, 0.0) if math.isnan(v) else ("f", 0, v)
     return v
 
 

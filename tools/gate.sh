@@ -58,6 +58,26 @@ if [[ "$FAST" == "--null" || "$FAST" == "--worlds" ]]; then
   run_world null graft.tools.NullWorld
   run_world empty graft.tools.EmptyWorld all
   run_world facts graft.tools.EmptyWorld facts
+  # skew runs at sf0.1, not sf0.01: the planted boilerplate only crosses
+  # the hot-shingle df-cap (50 per source) from sf0.1 upward — below
+  # that the cap is latent and the world tests nothing the clean
+  # differential doesn't. Slowest world (~12 min: sf0.1 Verify + the
+  # DuckDB shingle CTEs at 50k docs).
+  run_world_at() {
+    local label=$1 sf=$2; shift 2
+    echo "== gate: $label-world differential @ $(basename "$sf") =="
+    sbt -batch "runMain $1 $sf /tmp/gate_${label}world" \
+      > "/tmp/gate_${label}gen.log" 2>&1 \
+      || { tail -30 "/tmp/gate_${label}gen.log"; echo "GATE FAIL: $label world gen"; exit 1; }
+    sbt -batch "runMain graft.Verify /tmp/gate_${label}world /tmp/gate_v$label" \
+      > "/tmp/gate_v$label.log" 2>&1 \
+      || { tail -30 "/tmp/gate_v$label.log"; echo "GATE FAIL: Verify on $label world"; exit 1; }
+    python3 tools/check.py "/tmp/gate_${label}world" "/tmp/gate_v$label" --unordered | tail -2
+    python3 tools/check.py "/tmp/gate_${label}world" "/tmp/gate_v$label" --unordered | tail -1 \
+      | grep -q " 0 fail" \
+      || { echo "GATE FAIL: $label-world oracle mismatch"; exit 1; }
+  }
+  run_world_at skew /root/testdata/sf0.1 graft.tools.SkewWorld
 fi
 
 echo "== gate: Bench contract smoke @ sf0.001 =="
