@@ -835,11 +835,16 @@ object Aggregates extends QueryPack {
           struct(lit("F").as("k"), $"ft.e_type".as("ch")),
           struct(lit("L").as("k"), $"lt.e_type".as("ch")))).as("x"))
       .groupBy($"x.ch".as("channel"))
+      // revenue sums carry no otherwise(0L): a channel whose first-
+      // touch purchases ALL have null value must not be padded to 0 by
+      // literal zeros from its L rows — sum skips nulls and non-F rows
+      // alike, and the one coalesce makes the degenerate all-null
+      // channel an explicit 0 on BOTH engines (round-13 advice)
       .agg(sum(when($"x.k" === "F", 1L).otherwise(0L)).as("n_first"),
-           (sum(when($"x.k" === "F", $"rev_cents").otherwise(0L))
+           (coalesce(sum(when($"x.k" === "F", $"rev_cents")), lit(0L))
               .cast("double") / 100).as("rev_first"),
            sum(when($"x.k" === "L", 1L).otherwise(0L)).as("n_last"),
-           (sum(when($"x.k" === "L", $"rev_cents").otherwise(0L))
+           (coalesce(sum(when($"x.k" === "L", $"rev_cents")), lit(0L))
               .cast("double") / 100).as("rev_last"))
       .orderBy($"channel")
   }
@@ -1034,9 +1039,11 @@ object Aggregates extends QueryPack {
         |    AND e.event_type IS NOT NULL
         |  GROUP BY p.event_id),
         |f AS (SELECT first_touch AS channel, count(*) AS n_first,
-        |    CAST(sum(rev_cents) AS BIGINT) AS rev_first_cents FROM t GROUP BY 1),
+        |    CAST(coalesce(sum(rev_cents), 0) AS BIGINT) AS rev_first_cents
+        |  FROM t GROUP BY 1),
         |l AS (SELECT last_touch AS channel, count(*) AS n_last,
-        |    CAST(sum(rev_cents) AS BIGINT) AS rev_last_cents FROM t GROUP BY 1)
+        |    CAST(coalesce(sum(rev_cents), 0) AS BIGINT) AS rev_last_cents
+        |  FROM t GROUP BY 1)
         |SELECT channel,
         |  coalesce(n_first, 0) AS n_first,
         |  CAST(coalesce(rev_first_cents, 0) AS DOUBLE)/100 AS rev_first,

@@ -33,16 +33,18 @@ object TextOps extends QueryPack {
     * (doc_id is unique, so min_by is deterministic.)
     * Null text is UNKNOWN content, not empty content: a failed crawl
     * can't be asserted duplicate of another failed crawl, so each
-    * null-text doc is its own group (n_copies = 1) — a doc-unique
-    * sentinel key keeps the single-scan single-shuffle shape instead
-    * of a second pass for the null slice. The whole dedup family
+    * null-text doc is its own group (n_copies = 1). The null slice
+    * rides the same single scan/shuffle via a COMPOSITE group key
+    * (norm, doc_id-if-null-norm): null norms split per doc, real
+    * norms group normally, and — unlike a string sentinel such as
+    * chr(1)||doc_id — no real document text can ever collide with a
+    * null-text group key (round-13 advice). The whole dedup family
     * shares this rule (see dupEdges / dedupSurvivors). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .withColumn("norm",
-        coalesce(normCol, concat(lit("\u0001"), $"doc_id")))
-      .groupBy($"norm")
+      .withColumn("norm", normCol)
+      .groupBy($"norm", when($"norm".isNull, $"doc_id").as("null_key"))
       .agg(min_by(struct($"doc_id", $"lang", $"source"), $"doc_id").as("srv"),
            count(lit(1)).as("n_copies"))
       .select($"srv.doc_id".as("doc_id"), $"srv.lang".as("lang"),
@@ -857,13 +859,15 @@ object TextOps extends QueryPack {
     "dedup_exact" ->
       """WITH n AS (
         |  SELECT doc_id, lang, source,
-        |    coalesce(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
-        |             chr(1) || doc_id) AS norm
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, lang, source,
-        |    row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY norm) AS n_copies
+        |    row_number() OVER (PARTITION BY norm,
+        |      CASE WHEN norm IS NULL THEN doc_id END
+        |      ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY norm,
+        |      CASE WHEN norm IS NULL THEN doc_id END) AS n_copies
         |  FROM n)
         |SELECT doc_id, lang, source, n_copies FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,

@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * copies a driver-generated sf world with two planted heavy hitters —
   * the skew shapes that break naive plans at 100 TB:
   *
-  *  - **boilerplate text**: a fixed 40-word paragraph appended to ~1 in
+  *  - **boilerplate text**: a fixed 41-word paragraph appended to ~1 in
   *    3 documents (xxhash64-selected). Every pair of tagged docs now
-  *    shares ~38 word-3-grams, so an UNCAPPED shingle self-join would
+  *    shares ~39 word-3-grams, so an UNCAPPED shingle self-join would
   *    materialize O((n/3)²) candidate pairs per hot shingle — the
   *    quadratic blowup the hot-shingle df-cap exists to prevent. The
   *    rate is chosen so the per-(source, shingle) doc frequency
@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object SkewWorld {
 
-  /** 40 words, no repeats adjacent to each other, so it contributes 38
+  /** 41 words with no repeated 3-word run, so it contributes 39
     * distinct 3-gram shingles shared by every tagged doc. */
   val boilerplate: String =
     ("this document is provided for informational purposes only and " +

@@ -41,43 +41,30 @@ python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_vout | tail -1 | grep -q 
   || { echo "GATE FAIL: oracle mismatch"; exit 1; }
 
 if [[ "$FAST" == "--null" || "$FAST" == "--worlds" ]]; then
-  run_world() {  # <label> <gen main> [gen mode arg]
-    local label=$1 main=$2 mode=${3:-}
-    echo "== gate: $label-world differential @ sf0.01 =="
-    sbt -batch "runMain $main /root/testdata/sf0.01 /tmp/gate_${label}world $mode" \
+  run_world() {  # <label> <src sf dir> <gen main> [gen mode arg]
+    local label=$1 sf=$2 main=$3 mode=${4:-}
+    echo "== gate: $label-world differential @ $(basename "$sf") =="
+    sbt -batch "runMain $main $sf /tmp/gate_${label}world $mode" \
       > "/tmp/gate_${label}gen.log" 2>&1 \
       || { tail -30 "/tmp/gate_${label}gen.log"; echo "GATE FAIL: $label world gen"; exit 1; }
     sbt -batch "runMain graft.Verify /tmp/gate_${label}world /tmp/gate_v$label" \
       > "/tmp/gate_v$label.log" 2>&1 \
       || { tail -30 "/tmp/gate_v$label.log"; echo "GATE FAIL: Verify on $label world"; exit 1; }
-    python3 tools/check.py "/tmp/gate_${label}world" "/tmp/gate_v$label" --unordered | tail -2
-    python3 tools/check.py "/tmp/gate_${label}world" "/tmp/gate_v$label" --unordered | tail -1 \
-      | grep -q " 0 fail" \
+    python3 tools/check.py "/tmp/gate_${label}world" "/tmp/gate_v$label" --unordered \
+      > "/tmp/gate_check_$label.log"
+    tail -2 "/tmp/gate_check_$label.log"
+    tail -1 "/tmp/gate_check_$label.log" | grep -q " 0 fail" \
       || { echo "GATE FAIL: $label-world oracle mismatch"; exit 1; }
   }
-  run_world null graft.tools.NullWorld
-  run_world empty graft.tools.EmptyWorld all
-  run_world facts graft.tools.EmptyWorld facts
+  run_world null /root/testdata/sf0.01 graft.tools.NullWorld
+  run_world empty /root/testdata/sf0.01 graft.tools.EmptyWorld all
+  run_world facts /root/testdata/sf0.01 graft.tools.EmptyWorld facts
   # skew runs at sf0.1, not sf0.01: the planted boilerplate only crosses
   # the hot-shingle df-cap (50 per source) from sf0.1 upward — below
   # that the cap is latent and the world tests nothing the clean
   # differential doesn't. Slowest world (~12 min: sf0.1 Verify + the
   # DuckDB shingle CTEs at 50k docs).
-  run_world_at() {
-    local label=$1 sf=$2; shift 2
-    echo "== gate: $label-world differential @ $(basename "$sf") =="
-    sbt -batch "runMain $1 $sf /tmp/gate_${label}world" \
-      > "/tmp/gate_${label}gen.log" 2>&1 \
-      || { tail -30 "/tmp/gate_${label}gen.log"; echo "GATE FAIL: $label world gen"; exit 1; }
-    sbt -batch "runMain graft.Verify /tmp/gate_${label}world /tmp/gate_v$label" \
-      > "/tmp/gate_v$label.log" 2>&1 \
-      || { tail -30 "/tmp/gate_v$label.log"; echo "GATE FAIL: Verify on $label world"; exit 1; }
-    python3 tools/check.py "/tmp/gate_${label}world" "/tmp/gate_v$label" --unordered | tail -2
-    python3 tools/check.py "/tmp/gate_${label}world" "/tmp/gate_v$label" --unordered | tail -1 \
-      | grep -q " 0 fail" \
-      || { echo "GATE FAIL: $label-world oracle mismatch"; exit 1; }
-  }
-  run_world_at skew /root/testdata/sf0.1 graft.tools.SkewWorld
+  run_world skew /root/testdata/sf0.1 graft.tools.SkewWorld
 fi
 
 echo "== gate: Bench contract smoke @ sf0.001 =="
