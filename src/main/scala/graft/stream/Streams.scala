@@ -172,6 +172,80 @@ object Streams extends QueryPack {
     spark.table(name)
   }
 
+  /** Schema of a staged 3-file event replay (see [[eventReplayStage]]). */
+  private val replaySchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("us", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Pinned 3-batch event replay — the staging that makes STATEFUL
+    * streamers DuckDB-oracle-able (the stream_anomaly pattern, shared
+    * since round 13 by stream_stateful / stream_tws / stream_watermark):
+    * the whole events fixture is split into three consecutive
+    * (ts, event_id) ranges, one file per micro-batch (pinned mtimes fix
+    * the consumption order under maxFilesPerTrigger=1), so cross-batch
+    * arrival order EQUALS event-time order, deterministically — the
+    * premise every replay oracle states. A production deployment
+    * documents its broker's per-key ordering guarantee the same way.
+    *
+    * With `plantDupes` the stage additionally RE-DELIVERS, in batch
+    * k+1, every batch-k row whose event time lies within 9 minutes of
+    * that batch's maximum — i.e. strictly inside the 10-minute
+    * watermark horizon at the batch boundary. Those duplicates are
+    * exactly what `dropDuplicatesWithinWatermark` guarantees to
+    * eliminate (their dedup keys are still in state, their event times
+    * are above the watermark), so the correct drained result equals
+    * the dupe-free batch query: the planted rows contribute zero, and
+    * a broken dedup inflates counts and fails the differential. */
+  private def eventReplayStage(s: SparkSession, dir: String,
+                               prefix: String = "graft_stream_replay",
+                               plantDupes: Boolean = false): String =
+    stagedOnce(prefix, dir) { stage =>
+      import s.implicits._
+      val ev = graft.io.Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .select($"event_id", $"us", $"user_id", $"event_type", $"value")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"us".asc, $"event_id".asc)
+      val split = ev.withColumn("part", ntile(3).over(w))
+      val parts =
+        if (!plantDupes) split
+        else {
+          val mx = split.groupBy($"part").agg(max($"us").as("mx")) // 3 rows
+          val dupes = split.join(broadcast(mx), "part")
+            .where($"part" < 3 && $"us" > $"mx" - lit(9L * 60 * 1000000L))
+            .drop("mx")
+            .withColumn("part", $"part" + 1)
+          split.unionByName(dupes)
+        }
+      (1 to 3).foreach { i =>
+        val tmp = s"$stage/w$i"
+        parts.where($"part" === i).drop("part")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$stage/f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        ()
+      }
+    }
+
+  /** readStream over a staged replay: one file per micro-batch. */
+  private def replayStream(s: SparkSession, stage: String): DataFrame =
+    s.readStream.schema(replaySchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*.parquet")
+
+  /** Shared DuckDB twin of the per-user rollup final state
+    * (stream_stateful AND stream_tws — the two state APIs must agree
+    * with the batch GROUP BY and therefore with each other). */
+  private val userRollupOracle: String =
+    s"""SELECT user_id, count(*) AS n,
+      |  ${graft.util.Det.sqlSumMoney("value")} AS val_sum,
+      |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** foreachBatch upsert sink: merge each micro-batch into a parquet
     * "warehouse" path, last-writer-wins per key. Streaming's built-in
     * file sink is APPEND-only; upserting an Update-mode aggregate into
@@ -287,34 +361,66 @@ object Streams extends QueryPack {
       s.read.parquet(path).orderBy($"user_id")
     }
 
-  /** Watermarked tumbling windows + in-watermark dedup: late data
-    * beyond 10 min is dropped, duplicate event_ids inside the
-    * watermark are deduped before aggregation. */
+  /** Watermarked tumbling windows + in-watermark dedup over a pinned
+    * 3-batch replay that RE-DELIVERS in-horizon duplicates (see
+    * [[eventReplayStage]] plantDupes). Oracled since round 13: the
+    * planted dupes' keys are still in dedup state and their event
+    * times above the watermark when they re-arrive, so a correct
+    * `dropDuplicatesWithinWatermark` eliminates every one and the
+    * final counts equal the plain batch GROUP BY over the ORIGINAL
+    * events — which is exactly the DuckDB twin; an admission bug
+    * inflates a window's count and hash-fails. Update-mode drain
+    * emits one version per (window, type) per touching batch; counts
+    * only grow, so max(n) per key is the final state. */
   def streamWatermark(s: SparkSession, dir: String): DataFrame =
     graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
-      val agg = eventStream(s, dir)
+      val stage = eventReplayStage(s, dir, "graft_stream_wm", plantDupes = true)
+      val agg = replayStream(s, stage)
+        .withColumn("ts", timestamp_micros($"us"))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy(window($"ts", "15 minutes"), $"event_type")
         .agg(count(lit(1)).as("n"))
         .select($"window.start".as("w_start"), $"event_type", $"n")
       drain(agg, "graft_stream_watermark", OutputMode.Update())
+        .groupBy($"w_start", $"event_type").agg(max($"n").as("n"))
         .orderBy($"w_start", $"event_type")
     }
 
+  /** Final drained state of a multi-version Update-mode user rollup:
+    * each key's row count n strictly increases across its emitted
+    * versions (every emission follows >= 1 new row), so the max-n
+    * version IS the final state — a deterministic finalization with
+    * no timestamp or arrival-order tiebreak needed. */
+  private def lastUserVersion(drained: DataFrame): DataFrame = {
+    val s = drained.sparkSession
+    import s.implicits._
+    drained.groupBy($"user_id")
+      .agg(max_by(struct($"n", $"val_sum", $"first_us", $"last_us"), $"n")
+        .as("f"))
+      .select($"user_id", $"f.n".as("n"), $"f.val_sum".as("val_sum"),
+              $"f.first_us".as("first_us"), $"f.last_us".as("last_us"))
+      .orderBy($"user_id")
+  }
+
   /** Custom per-key state via flatMapGroupsWithState: running count /
-    * exact sum / first / last per user. State updates are commutative
-    * + associative, so results are identical under any input order. */
+    * exact sum / first / last per user, over the pinned 3-batch replay.
+    * Oracled since round 13: state updates are commutative + associative
+    * (count, exact integer cents, min/max), so the final per-user state
+    * equals the batch GROUP BY under ANY batch split — and the staged
+    * replay makes the run genuinely multi-batch, so the differential
+    * exercises cross-batch state merge, not just a single-drain
+    * degenerate. Finalization per [[lastUserVersion]]. */
   def streamStateful(s: SparkSession, dir: String): DataFrame =
     graft.config.Sessions.withStreamStatePartitions(s) {
     import s.implicits._
     // value-less events carry nothing to roll up; dropped BEFORE the
     // tuple encoder, whose primitive Long field (rightly) asserts
     // non-null rather than silently coercing to 0 cents
-    val typed = eventStream(s, dir)
+    val typed = replayStream(s, eventReplayStage(s, dir))
       .where($"value".isNotNull)
-      .select($"user_id", unix_micros($"ts").as("us"),
+      .select($"user_id", $"us",
               (round($"value" * 100)).cast("long").as("cents"))
       .as[(Long, Long, Long)]
     val out = typed.groupByKey(_._1)
@@ -329,15 +435,18 @@ object Streams extends QueryPack {
           state.update(st)
           Iterator(UserSummary(uid, st.n, st.cents.toDouble / 100, st.minTs, st.maxTs))
       }
-    drain(out.toDF(), "graft_stream_stateful", OutputMode.Update())
-      .orderBy($"user_id")
+    lastUserVersion(
+      drain(out.toDF(), "graft_stream_stateful", OutputMode.Update()))
     }
 
   /** Same rollup via Spark 4.x transformWithState (the arbitrary-state
     * successor to flatMapGroupsWithState): typed ValueState per key,
     * RocksDB state store (the provider transformWithState requires —
     * also the right choice at scale: state lives off-heap/on-disk with
-    * changelog checkpointing instead of full in-memory maps). */
+    * changelog checkpointing instead of full in-memory maps). Oracled
+    * since round 13 on the same commutative-state argument as
+    * [[streamStateful]] (shared oracle, shared finalization), so the
+    * differential also pins the two state APIs EQUAL to each other. */
   def streamTws(s: SparkSession, dir: String): DataFrame =
     graft.config.Sessions.withStreamStatePartitions(s) {
     import s.implicits._
@@ -345,17 +454,17 @@ object Streams extends QueryPack {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val typed = eventStream(s, dir)
+      val typed = replayStream(s, eventReplayStage(s, dir))
         .where($"value".isNotNull) // see streamStateful: encoder contract
-        .select($"user_id", unix_micros($"ts").as("us"),
+        .select($"user_id", $"us",
                 (round($"value" * 100)).cast("long").as("cents"))
         .as[(Long, Long, Long)]
       val out = typed.groupByKey(_._1)
         .mapValues(r => (r._2, r._3))
         .transformWithState(new UserRollupProcessor,
           TimeMode.None(), OutputMode.Update())
-      drain(out.toDF(), "graft_stream_tws", OutputMode.Update())
-        .orderBy($"user_id")
+      lastUserVersion(
+        drain(out.toDF(), "graft_stream_tws", OutputMode.Update()))
     } finally prev match {
       case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -789,32 +898,10 @@ object Streams extends QueryPack {
   def streamAnomaly(s: SparkSession, dir: String): DataFrame =
     graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
-      val stage = stagedOnce("graft_stream_anomaly", dir) { stage =>
-        val ev = graft.io.Tables.events(s, dir)
-          .withColumn("us", unix_micros($"ts".cast("timestamp")))
-          .select($"event_id", $"us", $"user_id", $"value")
-        // three consecutive (ts, event_id)-range files: cross-batch
-        // arrival order == event-time order (the oracle's premise)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy($"us".asc, $"event_id".asc)
-        val split = ev.withColumn("part", ntile(3).over(w))
-        (1 to 3).foreach { i =>
-          val tmp = s"$stage/w$i"
-          split.where($"part" === i).drop("part")
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(s"$stage/f$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(1700000000000L + i * 60000L)
-          ()
-        }
-      }
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("us", LongType),
-        StructField("user_id", LongType), StructField("value", DoubleType)))
-      val verdicts = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*.parquet")
+      // shared pinned replay (see eventReplayStage): three consecutive
+      // (ts, event_id)-range files — cross-batch arrival order ==
+      // event-time order, the oracle's premise
+      val verdicts = replayStream(s, eventReplayStage(s, dir))
         .where($"value".isNotNull) // see streamStateful: encoder contract
         .select($"user_id", $"us", $"event_id",
                 round($"value" * 100).cast("long").as("cents"))
@@ -863,13 +950,32 @@ object Streams extends QueryPack {
     "stream_slide_rs" -> (streamSlideRs _),
     "stream_join" -> (streamJoin _))
 
-  // Watermark/state queries have no SQL twin and are verified by
-  // StreamsSpec against batch equivalents. Two exceptions can be
-  // oracled because a single-file drain runs as ONE micro-batch
-  // (watermark eviction only drops state across batches): the INNER
-  // interval join emits every match, and the session aggregation
-  // emits every fully-merged session — both equal their batch twins.
+  // Stateful streamers are oracled through the pinned 3-batch replay
+  // (eventReplayStage): arrival order is deterministic, state
+  // transitions are commutative or at-arrival-final, so the drained
+  // final state has an exact batch SQL twin. The remaining no-oracle
+  // rows (stream_dedup_near, _ooo) emit per-ARRIVAL verdicts whose
+  // xxhash64-seeded MinHash banding DuckDB cannot reproduce; they are
+  // spec-verified streaming==batch instead. Single-file-drain queries
+  // (one micro-batch) are oracled by their batch twins directly.
   def oracle: Map[String, String] = Map(
+    // pinned replay + re-delivered in-horizon duplicates: correct
+    // dropDuplicatesWithinWatermark admits each event_id once, so the
+    // final counts equal the batch GROUP BY over the ORIGINAL events
+    // (planted dupes contribute zero; an admission bug inflates n)
+    "stream_watermark" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) AS w_start,
+        |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // commutative per-user state (count, exact cents, min/max ts) =>
+    // final streaming state equals batch GROUP BY under any batch
+    // split; value-less events are dropped on both sides (they carry
+    // nothing to roll up — see streamStateful's encoder note)
+    "stream_stateful" -> userRollupOracle,
+    // same oracle as stream_stateful BY DESIGN: the differential also
+    // pins flatMapGroupsWithState == transformWithState on real data
+    "stream_tws" -> userRollupOracle,
     // stream-static joins are STATELESS: the drained Complete-mode
     // aggregate equals batch join + GROUP BY under any batch split
     "stream_enrich" ->

@@ -39,5 +39,5 @@ class QueriesSmokeSpec extends AnyFunSuite {
   * same constant instead of a drifting copy. */
 object QueriesSmokeSpec {
   val DeclaredQueries = 237
-  val DeclaredOracles = 210
+  val DeclaredOracles = 213
 }
