@@ -43,6 +43,23 @@ object Bench {
   val ContentionFactor = 2.0
   val ContentionMinRefSec = 0.2
 
+  /** Cooldown before the self-adjudication pass (below): long enough
+    * for a transient host-neighbor burst to move on, short enough not
+    * to dominate the run. */
+  val RecheckCooldownMs = 10000L
+
+  /** Every reference-covered, non-erroring query whose billed time
+    * breaches [[ContentionFactor]]× its committed clean time, worst
+    * ratio first — the single definition both the render annotation
+    * and main's recheck pass share. */
+  def overRefOf(results: Seq[(String, Double, Option[String])],
+                ref: Map[String, Double]): Seq[(String, Double)] =
+    results.collect {
+      case (n, t, None) if ref.get(n)
+          .exists(r => r >= ContentionMinRefSec && t > ContentionFactor * r) =>
+        n -> t / ref(n)
+    }.sortBy(-_._2)
+
   /** Longest run of consecutive (in the given order) non-erroring
     * queries whose time exceeds ContentionFactor× the reference. */
   def contentionStreak(results: Seq[(String, Double, Option[String])],
@@ -91,7 +108,8 @@ object Bench {
     * unit-testable without a Spark session. */
   def render(results: Seq[(String, Double, Option[String])], sfDir: String,
              fullPath: String,
-             refTimes: Map[String, Double] = Map.empty): (String, String) = {
+             refTimes: Map[String, Double] = Map.empty,
+             recheck: Map[String, Double] = Map.empty): (String, String) = {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val streak = contentionStreak(results, refTimes)
     val suspect = streak >= ContentionStreak
@@ -102,11 +120,28 @@ object Bench {
     // mechanically — a stream_* name here is billed min-of-2 ALREADY
     // and its swing is state-store replay noise; a batch name here at
     // a stable ratio across rounds is a real regression.
-    val overRef = results.collect {
-      case (n, t, None) if refTimes.get(n)
-          .exists(r => r >= ContentionMinRefSec && t > ContentionFactor * r) =>
-        n -> t / refTimes(n)
-    }.sortBy(-_._2)
+    val overRef = overRefOf(results, refTimes)
+    // Self-adjudication (round-12 judge item): main re-measures every
+    // breached query after a cooldown (min-of-2, same JVM) and the
+    // verdict ships in-band — "cleared" means the isolated re-run lands
+    // back inside the 2× bound, i.e. the original breach was the box,
+    // not the plan. An un-cleared entry is the actionable kind. The
+    // billed `value`/`queries` keep the ORIGINAL timings: the recheck
+    // adjudicates flags, it never rewrites the bill.
+    val billed = results.map(r => r._1 -> r._2).toMap
+    val recheckRows = overRef.flatMap { case (n, _) =>
+      recheck.get(n).map { t2 =>
+        (n, billed(n), t2, t2 / refTimes(n), t2 <= ContentionFactor * refTimes(n))
+      }
+    }
+    val nCleared = recheckRows.count(_._5)
+    // uncleared first (the actionable kind), each worst-ratio first
+    val recheckOrdered = recheckRows.sortBy { case (_, _, _, r2, ok) => (ok, -r2) }
+    def recheckJson(maxEntries: Int): String = recheckOrdered.take(maxEntries)
+      .map { case (n, t1, t2, r2, ok) =>
+        "\"" + n + "\":{\"bench\":" + fmt(t1) + ",\"recheck\":" + fmt(t2) +
+          ",\"recheck_ratio\":" + fmt(r2) + ",\"cleared\":" + ok + "}"
+      }.mkString("{", ",", "}")
     // stdout shows the worst few only (a contended box could breach
     // 100+ queries and overflow the driver's tail window); the full
     // file carries every breach
@@ -125,30 +160,36 @@ object Bench {
     // drain lands in `value`; batch queries are single-shot. See
     // BASELINE.md for the rationale (non-reusable per-start state-store
     // costs carry ±30% noise unrelated to the plan).
-    def head(qs: String, omitted: Int, errs: String, over: String): String =
+    def head(qs: String, omitted: Int, errs: String, over: String,
+             rechk: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""contention_suspect":$suspect,"contention_streak":$streak,""" +
       s""""n_over_ref":${overRef.size},"over_ref":$over,""" +
+      s""""n_contention_cleared":$nCleared,"recheck":$rechk,""" +
       s""""streaming_policy":"readStream: one untimed pre-warm drain, then min of 2 drains, 2nd excluded",""" +
       s""""heavy_policy":"batch first-run >= ${fmt(HeavyRerunThresholdSec)}s: min of 2 runs, 2nd excluded","queries":$qs,""" +
       s""""queries_omitted":$omitted,"full":"$fullPath","errors":$errs,"n_err":$nErr,"sf":"$sfDir"}"""
     val full = head(results.sortBy(_._1).map(entry).mkString("{", ",", "}"), 0,
-      errJson(Int.MaxValue), overRefJson(Int.MaxValue))
+      errJson(Int.MaxValue), overRefJson(Int.MaxValue), recheckJson(Int.MaxValue))
     // stdout: slowest-first, greedily packed under the budget; the fast
     // tail (sub-second queries) is what gets omitted, and the count of
     // omissions is declared in-band. Errors are capped at 3 on stdout
     // and breach annotations at 5 (full file keeps all) so a mass
     // failure or a fully contended box can't overflow the line.
+    // stdout recheck summary: capped at 3 entries, uncleared (the
+    // actionable kind) first; n_contention_cleared carries the count
+    // either way and the durable file keeps every recheck object
     val stdoutErrs = errJson(3)
     val stdoutOver = overRefJson(5)
+    val stdoutRechk = recheckJson(3)
     val bySlow = results.sortBy(-_._2)
-    var used = head("{}", results.size, stdoutErrs, stdoutOver).length
+    var used = head("{}", results.size, stdoutErrs, stdoutOver, stdoutRechk).length
     val kept = bySlow.takeWhile { kv =>
       val len = entry(kv).length + 1
       if (used + len <= StdoutBudget) { used += len; true } else false
     }
     val line = head(kept.sortBy(_._1).map(entry).mkString("{", ",", "}"),
-      results.size - kept.size, stdoutErrs, stdoutOver)
+      results.size - kept.size, stdoutErrs, stdoutOver, stdoutRechk)
     (line, full)
   }
 
@@ -216,7 +257,32 @@ object Bench {
         else (t1, e1)
       (name, t, err)
     }
-    val (line, full) = render(results, sfDir, fullPath, refTimes)
+    // Self-adjudication (round-12 judge item): the driver's r12 window
+    // produced 46 over_ref flags that only a judge's hand re-runs could
+    // clear as host contention. Re-measure every flagged query in the
+    // same (already warm) JVM after a cooldown, min-of-2, and let
+    // render ship the per-query cleared/uncleared verdict in-band — a
+    // contended window adjudicates itself. Recheck wall-clock is spent
+    // only when flags exist; a clean run pays nothing.
+    val flagged = overRefOf(results, refTimes).map(_._1)
+    val recheck: Map[String, Double] =
+      if (flagged.isEmpty) Map.empty
+      else {
+        Thread.sleep(RecheckCooldownMs)
+        flagged.flatMap { name =>
+          def once(): Option[Double] = {
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(name)(spark, sfDir).count()
+                  Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
+          }
+          (once(), once()) match {
+            case (Some(a), Some(b)) => Some(name -> math.min(a, b))
+            case (a, b)             => a.orElse(b).map(name -> _)
+          }
+        }.toMap
+      }
+    val (line, full) = render(results, sfDir, fullPath, refTimes, recheck)
     Files.writeString(Paths.get(fullPath), full)
     println(line)
     spark.stop()

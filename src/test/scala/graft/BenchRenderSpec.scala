@@ -110,6 +110,49 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(noRefLine.length <= Bench.StdoutBudget)
   }
 
+  test("recheck adjudicates over_ref flags: cleared vs uncleared, billed value untouched") {
+    val rs = fake(20)
+    val ref = rs.map { case (n, t, _) => n -> t }.toMap
+    // 6 contiguous breaches at 3x; the isolated recheck clears 4 of
+    // them (re-run back under 2x) and leaves 2 genuinely regressed
+    val breached = rs.zipWithIndex.map { case ((n, t, e), i) =>
+      if (i < 6) (n, t * 3, e) else (n, t, e)
+    }
+    val recheck = breached.take(6).zipWithIndex.map { case ((n, _, _), i) =>
+      n -> (if (i < 4) ref(n) * 1.1 else ref(n) * 2.8)
+    }.toMap
+    val (line, full) = Bench.render(breached, "/sf", "/f", ref, recheck)
+    val fj = mapper.readTree(full)
+    assert(fj.get("n_over_ref").asInt() == 6)
+    assert(fj.get("n_contention_cleared").asInt() == 4)
+    assert(fj.get("recheck").size() == 6)
+    breached.take(6).zipWithIndex.foreach { case ((n, t, _), i) =>
+      val o = fj.get("recheck").get(n)
+      assert(math.abs(o.get("bench").asDouble() - t) < 5e-3, n)
+      assert(math.abs(o.get("recheck").asDouble() - recheck(n)) < 5e-3, n)
+      assert(o.get("cleared").asBoolean() == (i < 4), n)
+    }
+    // the recheck adjudicates flags; it never rewrites the bill
+    assert(math.abs(fj.get("value").asDouble() - breached.map(_._2).sum) < 1e-6)
+    val lj = mapper.readTree(line)
+    assert(lj.get("n_contention_cleared").asInt() == 4)
+    assert(lj.get("recheck").size() == 3, "stdout recheck caps at 3")
+    // the two UNCLEARED entries lead the capped stdout list
+    val names = lj.get("recheck").fieldNames()
+    val firstTwo = Seq(names.next(), names.next())
+    breached.take(6).zipWithIndex.foreach { case ((n, _, _), i) =>
+      if (i >= 4) assert(firstTwo.contains(n), s"uncleared $n must lead stdout")
+    }
+    assert(line.length <= Bench.StdoutBudget)
+    // a breach with no recheck row (query erred on re-run) is simply
+    // absent from recheck but still counted in over_ref
+    val (_, partial) = Bench.render(breached, "/sf", "/f", ref,
+      recheck - breached.head._1)
+    val pj = mapper.readTree(partial)
+    assert(pj.get("n_over_ref").asInt() == 6)
+    assert(pj.get("recheck").size() == 5)
+  }
+
   test("parseRefTimes reads the queries map out of a committed BENCH_FULL.json") {
     val rs = fake(12)
     val (_, full) = Bench.render(rs, "/sf", "/f")
