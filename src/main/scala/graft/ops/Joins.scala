@@ -19,6 +19,46 @@ import graft.util.Det._
   */
 object Joins extends QueryPack {
 
+  /** Hot-basket document-frequency cap for co-purchase pair
+    * generation — the graph twin of `TextOps.hotShingleCap`, found the
+    * same way (the round-13 skew world plants one orderkey holding
+    * ~20% of lineitem; the uncapped per-order pair expansion on that
+    * basket is C(1.2M, 2) ≈ 7×10¹¹ pairs at sf1.0, and the in-row
+    * array HOF OOMs long before that). A basket (order — or (order,
+    * brand) block for the jaccard scorer) with more than this many
+    * DISTINCT parts is excluded from pair generation entirely: at
+    * that size it is an aggregation artifact (bot traffic, wholesale
+    * consolidation, a skewed key), not co-purchase signal, and its
+    * pair space is quadratic by definition. Mirrored verbatim in the
+    * DuckDB oracles (graph_degree / graph_jaccard / graph_triangles)
+    * and in the graph_cc union-find spec reference, so the capped
+    * SEMANTICS are checked on the skew world where the cap does real
+    * work — the same discipline as the shingle cap. 1024 caps the
+    * per-basket in-row expansion at ~524k pair structs (~8 MB), and
+    * is a >100× margin over any clean-world basket (≤ ~7 parts). */
+  val hotBasketCap = 1024
+
+  /** Hub cut for graph_jaccard's wedge enumeration — the second
+    * quadratic hole the round-13 skew world exposed. The basket cap
+    * above bounds pair GENERATION, but a hot basket that stays under
+    * it (the planted order spreads ~800 distinct parts per (order,
+    * brand) block) — or ordinary popularity accumulated across MANY
+    * small baskets, which no basket cap can see — turns every one of
+    * its parts into a hub, and the wedge join's pair space is
+    * Σ_w deg(w)² over shared neighbors w: ~800² × 20k parts ≈ 10¹⁰
+    * wedges on that world (measured: the un-cut join ground 4 tasks
+    * ×12+ min before being killed). The cut: wedges enumerate only at
+    * shared neighbors with within-brand degree ≤ this cap, while the
+    * Jaccard DENOMINATORS keep exact uncut degrees — so intersection
+    * counts exclude mega-hub co-neighbors but set sizes don't, and a
+    * pair must share RARE neighbors to surface. This is the standard
+    * recommender trade (a shared ultra-popular item is noise, not
+    * affinity) and exactly the df-cap/set-size split dedup_ngram
+    * already pins. Mirrored verbatim in the DuckDB oracle. 256 bounds
+    * per-neighbor wedge work at 65k pairs and sits far above any
+    * clean-world within-brand degree (~tens). */
+  val hubNeighborCap = 256
+
   /** Dim join with tiny build sides → BroadcastHashJoinExec. */
   def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -246,6 +286,7 @@ object Joins extends QueryPack {
     val pairs = li
       .groupBy($"l_orderkey")
       .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .where(size($"ps") <= hotBasketCap)
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
@@ -288,6 +329,7 @@ object Joins extends QueryPack {
     t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
       .groupBy($"l_orderkey")
       .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .where(size($"ps") <= hotBasketCap)
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
@@ -330,6 +372,7 @@ object Joins extends QueryPack {
     t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
       .groupBy($"l_orderkey")
       .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .where(size($"ps") <= hotBasketCap)
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> concat(" +
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS v, y AS w)), " +
@@ -348,7 +391,9 @@ object Joins extends QueryPack {
     * bought Y" candidate scorer, blocked the way production
     * recommenders actually run it (within a category, because
     * cross-category overlap is noise and the unblocked wedge space is
-    * quadratic in the hubs). Candidates come from a WEDGE equi-join
+    * quadratic in the hubs — which is also why wedges only enumerate
+    * at shared neighbors under [[hubNeighborCap]]; denominators keep
+    * exact degrees). Candidates come from a WEDGE equi-join
     * on (brand, shared neighbor) — never an all-pairs product — so
     * the pair space is Σ_brand Σ_w deg_w², bounded by the category
     * partitioning at any scale (measured: 230k wedge pairs at sf0.1
@@ -372,6 +417,7 @@ object Joins extends QueryPack {
       .join(broadcast(brand), $"l_partkey" === $"p_partkey")
       .groupBy($"l_orderkey", $"p_brand")
       .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .where(size($"ps") <= hotBasketCap)
       .select($"p_brand".as("brand"), explode(expr(
         "flatten(transform(ps, (x, i) -> " +
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
@@ -388,8 +434,13 @@ object Joins extends QueryPack {
     val adj = e.select($"brand", $"a".as("x"), $"b".as("w"))
       .unionByName(e.select($"brand", $"b".as("x"), $"a".as("w")))
     val sdeg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))
-    val inter = adj.select($"brand", $"x".as("pa"), $"w")
-      .join(adj.select($"brand", $"x".as("pb"), $"w"), Seq("brand", "w"))
+    // hub cut (see hubNeighborCap): wedges enumerate only at non-hub
+    // shared neighbors; sdeg keeps exact degrees for the denominators
+    val adjW = adj
+      .join(sdeg.select($"x".as("w"), $"deg".as("wdeg")), Seq("w"))
+      .where($"wdeg" <= hubNeighborCap)
+    val inter = adjW.select($"brand", $"x".as("pa"), $"w")
+      .join(adjW.select($"brand", $"x".as("pb"), $"w"), Seq("brand", "w"))
       .where($"pa" < $"pb")
       .groupBy($"pa", $"pb").agg(count(lit(1)).as("inter"))
     inter
@@ -606,6 +657,7 @@ object Joins extends QueryPack {
     val pairs = li
       .groupBy($"l_orderkey")
       .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
+      .where(size($"ps") <= hotBasketCap)
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
@@ -742,27 +794,33 @@ object Joins extends QueryPack {
     "graph_degree" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem),
+        |ok AS (SELECT o FROM lp GROUP BY o HAVING count(*) <= 1024),
+        |lps AS (SELECT lp.o, lp.p FROM lp JOIN ok USING (o)),
         |e AS (SELECT DISTINCT l.p AS a, r.p AS b
-        |      FROM lp l JOIN lp r ON l.o = r.o AND l.p < r.p),
+        |      FROM lps l JOIN lps r ON l.o = r.o AND l.p < r.p),
         |d AS (SELECT v, count(*) AS deg
         |      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
         |      GROUP BY v)
         |SELECT deg, count(*) AS n_nodes FROM d
         |GROUP BY deg ORDER BY deg""".stripMargin,
     "graph_jaccard" ->
-      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |e0 AS (SELECT DISTINCT l.p AS a, r.p AS b
-        |       FROM lp l JOIN lp r ON l.o = r.o AND l.p < r.p),
-        |e AS (SELECT a, b, pa.p_brand AS brand FROM e0
-        |      JOIN part pa ON a = pa.p_partkey
-        |      JOIN part pb ON b = pb.p_partkey
-        |      WHERE pa.p_brand = pb.p_brand),
+      """WITH lpb AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p,
+        |                    p_brand AS brand
+        |             FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ok AS (SELECT o, brand FROM lpb
+        |       GROUP BY o, brand HAVING count(*) <= 1024),
+        |lps AS (SELECT lpb.o, lpb.p, lpb.brand
+        |        FROM lpb JOIN ok USING (o, brand)),
+        |e AS (SELECT DISTINCT l.p AS a, r.p AS b, l.brand
+        |      FROM lps l JOIN lps r
+        |        ON l.o = r.o AND l.brand = r.brand AND l.p < r.p),
         |adj AS (SELECT brand, a AS x, b AS w FROM e
         |        UNION ALL SELECT brand, b AS x, a AS w FROM e),
         |sd AS (SELECT x, count(*) AS deg FROM adj GROUP BY x),
+        |adjw AS (SELECT adj.brand, adj.x, adj.w FROM adj
+        |         JOIN sd ON adj.w = sd.x WHERE sd.deg <= 256),
         |i AS (SELECT l.x AS pa, r.x AS pb, count(*) AS inter
-        |      FROM adj l JOIN adj r
+        |      FROM adjw l JOIN adjw r
         |        ON l.w = r.w AND l.brand = r.brand AND l.x < r.x
         |      GROUP BY 1, 2)
         |SELECT pa, pb, inter,
@@ -830,13 +888,15 @@ object Joins extends QueryPack {
     // only: the oracle samples the same edges (same hash) and counts
     // triangles with the naive three-way edge join
     "graph_triangles" ->
-      """WITH e AS (
-        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
-        |                  greatest(a.l_partkey, b.l_partkey) AS b
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  WHERE substr(md5(CAST(least(a.l_partkey, b.l_partkey) AS VARCHAR)
-        |          || '_' || CAST(greatest(a.l_partkey, b.l_partkey) AS VARCHAR)),
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |ok AS (SELECT o FROM lp GROUP BY o HAVING count(*) <= 1024),
+        |lps AS (SELECT lp.o, lp.p FROM lp JOIN ok USING (o)),
+        |e AS (
+        |  SELECT DISTINCT l.p AS a, r.p AS b
+        |  FROM lps l JOIN lps r ON l.o = r.o AND l.p < r.p
+        |  WHERE substr(md5(CAST(l.p AS VARCHAR)
+        |          || '_' || CAST(r.p AS VARCHAR)),
         |        1, 2) < '40')
         |SELECT
         |  (SELECT count(*) FROM (SELECT a FROM e UNION SELECT b FROM e)) AS n_vertices_sampled,

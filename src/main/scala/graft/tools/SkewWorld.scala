@@ -20,8 +20,20 @@ import org.apache.spark.sql.functions._
   *  - **hot user**: ~1 in 5 events re-keyed to user 1, the classic
   *    power-law key for user-partitioned windows, sessionization and
   *    grouped top-k.
+  *  - **hot join keys** (round 13): ~1 in 5 lineitem rows re-keyed to
+  *    the smallest existing l_orderkey, and ~1 in 5 orders re-keyed to
+  *    the smallest existing o_custkey — one key holding ~20% of the
+  *    fact on each side of the orders⋈lineitem / customer⋈orders
+  *    shuffle joins (join_shuffle, join_multiway, the TPC-H family).
+  *    The hot keys are EXISTING keys (FK validity preserved); the
+  *    selector hashes the full (orderkey, linenumber) / orderkey row
+  *    identity so the plant is pure column arithmetic. This is the
+  *    join-side twin of the shingle plant: the skew the df-cap bounds
+  *    for text, AQE's skew-join split and join_skew_salted's explicit
+  *    salting must bound for joins (measured by graft.tools.SkewProbe;
+  *    numbers in BASELINE.md's round-13 probe section).
   *
-  * Both plants are pure column arithmetic (same rows every run), so
+  * All plants are pure column arithmetic (same rows every run), so
   * the DuckDB differential runs on the identical world: the oracles
   * mirror the df-cap, which means correctness-under-cap is CHECKED
   * where the cap actually bites, not just where it is a no-op.
@@ -39,7 +51,12 @@ object SkewWorld {
      "or availability please consult the official source before " +
      "acting on the contents hereof thank you")
 
-  def write(spark: SparkSession, src: String, dst: String): Unit =
+  def write(spark: SparkSession, src: String, dst: String): Unit = {
+    // hot join keys must be EXISTING keys so every FK stays valid
+    val hotOrderKey = spark.read.parquet(s"$src/orders.parquet")
+      .agg(min(col("o_orderkey"))).head().getLong(0)
+    val hotCustKey = spark.read.parquet(s"$src/customer.parquet")
+      .agg(min(col("c_custkey"))).head().getLong(0)
     NullWorld.tables.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val out = t match {
@@ -52,10 +69,23 @@ object SkewWorld {
           df.withColumn("user_id",
             when(pmod(xxhash64(col("event_id")), lit(5)) === 0, lit(1L))
               .otherwise(col("user_id")))
+        case "lineitem" =>
+          // the selector hashes the composite row identity, not just
+          // the orderkey, so ~20% of ROWS (not of orderkeys) move
+          df.withColumn("l_orderkey",
+            when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+                      lit(5)) === 0, lit(hotOrderKey))
+              .otherwise(col("l_orderkey")))
+        case "orders" =>
+          df.withColumn("o_custkey",
+            when(pmod(xxhash64(col("o_orderkey")), lit(5)) === 0,
+              lit(hotCustKey))
+              .otherwise(col("o_custkey")))
         case _ => df
       }
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = graft.config.Sessions.local(

@@ -374,6 +374,7 @@ class OperatorSpec extends AnyFunSuite {
       .select($"l_orderkey", $"l_partkey")
     val edges = li.groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
+      .where(size($"ps") <= graft.ops.Joins.hotBasketCap) // mirrors the query's basket cap
       .select(explode($"ps").as("a"), $"ps")
       .select($"a", explode($"ps").as("b")).where($"a" < $"b")
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
