@@ -33,21 +33,45 @@ import graft.util.Det._
   */
 object SkewProbe {
 
-  private def timeOnce(mk: () => DataFrame): (Double, Boolean) = {
+  private def timeOnce(label: String, world: String,
+                       mk: () => DataFrame): (Double, Boolean) = {
     val df = mk()
+    // execute THIS DataFrame's own plan (df.count() would build a
+    // separate QueryExecution, leaving df's AQE plan unexecuted and
+    // its skew markers unreadable) and read the finalized AQE plan
+    val qe = df.queryExecution
     val t0 = System.nanoTime()
-    df.count()
+    qe.toRdd.foreach(_ => ())
     val sec = (System.nanoTime() - t0) / 1e9
-    // final AQE plan: skew-split joins print as "...Join ... (skew=true)"
-    (sec, df.queryExecution.executedPlan.toString.contains("skew=true"))
+    val plan = qe.executedPlan.toString
+    sys.env.get("GRAFT_PROBE_DUMP").foreach { d =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$d/plan_${label}_$world.txt"),
+        plan.getBytes("UTF-8"))
+    }
+    (sec, plan.contains("skew=true"))
   }
 
   private def measure(label: String, world: String, mk: () => DataFrame): Unit = {
-    timeOnce(mk) // warm
-    val runs = Seq(timeOnce(mk), timeOnce(mk))
+    timeOnce(label, world, mk) // warm
+    val runs = Seq(timeOnce(label, world, mk), timeOnce(label, world, mk))
     val sec = runs.map(_._1).min
     val skew = runs.exists(_._2)
     println(f"""{"probe":"$label","world":"$world","sec":$sec%.3f,"skew_split":$skew}""")
+  }
+
+  /** A join with NO key-preserving operator above it: AQE's
+    * OptimizeSkewedJoin refuses to split when the join output's hash
+    * partitioning is required downstream (join_shuffle's groupBy on
+    * the same key — splitting there would force an extra shuffle,
+    * which is what `forceOptimizeSkewedJoin` opts into), so the
+    * engagement demo needs a join whose output feeds only a count. */
+  private def pureJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.io.Tables.t(s, dir, "orders")
+      .join(graft.io.Tables.t(s, dir, "lineitem"),
+            $"o_orderkey" === $"l_orderkey")
+      .select($"l_quantity", $"o_orderstatus")
   }
 
   /** join_skew_salted's oracle twin: the plain join the salting must
@@ -99,10 +123,23 @@ object SkewProbe {
         measure("join_shuffle_smj_aqe_tuned", world,
           () => graft.ops.Joins.joinShuffle(spark, dir)) } }
 
+      // splitting under the same-key agg needs the explicit opt-in
+      noBroadcast(spark) { tuned(spark) { withConf(spark,
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
+        measure("join_shuffle_smj_aqe_forced", world,
+          () => graft.ops.Joins.joinShuffle(spark, dir)) } } }
+
       measure("join_multiway_default", world,
         () => graft.ops.Joins.joinMultiway(spark, dir))
       tuned(spark) { measure("join_multiway_aqe_tuned", world,
         () => graft.ops.Joins.joinMultiway(spark, dir)) }
+
+      // agg-free join: the shape AQE will split without being forced
+      noBroadcast(spark) { measure("pure_join_smj_default", world,
+        () => pureJoin(spark, dir)) }
+      noBroadcast(spark) { tuned(spark) {
+        measure("pure_join_smj_aqe_tuned", world,
+          () => pureJoin(spark, dir)) } }
 
       measure("skew_salted", world,
         () => graft.ops.Joins.joinSkewSalted(spark, dir))
