@@ -237,13 +237,9 @@ object Bench {
     // query's last action its storage is garbage BY DEFINITION —
     // release it synchronously instead of hoping GC gets there first.
     // Runs OUTSIDE the clock: billed time never includes the sweep.
-    def releaseStorage(): Unit = {
-      try {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      } catch { case _: Throwable => () }
-    }
+    def releaseStorage(): Unit =
+      try graft.config.Sessions.releaseQueryStorage(spark)
+      catch { case _: Throwable => () }
     // sorted order: deterministic run sequence, so per-query timings are
     // comparable across rounds
     val streaming = graft.stream.Streams.queries.keySet

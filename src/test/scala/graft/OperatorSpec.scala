@@ -610,6 +610,28 @@ class OperatorSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.stream.statePartitions")
   }
 
+  test("releaseQueryStorage sweeps cached plans + persisted RDDs; session stays usable for new work") {
+    import graft.config.Sessions
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // the iterative-operator pattern: eager checkpoint + a cached plan
+    val ck = (1 to 100).toDF("x").localCheckpoint(true)
+    val cached = ck.select(($"x" * 2).as("y")).cache()
+    assert(cached.count() == 100)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "checkpoint/cache should register persistent RDDs")
+    Sessions.releaseQueryStorage(spark)
+    // non-blocking unpersist: the REGISTRATIONS clear even if block
+    // deletion is async — sweep-visible state is what the bench needs
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cache manager should hold no cached plans after the sweep")
+    // the session stays fully usable for NEW work (the bench's
+    // between-queries contract; re-collecting a swept localCheckpoint
+    // is documented as out of contract — lineage is truncated)
+    assert((1 to 50).toDF("x").agg(org.apache.spark.sql.functions.sum($"x"))
+      .head().getLong(0) == 1275L)
+  }
+
   test("explicit graft partition confs RAISE past the session shuffle setting; defaults only lower") {
     import graft.config.Sessions
     val key = "spark.sql.shuffle.partitions"
