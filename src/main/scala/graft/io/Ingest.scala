@@ -82,9 +82,9 @@ object Ingest extends QueryPack {
     * purpose: a .gz text file is NOT splittable, so one file = one
     * task regardless of size — the landing-zone reality that makes
     * the compact/repartition step (ingest_compact) mandatory before
-    * heavy processing at 100 TB. The fixture text is newline-free, so
-    * the round trip is lossless and the oracle reads the original
-    * table. */
+    * heavy processing at 100 TB. The sink folds embedded line breaks
+    * to spaces (see the inline note), so one doc is always one line
+    * and the oracle reads the original table through the same fold. */
   def ingestText(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val src = Tables.t(s, dir, "documents")
@@ -93,7 +93,15 @@ object Ingest extends QueryPack {
     // sink would silently write a null doc as an EMPTY line, which
     // reads back as one zero-char one-token line — a phantom document.
     // A null payload has no line to land; skip it at the sink.
-    src.select($"text").where($"text".isNotNull).write.mode("overwrite")
+    // It is also LINE-oriented: a doc with an embedded \n or \r would
+    // read back as several documents (Hadoop's LineReader terminates
+    // on LF, CRLF and lone CR alike), silently multiplying the corpus.
+    // Fold each line-break char to a space at the sink — 1:1, so
+    // chars_total is preserved — the standard one-doc-per-line
+    // JSONL/text-corpus writer contract. Caught by the unicode world's
+    // whitespace-only docs ("\n\r" planted mid-text).
+    src.select(regexp_replace($"text", "[\\r\\n]", " ").as("text"))
+      .where($"text".isNotNull).write.mode("overwrite")
       .option("compression", "gzip").text(path)
     s.read.text(path)
       .select(length($"value").as("n_chars"),
@@ -541,9 +549,14 @@ object Ingest extends QueryPack {
     // lossless round trip (fixture text is newline-free) — the oracle
     // derives the same measures from the original table
     "ingest_text" ->
+      // the regexp_replace mirrors the sink's line-break fold (each
+      // \r or \n becomes one space, 1:1): chars_total is unaffected,
+      // but token boundaries change where a break adjoined a space
       """SELECT count(*) AS n_lines,
         |  CAST(sum(length(text)) AS BIGINT) AS chars_total,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total
+        |  CAST(sum(len(string_split(
+        |    regexp_replace(text, '[\r\n]', ' ', 'g'), ' '))) AS BIGINT)
+        |    AS tok_total
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "ingest_evolve" ->
       s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'

@@ -320,8 +320,11 @@ object Multimodal extends QueryPack {
     // the decode itself has no SQL twin, but the header fields are
     // pure arithmetic on doc_id — oracle the whole pipeline anyway.
     "multimodal_decode" ->
+      // media is header + UTF-8 BYTES of text: strlen (byte length),
+      // not length (code points) — they differ on any multibyte char
+      // (unicode-world catch; the clean fixtures are pure ASCII)
       """SELECT doc_id, lang,
-        |  CAST(length(text) + 6 AS INTEGER) AS n_bytes,
+        |  CAST(strlen(text) + 6 AS INTEGER) AS n_bytes,
         |  CAST((doc_id * 37) % 4096 + 16 AS INTEGER) AS width,
         |  CAST((doc_id * 53) % 4096 + 16 AS INTEGER) AS height,
         |  CAST((doc_id * 37) % 4096 + 16 AS BIGINT)
@@ -362,8 +365,10 @@ object Multimodal extends QueryPack {
         |FROM d, g ry, g rx
         |ORDER BY doc_id, ry, rx""".stripMargin,
     "multimodal_framesample" ->
+      // frames are cut from the BYTE payload: strlen, not length
+      // (multibyte text has more bytes than chars — unicode-world catch)
       """WITH f AS (
-        |  SELECT doc_id, CAST(floor(length(text) / 16) AS INT) AS nf
+        |  SELECT doc_id, CAST(floor(strlen(text) / 16) AS INT) AS nf
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, CAST(unnest(generate_series(0, nf - 1)) AS INTEGER) AS frame_no

@@ -234,7 +234,17 @@ object Scalars extends QueryPack {
         |    '?utm_source=feed&lang=' || lang || '&p=' || (doc_id % 7) AS url
         |  FROM documents),
         |x AS (SELECT
-        |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |    -- Spark's parse_url(HOST) rides java.net.URI: the URI
+        |    -- parses, but a host outside the RFC 2396 server-authority
+        |    -- hostname grammar (alphanumeric, '-', '.') yields NULL
+        |    -- while PATH/QUERY still extract. Mirror the validity
+        |    -- gate; no-op on the ASCII clean-world sources. Caught by
+        |    -- the unicode world's non-ASCII source group key.
+        |    CASE WHEN regexp_matches(
+        |           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+        |           '^[A-Za-z0-9.-]+$')
+        |         THEN regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)
+        |         ELSE NULL END AS host,
         |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
         |    regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_q,
         |    regexp_replace(regexp_replace(url, 'utm_[a-z]+=[^&#]*&?', '', 'g'),

@@ -22,13 +22,22 @@ object Udfs extends QueryPack {
     * TextOps.docFingerprint but as a Scala closure. Boxed return so a
     * null document hashes to NULL instead of NPE-ing the task: unlike
     * primitive-typed UDFs, Spark does not auto-skip null inputs for
-    * object-typed (String) parameters. */
+    * object-typed (String) parameters. Iterates Unicode CODE POINTS,
+    * not UTF-16 code units: `charAt` would hash an astral char (emoji)
+    * as two surrogate values — a JVM encoding leak that diverges from
+    * the code-point recurrence every other fingerprint in the engine
+    * (docFingerprint's HOF fold, KGramHashes) and the DuckDB oracle
+    * compute. Caught by the unicode-world differential (round 13). */
   private val polyHash: String => java.lang.Long = { s =>
     if (s == null) null
     else {
       var acc = 0L
       var i = 0
-      while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
       acc
     }
   }
@@ -91,7 +100,15 @@ object Udfs extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "udf_scalar" ->
-      """WITH n AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+      // chr(304) = İ: the one SpecialCasing.txt character the unicode
+      // world plants. Spark lower() applies the FULL Unicode lowercase
+      // mapping (İ → i + U+0307) while DuckDB applies the simple
+      // 1:1 mapping (İ → i); the replace() mirrors the full mapping so
+      // the differential checks the hash recurrence, not the engines'
+      // casing tables. No-op on İ-free text (every clean fixture).
+      """WITH n AS (SELECT doc_id,
+        |  lower(trim(replace(text, chr(304), 'i' || chr(775)))) AS norm
+        |  FROM documents),
         |h AS (SELECT doc_id,
         |  -- NULL on null text, matching the boxed UDF (the
         |  -- list_prepend(0, ...) seed would fold a NULL list to 0)

@@ -872,11 +872,20 @@ object TextOps extends QueryPack {
         |SELECT doc_id, lang, source, n_copies FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
+      // the < 3-word branch spells word_ngrams' documented TOTAL
+      // contract (WordNGrams.scala:27-35): a short doc emits its
+      // all-words gram, not nothing — generate_series alone returns
+      // the empty window and silently drops such docs from the pair
+      // space. Latent until the unicode world planted 1-word docs.
       s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         |ix AS (SELECT doc_id, source, w,
         |         unnest(generate_series(1, len(w) - 2)) AS i FROM w),
-        |sh AS (SELECT DISTINCT doc_id, source,
-        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix),
+        |sh AS (SELECT DISTINCT doc_id, source, sh FROM (
+        |         SELECT doc_id, source,
+        |           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM ix
+        |         UNION ALL
+        |         SELECT doc_id, source, array_to_string(w, ' ') AS sh
+        |         FROM w WHERE len(w) < 3)),
         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
         |shc AS (SELECT s.doc_id, s.source, s.sh FROM sh s
@@ -948,8 +957,14 @@ object TextOps extends QueryPack {
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
+      // chr(304) = İ, the one SpecialCasing.txt char the unicode world
+      // plants: Spark lower() applies the full mapping (İ → i+U+0307),
+      // DuckDB the simple one (İ → i). The replace() mirrors the full
+      // mapping; no-op on İ-free text (every clean fixture). fp, min_sh
+      // and n_norm all read norm, so one mirror covers all three.
       """WITH n AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  SELECT doc_id, lower(trim(regexp_replace(
+        |    replace(text, chr(304), 'i' || chr(775)), '\s+', ' ', 'g'))) AS norm
         |  FROM documents)
         |SELECT doc_id,
         |  -- null text has no fingerprint (the list_prepend(0, ...) seed

@@ -6,7 +6,8 @@
 #   bash tools/gate.sh --fast     # skip the test suite (verify+check only)
 #   bash tools/gate.sh --worlds   # ALSO run the adversarial-world
 #                                 # differentials: null-planted payloads,
-#                                 # all-empty, and facts-empty fixtures
+#                                 # all-empty, facts-empty, and
+#                                 # pathological-unicode-text fixtures
 #                                 # @ sf0.01 -> Verify -> check.py
 #                                 # --unordered (unordered because the
 #                                 # engines disagree on default null
@@ -59,6 +60,7 @@ if [[ "$FAST" == "--null" || "$FAST" == "--worlds" ]]; then
   run_world null /root/testdata/sf0.01 graft.tools.NullWorld
   run_world empty /root/testdata/sf0.01 graft.tools.EmptyWorld all
   run_world facts /root/testdata/sf0.01 graft.tools.EmptyWorld facts
+  run_world unicode /root/testdata/sf0.01 graft.tools.UnicodeWorld
   # skew runs at sf0.1, not sf0.01: the planted boilerplate only crosses
   # the hot-shingle df-cap (50 per source) from sf0.1 upward — below
   # that the cap is latent and the world tests nothing the clean
