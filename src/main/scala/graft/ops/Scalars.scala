@@ -96,11 +96,15 @@ object Scalars extends QueryPack {
       .orderBy($"c_custkey")
   }
 
-  /** Higher-order array functions over the 64-dim embeddings. */
+  /** Higher-order array functions over the 64-dim embeddings. Reads
+    * through the vec family's front door (null / non-finite vectors
+    * excluded): the demo is the array-function surface, and a NaN or
+    * Inf component drags every column into cross-engine non-finite
+    * semantics (floor(Inf)::BIGINT even ERRORS on both engines under
+    * ANSI-style casts — the round-13 non-finite-world catch). */
   def fnArray(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = t(s, dir, "embeddings")
-      .withColumn("emb", $"embedding".cast(ArrayType(DoubleType)))
+    val e = graft.vec.VectorOps.emb(s, dir)
     e.select(
         $"vec_id",
         size($"embedding").as("dim"),
@@ -320,7 +324,8 @@ object Scalars extends QueryPack {
         |  CAST(CASE WHEN c_acctbal > 0 THEN 1.0 WHEN c_acctbal < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sgn
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_array" ->
-      """SELECT vec_id,
+      // WHERE mirrors the vec front door (see VectorOps.aliveSql)
+      s"""SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,
         |  embedding[1] AS first,
         |  list_max(embedding) AS mx,
@@ -329,14 +334,14 @@ object Scalars extends QueryPack {
         |  (list_sort(embedding, 'DESC'))[2] AS top2,
         |  (list_sort(embedding, 'DESC'))[3] AS top3,
         |  CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.5)) AS INTEGER) AS n_gt_half,
-        |  -- CASE: the list_prepend(0.0, ...) seed folds a NULL vector to
-        |  -- 0.0 where Spark's aggregate() yields NULL — guard to match
-        |  CASE WHEN embedding IS NULL THEN NULL ELSE
-        |    round(list_reduce(list_prepend(0.0::DOUBLE, embedding::DOUBLE[]), (acc, x) -> acc + x*x), 4) END AS sumsq,
-        |  CASE WHEN embedding IS NULL THEN NULL ELSE
-        |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> x*x)), (acc, x) -> acc + x), 4) END AS self_dot,
+        |  -- no null guard needed on the fold seeds: the front-door
+        |  -- WHERE below already excludes null (and non-finite) vectors
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, embedding::DOUBLE[]), (acc, x) -> acc + x*x), 4) AS sumsq,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> x*x)), (acc, x) -> acc + x), 4) AS self_dot,
         |  array_to_string(list_transform(embedding::DOUBLE[], x -> CAST(floor(x*10) AS BIGINT)), ',') AS buckets
-        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+        |FROM embeddings WHERE vec_id < 100
+        |  AND ${graft.vec.VectorOps.aliveSql("embedding")}
+        |ORDER BY vec_id""".stripMargin,
     "fn_map" ->
       """WITH e AS (
         |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -36,11 +36,26 @@ object VectorOps extends QueryPack {
   // no geometry: it can't be assigned a cell, scored, or deduped, so it
   // is excluded at the front door rather than null-guarded through every
   // kernel (the k-means seeder and DotProduct both assume a vector).
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  // A NON-FINITE embedding (NaN/±Inf component — fp16 overflow in a
+  // projection head, a poisoned activation) is excluded at the same
+  // door, and it is the more dangerous shape: unlike a null it flows
+  // through every kernel, and under NaN-greatest ordering ONE NaN
+  // score outranks every real neighbor in every top-k, one NaN
+  // component turns a label centroid to NaN, and the exact-integer
+  // centroid/outlier paths CRASH on Inf under ANSI casts (all observed
+  // on the round-13 non-finite world before this gate). The test is on
+  // the L2 norm: norm is finite ⟺ every component is finite (the
+  // components are float32 read as double, so the squares can't
+  // overflow — max float² ≈ 1.2e77, 64 of them far under 1.8e308),
+  // which makes the one predicate the whole contract, mirrored in the
+  // oracles as isfinite(Σx²). NaN-greatest comparison semantics make
+  // `nrm < Inf` alone exclude NaN too, but spell both for the reader.
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("embedding").isNotNull)
       .withColumn("emb", col("embedding").cast(ArrayType(DoubleType)))
       .withColumn("nrm", l2Norm(col("emb")))
+      .filter(!isnan(col("nrm")) && col("nrm") < Double.PositiveInfinity)
 
   private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
@@ -839,11 +854,28 @@ object VectorOps extends QueryPack {
     * `quantizedVecs` keeps the per-row array form for library use. */
   def quantizedVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // same front-door contract as emb() (null / non-finite vectors
+    // have no geometry to quantize — NaN would silently cast to 0
+    // codes, Inf to a 0-scale explosion); spelled on mx = max|x|
+    // rather than the norm because the quantizer needs mx anyway and
+    // mx is finite ⟺ the norm is finite (float32 components).
     t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
       .withColumn("emb", col("embedding").cast(ArrayType(DoubleType)))
       .withColumn("mx", array_max(transform($"emb", x => abs(x))))
+      .filter(!isnan($"mx") && $"mx" < Double.PositiveInfinity)
       .withColumn("qvec",
-        when($"mx" === 0.0, transform($"emb", _ => lit(0)))
+        // the leading non-finite branch makes the expression TOTAL on
+        // rows the filter above already excludes. Not dead code:
+        // InferFiltersFromGenerate pushes posexplode's implied
+        // isnotnull(qvec)/size(qvec)>0 predicates down into the SAME
+        // Filter as the front-door gate, where codegen's subexpression
+        // elimination evaluates the shared qvec CASE eagerly — before
+        // the short-circuiting AND chain — so without this branch the
+        // ANSI cast(NaN AS INT) throws on the very rows the gate
+        // rejects (observed on the round-13 non-finite world).
+        when(isnan($"mx") || $"mx" === Double.PositiveInfinity, lit(null))
+          .when($"mx" === 0.0, transform($"emb", _ => lit(0)))
           .otherwise(transform($"emb",
             x => round(x / $"mx" * 127).cast("int"))))
       .select($"vec_id", $"label", $"qvec", ($"mx" / 127).as("scale"))
@@ -1126,9 +1158,18 @@ object VectorOps extends QueryPack {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _))
 
+  /** DuckDB mirror of the emb()/quantizedVecs front door: a vector is
+    * admitted iff non-null with a finite L2 norm (Σx² finite ⟺ every
+    * float32 component finite — squares of float32 values can't
+    * overflow a double, so one isfinite on the sum is the whole
+    * test). Matches the Spark-side `!isnan(nrm) && nrm < Inf` gate. */
+  private[graft] def aliveSql(col: String): String =
+    s"$col IS NOT NULL AND isfinite(list_sum(" +
+      s"list_transform($col, x -> CAST(x AS DOUBLE) * x)))"
+
   def oracle: Map[String, String] = Map(
     "embed_outliers" ->
-      """WITH x AS (
+      s"""WITH x AS (
         |  SELECT vec_id, label,
         |    unnest(list_transform(range(len(emb)),
         |      i -> CAST(i AS INTEGER))) AS pos,
@@ -1136,7 +1177,7 @@ object VectorOps extends QueryPack {
         |      v -> CAST(round(v * 1000000) AS BIGINT))) AS g
         |  FROM (SELECT vec_id, label,
         |          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-        |        FROM embeddings)),
+        |        FROM embeddings WHERE ${aliveSql("embedding")})),
         |c AS (SELECT label, pos, count(*) AS n, sum(g) AS sg
         |      FROM x GROUP BY label, pos),
         |d AS (SELECT vec_id, x.label AS label, n,
@@ -1153,9 +1194,9 @@ object VectorOps extends QueryPack {
         |    AS dist
         |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     "sim_search_mrl" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |           FROM embeddings WHERE ${aliveSql("embedding")}),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
         |c AS (SELECT q_id, vec_id,
         |        list_dot_product(q_emb[1:16], e.emb[1:16]) AS cscore
@@ -1174,9 +1215,9 @@ object VectorOps extends QueryPack {
         |SELECT q_id, vec_id, round(cos, 6) AS cos, rk
         |FROM f WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
     "sim_search_bitq" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |           FROM embeddings WHERE ${aliveSql("embedding")}),
         |m AS (SELECT vec_id, emb,
         |        CAST(list_sum(list_transform(generate_series(0, 31),
         |          i -> CASE WHEN emb[i+1] > 0 THEN 1::BIGINT << i
@@ -1198,7 +1239,7 @@ object VectorOps extends QueryPack {
         |  round(list_cosine_similarity(q_emb, emb), 6) AS cos, rk
         |FROM f WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
     "embed_centroid" ->
-      """WITH x AS (
+      s"""WITH x AS (
         |  SELECT label,
         |    unnest(list_transform(range(len(emb)),
         |      i -> CAST(i AS INTEGER))) AS pos,
@@ -1206,13 +1247,13 @@ object VectorOps extends QueryPack {
         |      v -> CAST(round(v * 1000000) AS BIGINT))) AS g
         |  FROM (SELECT label,
         |          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-        |        FROM embeddings))
+        |        FROM embeddings WHERE ${aliveSql("embedding")}))
         |SELECT label, pos, count(*) AS n_vecs,
         |  CAST(sum(g) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000)
         |    AS centroid
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "embed_quantize" ->
-      """SELECT vec_id, label,
+      s"""SELECT vec_id, label,
         |  unnest(list_transform(range(len(emb)),
         |    i -> CAST(i AS INTEGER))) AS pos,
         |  unnest(CASE WHEN mx = 0 THEN list_transform(emb, x -> 0)
@@ -1224,10 +1265,10 @@ object VectorOps extends QueryPack {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
         |    list_max(list_transform(embedding,
         |      x -> abs(CAST(x AS DOUBLE)))) AS mx
-        |  FROM embeddings)
+        |  FROM embeddings WHERE ${aliveSql("embedding")})
         |ORDER BY vec_id, pos""".stripMargin,
     "sim_search_quant" ->
-      """WITH qz AS (
+      s"""WITH qz AS (
         |  SELECT vec_id,
         |    CASE WHEN mx = 0 THEN list_transform(emb, x -> 0)
         |         ELSE list_transform(emb,
@@ -1237,7 +1278,7 @@ object VectorOps extends QueryPack {
         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
         |          list_max(list_transform(embedding,
         |            x -> abs(CAST(x AS DOUBLE)))) AS mx
-        |        FROM embeddings WHERE embedding IS NOT NULL)),
+        |        FROM embeddings WHERE ${aliveSql("embedding")})),
         |q AS (SELECT vec_id AS q_id, qvec AS q_qvec, scale AS q_scale
         |      FROM qz WHERE vec_id < 5),
         |c AS (SELECT q_id, vec_id,
@@ -1252,39 +1293,39 @@ object VectorOps extends QueryPack {
         |SELECT q_id, vec_id, round(score, 6) AS score, rk FROM r
         |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
     "sim_search_filtered" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        |           WHERE vec_id < 5 AND embedding IS NOT NULL),
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |           WHERE vec_id < 5 AND ${aliveSql("embedding")}),
         |c AS (
         |  SELECT q_id, vec_id,
         |    list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]) AS cos
         |  FROM embeddings CROSS JOIN q
         |  WHERE vec_id <> q_id AND label IN (2, 3)
-        |    AND embedding IS NOT NULL),
+        |    AND ${aliveSql("embedding")}),
         |r AS (SELECT q_id, vec_id, cos,
         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk
         |      FROM c)
         |SELECT q_id, vec_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,
     "sim_search" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        |           WHERE vec_id < 5 AND embedding IS NOT NULL),
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |           WHERE vec_id < 5 AND ${aliveSql("embedding")}),
         |c AS (
         |  SELECT q_id, vec_id,
         |    list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]) AS cos
         |  FROM embeddings CROSS JOIN q
-        |  WHERE vec_id <> q_id AND embedding IS NOT NULL),
+        |  WHERE vec_id <> q_id AND ${aliveSql("embedding")}),
         |r AS (SELECT q_id, vec_id, cos,
         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk
         |      FROM c)
         |SELECT q_id, vec_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,
     "sim_knn_join" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT a.vec_id AS id_a, a.label, b.vec_id AS id_b,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id <> b.vec_id
-        |    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL),
+        |    AND ${aliveSql("a.embedding")} AND ${aliveSql("b.embedding")}),
         |r AS (SELECT id_a, label, id_b, cos,
         |        CAST(row_number() OVER (PARTITION BY id_a
         |          ORDER BY cos DESC, id_b ASC) AS INTEGER) AS rk
@@ -1292,10 +1333,11 @@ object VectorOps extends QueryPack {
         |SELECT id_a, label, id_b, round(cos, 6) AS cos, rk FROM r
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin,
     "dedup_embed" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30
+        |  AND ${aliveSql("a.embedding")} AND ${aliveSql("b.embedding")}
         |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -6,8 +6,9 @@
 #   bash tools/gate.sh --fast     # skip the test suite (verify+check only)
 #   bash tools/gate.sh --worlds   # ALSO run the adversarial-world
 #                                 # differentials: null-planted payloads,
-#                                 # all-empty, facts-empty, and
-#                                 # pathological-unicode-text fixtures
+#                                 # all-empty, facts-empty,
+#                                 # pathological-unicode-text, and
+#                                 # non-finite-embedding fixtures
 #                                 # @ sf0.01 -> Verify -> check.py
 #                                 # --unordered (unordered because the
 #                                 # engines disagree on default null
@@ -61,6 +62,7 @@ if [[ "$FAST" == "--null" || "$FAST" == "--worlds" ]]; then
   run_world empty /root/testdata/sf0.01 graft.tools.EmptyWorld all
   run_world facts /root/testdata/sf0.01 graft.tools.EmptyWorld facts
   run_world unicode /root/testdata/sf0.01 graft.tools.UnicodeWorld
+  run_world nonfinite /root/testdata/sf0.01 graft.tools.NonFiniteWorld
   # skew runs at sf0.1, not sf0.01: the planted boilerplate only crosses
   # the hot-shingle df-cap (50 per source) from sf0.1 upward — below
   # that the cap is latent and the world tests nothing the clean
