@@ -329,8 +329,27 @@ object Graph {
     * duplicates tolerated — deduped here) by standard power
     * iteration: rank' = (1−d)/N + d·Σ_nbr rank/deg. Undirected means
     * every vertex in the edge set has degree ≥ 1, so there is no
-    * dangling-mass term to redistribute — the rank vector sums to 1
-    * at every step (the invariant the spec pins).
+    * dangling-mass term to redistribute.
+    *
+    * Ranks are FIXED-POINT LONGS — picoranks on a 1e12 scale
+    * ([[rankScale]]) with the damping factor quantized per-mille —
+    * not doubles, for one production-critical property: long addition
+    * is associative and commutative, so the per-pass vertex sum is
+    * BIT-IDENTICAL under any partitioning, join strategy (broadcast
+    * vs shuffled), AQE replan, or executor count. The float version
+    * this replaced (round 13) drifted 1 ULP between the broadcast and
+    * hash-partitioned paths — harmless at the query's emitted
+    * precision, but it means a 1000-executor rerun of the same job
+    * need not reproduce itself, and an engine differential can only
+    * band, not match. Fixed point buys run-to-run determinism at any
+    * scale AND an exact DuckDB oracle (5 unrolled integer passes);
+    * the cost is a floor per division: each pass loses < 1 picorank
+    * per (edge, teleport, damp) term, so Σrank sits within
+    * iters·(2|E|+2N) picoranks BELOW 1e12 — a ≤1e-6 relative deficit
+    * at any plausible graph size, and the spec pins the band. The
+    * 1e12 scale keeps every intermediate inside a long: damp·sum ≤
+    * 1000·1e12 = 1e15 ≪ 2^63, and resolution stays ≥100 picoranks
+    * per vertex up to n = 1e10 vertices.
     *
     * Scale shape per iteration: ONE equi-join (ranks ⋈ symmetric
     * edges, keyed on vertex id) + one sum-aggregate keyed on the
@@ -350,7 +369,7 @@ object Graph {
     * discipline as [[triangleEstimate]]): the vertex count `n` —
     * already paid as the rank-initialization denominator — decides it
     * once, up front. At or below `broadcastMaxVertices` the rank
-    * vector (one double per vertex, ~24 B/row hashed) broadcasts, so
+    * vector (one long per vertex, ~24 B/row hashed) broadcasts, so
     * the 2|E|-row adj stream is never re-shuffled. Past broadcast
     * reach (a 100 TB-scale graph where even the vertex table is
     * executor-memory-sized) the SAME loop runs with adj
@@ -359,9 +378,15 @@ object Graph {
     * materializes it once, and each pass's rank aggregate is already
     * hash-partitioned on the vertex id — only the model-sized rank
     * side moves per pass. Both paths produce the same result (the
-    * spec pins them equal on a forced-tiny threshold). */
+    * spec pins them EXACTLY equal on a forced-tiny threshold —
+    * integer sums make that bit-identity, not a ULP band). */
+  val rankScale: Long = 1000000000000L
+
   def pagerank(edges: DataFrame, iters: Int, damp: Double,
                broadcastMaxVertices: Long = 4000000L): DataFrame = {
+    // damp quantized to a per-mille rational so both engines (and the
+    // in-spec sequential reference) share one exact integer formula
+    val dampPm = math.round(damp * 1000)
     val e = edges.select(col("a"), col("b")).distinct()
     // the two sym branches share e's distinct via ReuseExchange — no
     // eager materialization of the edge list needed before adj's
@@ -378,18 +403,27 @@ object Graph {
     // partitioned path: one exchange subtree shared by every pass via
     // ReuseExchange — adj's blocks are hashed on the join key once
     val adjIter = if (useBroadcast) adj else adj.repartition(col("src"))
+    // n = 0 (empty edge set) leaves every frame below empty, but the
+    // driver-side divisions still evaluate eagerly — guard them
+    val init = if (n == 0) 0L else rankScale / n
+    val tele = if (n == 0) 0L else ((1000L - dampPm) * rankScale / 1000L) / n
     var ranks = adj.select(col("src").as("id")).distinct()
-      .withColumn("rank", lit(1.0 / n))
+      .withColumn("rank", lit(init))
     // Unlike connectedComponents there is NO per-pass action (fixed
     // iteration count, no convergence test), so the passes stay LAZY:
     // the caller's single action executes one iters-deep pipeline with
     // AQE sizing each shuffle, instead of per-pass materializations.
     for (_ <- 1 to iters) {
       val state = if (useBroadcast) broadcast(ranks) else ranks
+      // SQL DIV, not `/`: long division stays in the integer domain
+      // (Divide on longs returns DOUBLE and would reintroduce the
+      // float sum-order sensitivity this whole scheme removes)
       ranks = adjIter.join(state, col("src") === col("id"))
-        .select(col("dst").as("id"), (col("rank") / col("dg")).as("c"))
+        .select(col("dst").as("id"), expr("rank DIV dg").as("c"))
         .groupBy(col("id"))
-        .agg((lit((1.0 - damp) / n) + lit(damp) * sum(col("c"))).as("rank"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("id"),
+          (lit(tele) + expr(s"($dampPm * sc) DIV 1000")).as("rank"))
     }
     ranks
   }

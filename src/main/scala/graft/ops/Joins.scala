@@ -269,17 +269,22 @@ object Joins extends QueryPack {
   /** PageRank centrality over the part co-purchase graph (edges =
     * distinct part pairs sharing an order — [[graphTriangles]]'s
     * one-shuffle basket expansion, deduped): the "which SKUs anchor
-    * the catalog" ranking, and the §2.3 family's iterative-float
-    * member next to the exact CC closure and the sampled triangle
-    * count. 5 fixed power iterations at d = 0.85; iteration mechanics
+    * the catalog" ranking, and the §2.3 family's iterative member
+    * next to the exact CC closure and the sampled triangle count.
+    * 5 fixed power iterations at d = 0.85; iteration mechanics
     * and scale shape live in [[graft.graph.Graph.pagerank]] (one
     * vertex-keyed join + sum per pass, localCheckpoint'd model-sized
     * state). Output is the deterministic top-20 (rank desc, id asc —
-    * TakeOrderedAndProject, no global sort) with ranks in parts-per-
-    * million. No oracle (iterative float propagation has no SQL
-    * twin); PropertySpec pins the invariants: Σrank = 1 every pass,
-    * planted-star centrality, and parity with an in-test sequential
-    * reference. */
+    * TakeOrderedAndProject, no global sort) with ranks in PICORANKS
+    * (longs on the 1e12 scale — see the pagerank scaladoc for why
+    * fixed point: order-independent integer sums make the result
+    * bit-reproducible under any partitioning AND exactly oracle-able).
+    * Oracled since r13 (previously no-oracle as iterative FLOAT
+    * propagation, which has no exact SQL twin): the DuckDB side
+    * unrolls the same 5 integer passes over the same capped pair
+    * stream. PropertySpec keeps the invariants: Σrank deficit band,
+    * planted-star centrality, exact parity with an in-test sequential
+    * reference and between both join-strategy paths. */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
@@ -294,7 +299,7 @@ object Joins extends QueryPack {
       .select($"p.a".as("a"), $"p.b".as("b"))
     graft.graph.Graph.pagerank(pairs, iters = 5, damp = 0.85)
       .orderBy($"rank".desc, $"id".asc).limit(20)
-      .select($"id", round($"rank" * 1e6, 3).as("rank_ppm"))
+      .select($"id", $"rank".as("rank_pico"))
   }
 
   /** Connected components of the co-purchase part graph — the third
@@ -818,7 +823,48 @@ object Joins extends QueryPack {
        |  FROM lbl$i l JOIN m ON m.p = l.node JOIN om$i ON om$i.o = m.o
        |  GROUP BY l.node, l.lbl)""".stripMargin
 
+  /** DuckDB twin of one fixed-point PageRank pass (see
+    * [[graft.graph.Graph.pagerank]]): every operation is BIGINT
+    * arithmetic — `//` floor division mirrors Spark's `DIV` exactly on
+    * the non-negative domain — so pass k's rank vector is bit-equal
+    * across engines regardless of either engine's sum order. `nv` is
+    * cross-joined (one row) rather than a per-row scalar subquery.
+    * The CAST drops DuckDB's sum(BIGINT) → HUGEINT widening back to
+    * the long domain Spark computes in (the sum is ≤ 1e12, so the
+    * narrowing is lossless — same rule as the driver's type gate). */
+  private def prPass(i: Int): String =
+    s"""r${i + 1} AS MATERIALIZED (
+       |  SELECT adj.dst AS id,
+       |    (150 * 1000000000000 // 1000) // nv.n
+       |      + (850 * CAST(sum(r.rank // adj.dg) AS BIGINT)) // 1000 AS rank
+       |  FROM adj JOIN r$i r ON adj.src = r.id, nv
+       |  GROUP BY adj.dst, nv.n)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // Exact integer-PageRank twin (see graphPagerank's scaladoc): the
+    // same capped pair stream as graph_degree's oracle, then 5
+    // unrolled picorank passes — possible at all because the Spark
+    // side computes in fixed point; a float PageRank could only be
+    // banded, never hash-matched.
+    "graph_pagerank" ->
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem),
+         |ok AS (SELECT o FROM lp GROUP BY o HAVING count(*) <= 1024),
+         |lps AS (SELECT lp.o, lp.p FROM lp JOIN ok USING (o)),
+         |e AS MATERIALIZED (SELECT DISTINCT l.p AS a, r.p AS b
+         |     FROM lps l JOIN lps r ON l.o = r.o AND l.p < r.p),
+         |sym AS MATERIALIZED (
+         |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         |deg AS MATERIALIZED (SELECT a, count(*) AS dg FROM sym GROUP BY a),
+         |adj AS MATERIALIZED (
+         |  SELECT sym.a AS src, sym.b AS dst, deg.dg
+         |  FROM sym JOIN deg USING (a)),
+         |nv AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+         |r0 AS MATERIALIZED (
+         |  SELECT a AS id, 1000000000000 // nv.n AS rank FROM deg, nv),
+         |${(0 until 5).map(prPass).mkString(",\n")}
+         |SELECT id, rank AS rank_pico FROM r5
+         |ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin,
     // Hybrid CC twin (see graphCc's scaladoc): 6 unrolled propagation
     // rounds collapse the dense giant component, then a monotone-
     // filtered recursive closure finishes the contracted quotient

@@ -242,8 +242,9 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
-  test("pagerank: sums to one, matches a sequential reference, ranks the star center first") {
+  test("pagerank: picorank deficit band, EXACT sequential-reference match, star center first") {
     import spark.implicits._
+    val scale = graft.graph.Graph.rankScale
     for (i <- 1 to 2) {
       val raw = Gen.listOfN(60,
           Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 14L)))
@@ -251,31 +252,37 @@ class PropertySpec extends AnyFunSuite {
         .collect { case (x, y) if x != y => (math.min(x, y), math.max(x, y)) }
         .distinct
       val got = graft.graph.Graph.pagerank(raw.toDF("a", "b"), 5, 0.85)
-        .as[(Long, Double)].collect().toMap
-      // sequential power-iteration reference (same scheme, same iters)
+        .as[(Long, Long)].collect().toMap
+      // sequential fixed-point reference: the SAME integer formula run
+      // single-threaded — equality is exact (no ULP band), which is the
+      // whole point of picorank arithmetic
       val nbrs = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val n = nbrs.size
-      var r = nbrs.keys.map(_ -> 1.0 / n).toMap
+      val tele = (150L * scale / 1000L) / n
+      var r = nbrs.keys.map(_ -> scale / n).toMap
       for (_ <- 1 to 5) {
-        val contrib = scala.collection.mutable.Map[Long, Double]()
-          .withDefaultValue(0.0)
+        val contrib = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
         for ((v, ns) <- nbrs; u <- ns) contrib(u) += r(v) / ns.size
-        r = nbrs.keys.map(v => v -> (0.15 / n + 0.85 * contrib(v))).toMap
+        r = nbrs.keys.map(v => v -> (tele + (850L * contrib(v)) / 1000L)).toMap
       }
-      assert(got.keySet == r.keySet, s"case $i: vertex sets differ")
-      // undirected ⇒ no dangling mass ⇒ the rank vector stays a
-      // probability distribution at every iteration
-      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"case $i: sum drifted")
-      r.foreach { case (v, x) =>
-        assert(math.abs(got(v) - x) < 1e-9, s"case $i vertex $v: ${got(v)} vs $x") }
+      assert(got == r, s"case $i: distributed != sequential reference")
+      // undirected ⇒ no dangling mass; floor division loses < 1
+      // picorank per (edge, teleport, damp) term per pass, so the mass
+      // sits in a tight band just below the scale instead of summing
+      // to exactly 1 the way the float version did
+      val deficit = scale - got.values.sum
+      val bound = 5L * (2L * raw.size + 2L * n + 2L) + n
+      assert(deficit >= 0, s"case $i: rank mass exceeds scale")
+      assert(deficit <= bound, s"case $i: deficit $deficit > bound $bound")
     }
     // planted star: the hub must out-rank every leaf
     val star = (1L to 8L).map(i => (0L, i)).toDF("a", "b")
     val pr = graft.graph.Graph.pagerank(star, 5, 0.85)
-      .as[(Long, Double)].collect()
+      .as[(Long, Long)].collect()
     assert(pr.maxBy(_._2)._1 == 0L, "star center not top-ranked")
-    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-9)
+    assert(scale - pr.map(_._2).sum <= 5L * (2L * 8 + 2L * 9 + 2L) + 9)
   }
 
   test("pagerank: partitioned path (forced-tiny broadcast gate) matches the broadcast path") {
@@ -287,28 +294,20 @@ class PropertySpec extends AnyFunSuite {
       .distinct
     val edges = raw.toDF("a", "b")
     val viaBroadcast = graft.graph.Graph.pagerank(edges, 5, 0.85)
-      .as[(Long, Double)].collect().sortBy(_._1)
+      .as[(Long, Long)].collect().sortBy(_._1)
     // broadcastMaxVertices = 0 forces the hash-partitioned loop —
     // the 100 TB path, proven equivalent on the same input
     val viaPartitioned = graft.graph.Graph.pagerank(edges, 5, 0.85,
         broadcastMaxVertices = 0L)
-      .as[(Long, Double)].collect().sortBy(_._1)
-    assert(viaPartitioned.length == viaBroadcast.length)
-    viaBroadcast.zip(viaPartitioned).foreach { case ((vb, rb), (vp, rp)) =>
-      assert(vb == vp, s"vertex sets diverge at $vb vs $vp")
-      // True bit-identity is unattainable: float sum is not
-      // associative and the join strategy (BHJ vs SMJ) changes the
-      // order rows reach the per-vertex sum — measured divergence is
-      // 1 ULP after 5 passes. Pin a tight ULP envelope on the raw
-      // ranks, and EXACT equality at the precision graph_pagerank
-      // actually emits (ppm rounded to 3 dp).
-      val ulps = math.abs(java.lang.Double.doubleToLongBits(rb) -
-                          java.lang.Double.doubleToLongBits(rp))
-      assert(ulps <= 8L, s"vertex $vb: $rb vs $rp ($ulps ulps apart)")
-      assert(BigDecimal(rb * 1e6).setScale(3, BigDecimal.RoundingMode.HALF_UP) ==
-             BigDecimal(rp * 1e6).setScale(3, BigDecimal.RoundingMode.HALF_UP),
-        s"vertex $vb: paths differ at the query's emitted ppm precision")
-    }
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // Picorank arithmetic makes this EXACT bit-identity: long sums are
+    // order-independent, so BHJ vs SMJ row-arrival order cannot move a
+    // single picorank. (The float version this replaced was provably
+    // 1 ULP apart between the paths — the round-13 motivation for
+    // fixed point.)
+    assert(viaPartitioned.sameElements(viaBroadcast),
+      s"join-strategy paths diverge: " +
+        viaBroadcast.zip(viaPartitioned).find { case (x, y) => x != y })
     // and the partitioned path really does drop the broadcast HINT:
     // with auto-broadcast disabled, a leftover hint would still force
     // BroadcastHashJoin (hints override the threshold), so its absence
