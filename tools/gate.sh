@@ -7,8 +7,9 @@
 #   bash tools/gate.sh --worlds   # ALSO run the adversarial-world
 #                                 # differentials: null-planted payloads,
 #                                 # all-empty, facts-empty,
-#                                 # pathological-unicode-text, and
-#                                 # non-finite-embedding fixtures
+#                                 # pathological-unicode-text,
+#                                 # non-finite-embedding, and
+#                                 # exact-tie/duplicate fixtures
 #                                 # @ sf0.01 -> Verify -> check.py
 #                                 # --unordered (unordered because the
 #                                 # engines disagree on default null
@@ -63,6 +64,7 @@ if [[ "$FAST" == "--null" || "$FAST" == "--worlds" ]]; then
   run_world facts /root/testdata/sf0.01 graft.tools.EmptyWorld facts
   run_world unicode /root/testdata/sf0.01 graft.tools.UnicodeWorld
   run_world nonfinite /root/testdata/sf0.01 graft.tools.NonFiniteWorld
+  run_world tie /root/testdata/sf0.01 graft.tools.TieWorld
   # skew runs at sf0.1, not sf0.01: the planted boilerplate only crosses
   # the hot-shingle df-cap (50 per source) from sf0.1 upward — below
   # that the cap is latent and the world tests nothing the clean
