@@ -71,6 +71,25 @@ if [[ "$FAST" == "--null" || "$FAST" == "--worlds" ]]; then
   # differential doesn't. Slowest world (~12 min: sf0.1 Verify + the
   # DuckDB shingle CTEs at 50k docs).
   run_world skew /root/testdata/sf0.1 graft.tools.SkewWorld
+
+  # layout world is NOT an oracle differential (both engines read the
+  # same layout, so engine agreement can't see layout sensitivity) —
+  # it's Spark-vs-Spark: same data, 7-file hash-scrambled rewrite, and
+  # every query's row multiset must be BIT-EQUAL to the standard
+  # /tmp/gate_vout dump (declared merge-order-sensitive sketches are
+  # NOTEd, not failed — see tools/layout_check.py SENSITIVE).
+  echo "== gate: layout-invariance sweep @ sf0.01 =="
+  sbt -batch "runMain graft.tools.LayoutWorld /root/testdata/sf0.01 /tmp/gate_layoutworld" \
+    > /tmp/gate_layoutgen.log 2>&1 \
+    || { tail -30 /tmp/gate_layoutgen.log; echo "GATE FAIL: layout world gen"; exit 1; }
+  sbt -batch "runMain graft.Verify /tmp/gate_layoutworld /tmp/gate_vlayout" \
+    > /tmp/gate_vlayout.log 2>&1 \
+    || { tail -30 /tmp/gate_vlayout.log; echo "GATE FAIL: Verify on layout world"; exit 1; }
+  python3 tools/layout_check.py /tmp/gate_vout /tmp/gate_vlayout \
+    > /tmp/gate_check_layout.log \
+    || { grep "^FAIL" /tmp/gate_check_layout.log | head -5;
+         echo "GATE FAIL: layout sensitivity"; exit 1; }
+  tail -2 /tmp/gate_check_layout.log
 fi
 
 echo "== gate: Bench contract smoke @ sf0.001 =="
