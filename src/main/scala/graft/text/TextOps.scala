@@ -220,23 +220,50 @@ object TextOps extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Heavy-hitter tokens per source via the custom Misra-Gries
-    * aggregate ([[graft.functions.TopKFreq]]): O(k) state per group
-    * regardless of token volume, map-side partial aggregation like any
-    * sum — the hot-token / boilerplate-phrase detector that feeds
-    * dedup_ngram's stop-shingle cap at 100 TB. No oracle: MG counts
-    * are partition-order-dependent lower bounds; the spec verifies the
-    * frequency GUARANTEE (freq > n/(k+1) ⇒ present) instead. */
+  /** Heavy-hitter tokens per source — the hot-token / boilerplate-
+    * phrase detector that feeds dedup_ngram's stop-shingle cap at
+    * 100 TB — via CANDIDATE + EXACT VERIFY (round 13; previously
+    * emitted raw Misra-Gries estimates, which are merge-order-
+    * dependent lower bounds: the ONE query the layout-invariance
+    * sweep caught diverging under a physical rewrite, and no-oracle).
+    * Pass 1: the custom MG aggregate ([[graft.functions.TopKFreq]],
+    * k=256 state, O(k)/group, map-side mergeable) nominates
+    * candidates — by the MG guarantee the candidate set contains
+    * EVERY token with true freq > n/257 under ANY merge order. Pass 2
+    * recounts ONLY candidates exactly (broadcast semi-join: the
+    * vocabulary-scale non-candidate stream never shuffles) and the
+    * strict threshold n_tok·257 > n_total keeps precisely the
+    * guaranteed-caught set — so the output is EXACT counts of a
+    * layout-invariant set: deterministic under any partitioning, and
+    * DuckDB-oracle-able as a plain HAVING (215 → 216 oracled). Top-8
+    * per source by (n_tok desc, tok asc) — a total order over an
+    * already-deterministic set. The sketch still earns its keep as
+    * the shuffle bound; it just no longer leaks its internals into
+    * the answer. Cost: one extra corpus scan (candidate pass +
+    * recount pass) — the price of exactness, same two-pass shape as
+    * pipeline_mix's count-then-gate. */
   def textHotTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.TopKFreq.topkFreq
-    docs(s, dir)
+    val toks = docs(s, dir)
       .select($"source", explode(split($"text", " ")).as("tok"))
-      .groupBy($"source")
-      .agg(topkFreq($"tok", 8).as("top"))
-      .select($"source", posexplode($"top"))
-      .select($"source", $"pos".cast("int").as("rk"),
-              $"col.item".as("item"), $"col.est_count".as("est_count"))
+    // model-sized (|sources| rows of 256 candidates + one total);
+    // checkpointed because BOTH downstream uses (candidate broadcast,
+    // totals join) would otherwise re-run the corpus aggregate
+    val agg1 = toks.groupBy($"source")
+      .agg(topkFreq($"tok", 256).as("top"), count(lit(1)).as("n_total"))
+      .localCheckpoint(true)
+    val cand = agg1.select($"source", explode($"top.item").as("tok"))
+    val counts = toks
+      .join(broadcast(cand), Seq("source", "tok"), "left_semi")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n_tok"))
+    counts.join(broadcast(agg1.select($"source", $"n_total")), "source")
+      .where($"n_tok" * lit(257L) > $"n_total")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")
+          .orderBy($"n_tok".desc, $"tok".asc)))
+      .where($"rk" <= 8)
+      .select($"source", $"rk", $"tok", $"n_tok")
       .orderBy($"source", $"rk")
   }
 
@@ -901,6 +928,25 @@ object TextOps extends QueryPack {
         |JOIN sz za ON doc_a = za.doc_id
         |JOIN sz zb ON doc_b = zb.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exact twin of the candidate+verify heavy hitters: the MG pass is
+    // only a shuffle bound, so the DECLARED output — exact counts of
+    // the strict > n/257 set, top-8 by (count, token) — is a plain
+    // HAVING-style threshold both engines compute from scratch.
+    "text_hot_tokens" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT source, count(*) AS n_total FROM toks GROUP BY source),
+        |cnt AS (SELECT source, tok, count(*) AS n_tok
+        |        FROM toks GROUP BY source, tok),
+        |hot AS (
+        |  SELECT cnt.source, tok, n_tok,
+        |    row_number() OVER (PARTITION BY cnt.source
+        |                       ORDER BY n_tok DESC, tok ASC) AS rk
+        |  FROM cnt JOIN tot ON cnt.source = tot.source
+        |  WHERE n_tok * 257 > n_total)
+        |SELECT source, CAST(rk AS INTEGER) AS rk, tok, n_tok
+        |FROM hot WHERE rk <= 8 ORDER BY source, rk""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,

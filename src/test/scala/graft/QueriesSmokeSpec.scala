@@ -39,5 +39,5 @@ class QueriesSmokeSpec extends AnyFunSuite {
   * same constant instead of a drifting copy. */
 object QueriesSmokeSpec {
   val DeclaredQueries = 237
-  val DeclaredOracles = 215 // r13: graph_cc + graph_pagerank promoted
+  val DeclaredOracles = 216 // r13: graph_cc, graph_pagerank, text_hot_tokens promoted
 }

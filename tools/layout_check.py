@@ -30,9 +30,9 @@ import duckdb
 SENSITIVE = {
     # Greenwald-Khanna percentile summaries are merge-order-dependent
     "agg_percentile_approx",
-    # Misra-Gries heavy-hitter state is merge-order-dependent (the
-    # freq > n/(k+1) guarantee survives, exact counts need not)
-    "text_hot_tokens",
+    # (text_hot_tokens was here — the original layout-sweep run caught
+    # its raw Misra-Gries estimates diverging, and the fix promoted it
+    # to candidate+exact-verify: now bit-stable AND oracled)
     # float centroid sums: partitioning moves the addition order
     "embed_kmeans", "embed_pca", "embed_semdedup", "pipeline_curate_embed",
     "sim_search_ivf", "sim_search_pq", "sim_knn_join_ann",
