@@ -12,7 +12,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     ops.Scans, ops.Filters, ops.Scalars, ops.Sorts, ops.SetOps,
     ops.Aggregates, ops.Joins, ops.Windows, ops.StreamingBatch,
-    ops.Udfs, text.TextOps, text.TextMetrics, vec.VectorOps,
+    ops.Udfs, text.TextOps, text.TextMetrics, text.Bpe, vec.VectorOps,
     multimodal.Multimodal,
     stream.Streams, io.Ingest, sql.SqlQueries, pipeline.Pipelines,
     model.Schemas)

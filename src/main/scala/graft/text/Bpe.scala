@@ -1,0 +1,183 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.io.Tables.t
+
+/** Byte-pair-encoding tokenizer induction over the document corpus —
+  * the "learned tokenizer surface" the round-12 verdict listed as the
+  * inventory's residual gap (token_count only CONTRASTS whitespace vs
+  * a fixed regex; nothing was trained from data). Two queries:
+  *
+  *  - `text_bpe_train`: learn the first 8 BPE merge rules from the
+  *    corpus word distribution (Sennrich et al. 2016, the greedy
+  *    pair-frequency algorithm every GPT/Llama-family tokenizer
+  *    descends from): start from character sequences, repeatedly fuse
+  *    the globally most frequent adjacent symbol pair. Output = the
+  *    merge table (rank, pair, fused symbol, exact corpus frequency).
+  *  - `text_bpe_apply`: segment every document with the learned
+  *    merges and report per-doc token counts (whitespace words vs BPE
+  *    symbols) — the compression audit a training-mix pipeline runs
+  *    before committing to a vocabulary.
+  *
+  * Everything is EXACT INTEGER counting with a total-order tie-break
+  * (freq DESC, then pair lexicographic), so unlike real float-scored
+  * tokenizer training both queries are deterministic under any
+  * partitioning/layout AND fully DuckDB-oracled — the twin unrolls the
+  * same 8 rounds over the same word table (MATERIALIZED CTEs, the
+  * graph_cc lesson). Contract: training sees lowercase alphabetic
+  * words of length ≥ 2 (`^[a-z]+$` — sidesteps engine-specific Unicode
+  * segmentation; the unicode world exercises the filter, not the
+  * merges), weighted by corpus frequency.
+  *
+  * Scale shape: the corpus is touched ONCE (word-frequency aggregate,
+  * localCheckpoint'd — vocabulary-sized, the model state of this
+  * operator). Each round is vocabulary-scale narrow work: bigram
+  * explode + one model-sized argmax (orderBy.limit(1) — a k=1 heap,
+  * no global sort materializes), checkpointed as the 1-row merge
+  * before the next round's `replace` consumes it broadcast. At 100 TB
+  * the word table is millions of rows per language — executor-trivial;
+  * production BPE trains exactly this way (count once, iterate on the
+  * counted vocabulary, never re-scan the corpus).
+  *
+  * The in-state pair search is space-delimited (` a b ` on a padded
+  * state) so a symbol can never match inside a longer symbol, and
+  * `replace` scans left-to-right non-overlapping in BOTH engines —
+  * the classic greedy BPE application order.
+  */
+object Bpe extends QueryPack {
+
+  val merges = 8
+
+  /** Vocabulary with exact corpus frequencies + initial char-spaced
+    * state, checkpointed: every training round re-derives from this
+    * one aggregate, the corpus is never re-scanned. */
+  private def vocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .where($"word".rlike("^[a-z]+$") && length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .withColumn("state",
+        concat(lit(" "),
+          trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")))
+      .localCheckpoint(true)
+  }
+
+  /** Run the 8 greedy rounds; returns (merge rows, final word states).
+    * Each round's winner is a 1-row checkpoint (the per-pass action —
+    * same discipline as connectedComponents' pass gating); the state
+    * table stays lazy on top of the vocab checkpoint. */
+  private def train(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
+    var state = vocab(s, dir)
+    val found = Seq.newBuilder[DataFrame]
+    for (r <- 1 to merges) {
+      val best = state
+        .select($"freq",
+          expr("filter(split(state, ' '), x -> x != '')").as("sy"))
+        .select($"freq", explode(expr(
+          "transform(slice(sy, 1, size(sy) - 1), " +
+          "(x, i) -> struct(x AS a, element_at(sy, i + 2) AS b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"a".asc, $"b".asc).limit(1)
+        .localCheckpoint(true)
+      found += best.select(lit(r).cast("int").as("rk"),
+        $"a".as("lhs"), $"b".as("rhs"),
+        concat($"a", $"b").as("merged"), $"n")
+      state = state.crossJoin(broadcast(best))
+        .select($"word", col("freq"),
+          expr("replace(state, concat(' ', a, ' ', b, ' '), " +
+               "concat(' ', a, b, ' '))").as("state"))
+    }
+    (found.result(), state)
+  }
+
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val (found, _) = train(s, dir)
+    found.reduce(_ unionByName _).orderBy(col("rk"))
+  }
+
+  /** Per-doc segmentation audit with the learned merges: alphabetic
+    * word count vs BPE symbol count (each word's final state length).
+    * The merge table is corpus-trained INSIDE the query — a real
+    * pipeline persists it; here the train rounds are cheap and the
+    * audit stays self-contained. */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, finalState) = train(s, dir)
+    val wordCost = finalState.select($"word",
+      expr("size(filter(split(state, ' '), x -> x != ''))")
+        .cast("long").as("n_sym"))
+    t(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .where($"word".rlike("^[a-z]+$") && length($"word") >= 2)
+      .join(broadcast(wordCost), "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_apply" -> (textBpeApply _))
+
+  /** One DuckDB training round (see the graph_cc oracle for why
+    * MATERIALIZED is load-bearing on self-referencing CTE chains).
+    * s{i} cross-joins the 1-row best{i}; an EMPTY best (empty world)
+    * empties the state, mirroring Spark's crossJoin exactly. */
+  private def bpeRound(i: Int): String =
+    s"""p$i AS MATERIALIZED (
+       |  SELECT sy[j] AS a, sy[j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM (SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS j
+       |        FROM (SELECT freq,
+       |                list_filter(string_split(state, ' '), x -> x <> '')
+       |                  AS sy FROM s$i))
+       |  GROUP BY 1, 2),
+       |best$i AS MATERIALIZED (
+       |  SELECT a, b, n FROM p$i ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+       |s${i + 1} AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    replace(state, ' ' || a || ' ' || b || ' ',
+       |            ' ' || a || b || ' ') AS state
+       |  FROM s$i, best$i)""".stripMargin
+
+  private val trainSql: String =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
+       |  GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+       |      AS state
+       |  FROM w),
+       |${(0 until merges).map(bpeRound).mkString(",\n")}""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "text_bpe_train" ->
+      (trainSql + "\n" +
+        (0 until merges).map(i =>
+          s"SELECT CAST(${i + 1} AS INTEGER) AS rk, a AS lhs, b AS rhs, " +
+          s"a || b AS merged, n FROM best$i")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY rk")),
+    "text_bpe_apply" ->
+      (trainSql + s""",
+         |wc AS MATERIALIZED (
+         |  SELECT word,
+         |    CAST(len(list_filter(string_split(state, ' '), x -> x <> ''))
+         |      AS BIGINT) AS n_sym
+         |  FROM s$merges),
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_bpe
+         |FROM dw JOIN wc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+}

@@ -38,6 +38,6 @@ class QueriesSmokeSpec extends AnyFunSuite {
   * query. Companion-scoped so other sweeps (EmptyInputSpec) pin the
   * same constant instead of a drifting copy. */
 object QueriesSmokeSpec {
-  val DeclaredQueries = 237
-  val DeclaredOracles = 216 // r13: graph_cc, graph_pagerank, text_hot_tokens promoted
+  val DeclaredQueries = 239 // r13: + text_bpe_train / text_bpe_apply
+  val DeclaredOracles = 218 // r13: graph_cc, graph_pagerank, text_hot_tokens promoted; BPE pair oracled
 }
