@@ -199,7 +199,9 @@ class PlanSpec extends AnyFunSuite {
       "sim_search_mrl",    // broadcast 5-row query set × corpus (coarse)
       "sim_search_bitq",   // broadcast 5-row query set × mask table
       "text_bigram_lm",    // crossJoin of the 1-row vocab size V
-      "text_keywords")     // crossJoin of the 1-row corpus doc count N
+      "text_keywords",     // crossJoin of the 1-row corpus doc count N
+      "text_bpe_train",    // crossJoin of each round's 1-row best merge
+      "text_bpe_apply")    // same 8 one-row merge crossJoins, trained in-query
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("stream_") || n.startsWith("ingest_"))
       .filterNot(allowed)
