@@ -1154,16 +1154,19 @@ object Aggregates extends QueryPack {
         |        sum(CAST(i AS HUGEINT)*c) AS sic
         |      FROM r GROUP BY seg)
         |SELECT seg, n,
-        |  CAST(2*sic - (n+1)*s1 AS DOUBLE)
-        |    / nullif(CAST(n*s1 AS DOUBLE), 0) AS gini_signed
+        |  -- via VARCHAR: DuckDB 1.0's direct int128->double cast is
+        |  -- double-rounding; the string parse matches Spark's
+        |  -- correctly-rounded BigDecimal.doubleValue
+        |  CAST(CAST(2*sic - (n+1)*s1 AS VARCHAR) AS DOUBLE)
+        |    / nullif(CAST(CAST(n*s1 AS VARCHAR) AS DOUBLE), 0) AS gini_signed
         |FROM s ORDER BY seg""".stripMargin,
     "agg_moments" ->
       """WITH x AS (SELECT c_mktsegment AS seg,
         |             CAST(round(c_acctbal*100) AS BIGINT) AS c FROM customer),
         |s AS (SELECT seg, count(*) AS n,
-        |        CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
-        |        CAST(sum(CAST(c AS HUGEINT)*c) AS DOUBLE) AS s2,
-        |        CAST(sum(CAST(c AS HUGEINT)*c*c) AS DOUBLE) AS s3
+        |        CAST(CAST(sum(CAST(c AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS s1,
+        |        CAST(CAST(sum(CAST(c AS HUGEINT)*c) AS VARCHAR) AS DOUBLE) AS s2,
+        |        CAST(CAST(sum(CAST(c AS HUGEINT)*c*c) AS VARCHAR) AS DOUBLE) AS s3
         |      FROM x GROUP BY seg)
         |SELECT seg, n,
         |  s1/n/100 AS mean_bal,

@@ -245,25 +245,35 @@ object Windows extends QueryPack {
     * (Σx, Σx², n) accumulate INTEGER cents, so Spark's incremental
     * add/remove frame evaluation is exact and order-independent, and
     * the variance formula runs on identical doubles in both engines.
-    * (Long is safe here: the frame is 20 rows, so Σx² ≤ 20·(10⁷)² —
-    * far under 2⁶³ even for $100k-scale values.) One keyed window,
-    * unique tie-break, bounded partitions. */
+    * The squares widen to decimal(38,0) (HUGEINT in the oracle)
+    * BEFORE multiplying — a long pc² overflows at |cents| > ~3e9,
+    * which the numerics world's 1e6-scaled values actually reach —
+    * so the discipline holds over the full double-representable cents
+    * domain. One keyed window, unique tie-break, bounded partitions. */
   def winRollingStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"sym").orderBy($"us".asc, $"event_id".asc)
       .rowsBetween(-19, Window.currentRow)
-    val n = count(lit(1)).over(w).cast("double")
-    val s1 = sum($"pc").over(w).cast("double")
-    val s2 = sum($"pc" * $"pc").over(w).cast("double")
+    val dec = "decimal(38,0)"
+    val n = count(lit(1)).over(w)
+    val s1 = sum($"pc").over(w)
+    val s2 = sum($"pc".cast(dec) * $"pc").over(w)
+    // variance numerator n·Σx² − (Σx)² stays EXACT (ts_anomaly's
+    // discipline): the float formulation s2 − s1²/n cancels two
+    // ~1e22 doubles and diverged from DuckDB by 1 ulp at the
+    // numerics world's magnitudes — here both engines convert the
+    // SAME exact integer once, then run one identical IEEE tree
+    val varnum = n.cast(dec) * s2 - s1.cast(dec) * s1
     t(s, dir, "events")
       .select($"event_type".as("sym"), $"event_id",
               unix_micros($"ts".cast("timestamp")).as("us"),
               cents($"value").as("pc"))
       .select($"sym", $"event_id", $"us",
               ($"pc".cast("double") / 100).as("v"),
-              (s1 / n / 100).as("roll_mean"),
-              when(n > 1.0,
-                   sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))) / 100)
+              (s1.cast("double") / n.cast("double") / 100).as("roll_mean"),
+              when(n > 1L,
+                   sqrt(varnum.cast("double") /
+                        (n.cast("double") * (n.cast("double") - 1.0))) / 100)
                 .as("roll_sd"))
       .orderBy($"sym", $"event_id")
   }
@@ -457,7 +467,10 @@ object Windows extends QueryPack {
       .withColumn("x", cents($"value"))
       .withColumn("n", count($"x").over(w))
       .withColumn("sx", sum($"x".cast(dec)).over(w))
-      .withColumn("sxx", sum(($"x" * $"x").cast(dec)).over(w))
+      // widen BEFORE the square: x*x in the long domain overflows at
+      // |cents| > ~3e9 (observed on the numerics world's 1e6-scaled
+      // values under ANSI); decimal(38,0) squares are exact to 1e38
+      .withColumn("sxx", sum($"x".cast(dec) * $"x").over(w))
       .where($"n" >= 10)
       .withColumn("dev", $"n".cast(dec) * $"x" - $"sx")
       .withColumn("varnum", $"n".cast(dec) * $"sxx" - $"sx" * $"sx")
@@ -550,7 +563,7 @@ object Windows extends QueryPack {
         |  SELECT user_id, event_id, ts, x,
         |    count(x) OVER win AS n,
         |    CAST(sum(x) OVER win AS HUGEINT) AS sx,
-        |    CAST(sum(x*x) OVER win AS HUGEINT) AS sxx
+        |    sum(CAST(x AS HUGEINT) * x) OVER win AS sxx
         |  FROM e
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
@@ -564,7 +577,7 @@ object Windows extends QueryPack {
         |    > CAST(9 AS HUGEINT) * CAST(n AS HUGEINT) * varnum AS flag,
         |  CASE WHEN varnum = 0 THEN NULL
         |       ELSE round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
-        |                  / sqrt(CAST(varnum AS DOUBLE)
+        |                  / sqrt(CAST(CAST(varnum AS VARCHAR) AS DOUBLE)
         |                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
         |  END AS z
         |FROM d ORDER BY user_id, event_id""".stripMargin,
@@ -652,10 +665,16 @@ object Windows extends QueryPack {
         |  CAST(sum(pc) OVER w AS DOUBLE)
         |    / CAST(count(*) OVER w AS DOUBLE) / 100 AS roll_mean,
         |  CASE WHEN count(*) OVER w > 1 THEN
-        |    sqrt((CAST(sum(pc*pc) OVER w AS DOUBLE)
-        |          - CAST(sum(pc) OVER w AS DOUBLE) * CAST(sum(pc) OVER w AS DOUBLE)
-        |            / CAST(count(*) OVER w AS DOUBLE))
-        |         / (CAST(count(*) OVER w AS DOUBLE) - 1.0)) / 100
+    -- HUGEINT -> VARCHAR -> DOUBLE: DuckDB 1.0's direct int128->double
+        |    -- cast is double-rounding (upper*2^64 + lower, ~1% of >2^53
+        |    -- values off by 1 ulp); the string parse is correctly rounded,
+        |    -- matching Spark's BigDecimal.doubleValue exactly
+        |    sqrt(CAST(CAST(CAST(count(*) OVER w AS HUGEINT)
+        |                * sum(CAST(pc AS HUGEINT) * pc) OVER w
+        |              - CAST(sum(pc) OVER w AS HUGEINT)
+        |                * CAST(sum(pc) OVER w AS HUGEINT) AS VARCHAR) AS DOUBLE)
+        |         / (CAST(count(*) OVER w AS DOUBLE)
+        |            * (CAST(count(*) OVER w AS DOUBLE) - 1.0))) / 100
         |  END AS roll_sd
         |FROM e
         |WINDOW w AS (PARTITION BY sym ORDER BY us ASC, event_id ASC

@@ -1000,7 +1000,7 @@ object Streams extends QueryPack {
         |  SELECT user_id, event_id, x,
         |    count(x) OVER win AS n,
         |    sum(x) OVER win AS sx,
-        |    sum(x*x) OVER win AS sxx
+        |    sum(CAST(x AS HUGEINT) * x) OVER win AS sxx
         |  FROM e
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))

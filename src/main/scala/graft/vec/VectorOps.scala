@@ -50,12 +50,19 @@ object VectorOps extends QueryPack {
   // which makes the one predicate the whole contract, mirrored in the
   // oracles as isfinite(Σx²). NaN-greatest comparison semantics make
   // `nrm < Inf` alone exclude NaN too, but spell both for the reader.
+  // A ZERO vector (all-zero embedding — a zeroed shard, a padding row)
+  // is the third inadmissible shape (round-13 numerics world): its norm
+  // is FINITE, so the isfinite gate admits it, but it has no direction —
+  // cosine is 0/0, which under ANSI double division THROWS rather than
+  // NaN-ing, and would otherwise NaN-poison every top-k. Same front
+  // door, same argument: no geometry, excluded before any kernel.
   private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("embedding").isNotNull)
       .withColumn("emb", col("embedding").cast(ArrayType(DoubleType)))
       .withColumn("nrm", l2Norm(col("emb")))
-      .filter(!isnan(col("nrm")) && col("nrm") < Double.PositiveInfinity)
+      .filter(!isnan(col("nrm")) && col("nrm") < Double.PositiveInfinity &&
+        col("nrm") > 0.0)
 
   private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
@@ -863,7 +870,11 @@ object VectorOps extends QueryPack {
       .filter(col("embedding").isNotNull)
       .withColumn("emb", col("embedding").cast(ArrayType(DoubleType)))
       .withColumn("mx", array_max(transform($"emb", x => abs(x))))
-      .filter(!isnan($"mx") && $"mx" < Double.PositiveInfinity)
+      // mx > 0 excludes the zero vector (same contract as emb(): no
+      // direction ⇒ no geometry; a zero-scale code row would score
+      // cosine 0/0 downstream). The mx === 0 branch below stays as the
+      // codegen-totality guard for the same eager-evaluation trap.
+      .filter(!isnan($"mx") && $"mx" < Double.PositiveInfinity && $"mx" > 0.0)
       .withColumn("qvec",
         // the leading non-finite branch makes the expression TOTAL on
         // rows the filter above already excludes. Not dead code:
@@ -1159,13 +1170,15 @@ object VectorOps extends QueryPack {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _))
 
   /** DuckDB mirror of the emb()/quantizedVecs front door: a vector is
-    * admitted iff non-null with a finite L2 norm (Σx² finite ⟺ every
-    * float32 component finite — squares of float32 values can't
-    * overflow a double, so one isfinite on the sum is the whole
-    * test). Matches the Spark-side `!isnan(nrm) && nrm < Inf` gate. */
+    * admitted iff non-null with a finite POSITIVE L2 norm (Σx² finite
+    * ⟺ every float32 component finite — squares of float32 values
+    * can't overflow a double; Σx² > 0 ⟺ some component is non-zero,
+    * the round-13 zero-vector gate: no direction ⇒ no geometry).
+    * Matches the Spark-side `!isnan(nrm) && nrm < Inf && nrm > 0`. */
   private[graft] def aliveSql(col: String): String =
     s"$col IS NOT NULL AND isfinite(list_sum(" +
-      s"list_transform($col, x -> CAST(x AS DOUBLE) * x)))"
+      s"list_transform($col, x -> CAST(x AS DOUBLE) * x))) AND " +
+      s"list_sum(list_transform($col, x -> CAST(x AS DOUBLE) * x)) > 0"
 
   def oracle: Map[String, String] = Map(
     "embed_outliers" ->
@@ -1190,7 +1203,8 @@ object VectorOps extends QueryPack {
         |          ORDER BY d2x DESC, vec_id) AS INTEGER) AS rk
         |      FROM d)
         |SELECT label, vec_id, rk,
-        |  round(sqrt(CAST(d2x AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000), 6)
+        |  round(sqrt(CAST(CAST(d2x AS VARCHAR) AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * 1000000), 6)
         |    AS dist
         |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     "sim_search_mrl" ->

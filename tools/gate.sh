@@ -8,8 +8,9 @@
 #                                 # differentials: null-planted payloads,
 #                                 # all-empty, facts-empty,
 #                                 # pathological-unicode-text,
-#                                 # non-finite-embedding, and
-#                                 # exact-tie/duplicate fixtures
+#                                 # non-finite-embedding,
+#                                 # exact-tie/duplicate, and
+#                                 # extreme-numerics fixtures
 #                                 # @ sf0.01 -> Verify -> check.py
 #                                 # --unordered (unordered because the
 #                                 # engines disagree on default null
@@ -65,6 +66,7 @@ if [[ "$FAST" == "--null" || "$FAST" == "--worlds" ]]; then
   run_world unicode /root/testdata/sf0.01 graft.tools.UnicodeWorld
   run_world nonfinite /root/testdata/sf0.01 graft.tools.NonFiniteWorld
   run_world tie /root/testdata/sf0.01 graft.tools.TieWorld
+  run_world numerics /root/testdata/sf0.01 graft.tools.NumericsWorld
   # skew runs at sf0.1, not sf0.01: the planted boilerplate only crosses
   # the hot-shingle df-cap (50 per source) from sf0.1 upward — below
   # that the cap is latent and the world tests nothing the clean
