@@ -297,10 +297,19 @@ object Joins extends QueryPack {
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
         .as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
-    graft.graph.Graph.pagerank(pairs, iters = 5, damp = 0.85)
+    graft.graph.Graph.pagerank(pairs, iters = prIters, damp = prDampPm / 1000.0)
       .orderBy($"rank".desc, $"id".asc).limit(20)
       .select($"id", $"rank".as("rank_pico"))
   }
+
+  /** graph_pagerank's parameters, shared by the query and its oracle
+    * twin so changing either keeps the two in lockstep (round-13
+    * advice: the oracle hardcoded the 150/850 per-mille split while
+    * the Spark side derived it from `damp` — an invisible coupling).
+    * Damping is held per-mille because that is the exact quantization
+    * [[graft.graph.Graph.pagerank]] computes in. */
+  private[graft] val prDampPm: Long = 850L
+  private[graft] val prIters: Int = 5
 
   /** Connected components of the co-purchase part graph — the third
     * classic graph primitive surfaced as a query (triangles and
@@ -831,12 +840,15 @@ object Joins extends QueryPack {
     * cross-joined (one row) rather than a per-row scalar subquery.
     * The CAST drops DuckDB's sum(BIGINT) → HUGEINT widening back to
     * the long domain Spark computes in (the sum is ≤ 1e12, so the
-    * narrowing is lossless — same rule as the driver's type gate). */
+    * narrowing is lossless — same rule as the driver's type gate).
+    * The teleport/damp split interpolates [[prDampPm]] — the same
+    * constant the query hands to Graph.pagerank — so re-tuning the
+    * damping can never desynchronize the twins. */
   private def prPass(i: Int): String =
     s"""r${i + 1} AS MATERIALIZED (
        |  SELECT adj.dst AS id,
-       |    (150 * 1000000000000 // 1000) // nv.n
-       |      + (850 * CAST(sum(r.rank // adj.dg) AS BIGINT)) // 1000 AS rank
+       |    (${1000 - prDampPm} * 1000000000000 // 1000) // nv.n
+       |      + ($prDampPm * CAST(sum(r.rank // adj.dg) AS BIGINT)) // 1000 AS rank
        |  FROM adj JOIN r$i r ON adj.src = r.id, nv
        |  GROUP BY adj.dst, nv.n)""".stripMargin
 
@@ -862,8 +874,8 @@ object Joins extends QueryPack {
          |nv AS MATERIALIZED (SELECT count(*) AS n FROM deg),
          |r0 AS MATERIALIZED (
          |  SELECT a AS id, 1000000000000 // nv.n AS rank FROM deg, nv),
-         |${(0 until 5).map(prPass).mkString(",\n")}
-         |SELECT id, rank AS rank_pico FROM r5
+         |${(0 until prIters).map(prPass).mkString(",\n")}
+         |SELECT id, rank AS rank_pico FROM r$prIters
          |ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin,
     // Hybrid CC twin (see graphCc's scaladoc): 6 unrolled propagation
     // rounds collapse the dense giant component, then a monotone-

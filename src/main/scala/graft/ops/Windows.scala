@@ -665,7 +665,7 @@ object Windows extends QueryPack {
         |  CAST(sum(pc) OVER w AS DOUBLE)
         |    / CAST(count(*) OVER w AS DOUBLE) / 100 AS roll_mean,
         |  CASE WHEN count(*) OVER w > 1 THEN
-    -- HUGEINT -> VARCHAR -> DOUBLE: DuckDB 1.0's direct int128->double
+        |    -- HUGEINT -> VARCHAR -> DOUBLE: DuckDB 1.0's direct int128->double
         |    -- cast is double-rounding (upper*2^64 + lower, ~1% of >2^53
         |    -- values off by 1 ulp); the string parse is correctly rounded,
         |    -- matching Spark's BigDecimal.doubleValue exactly

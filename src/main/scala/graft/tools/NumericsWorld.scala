@@ -34,7 +34,15 @@ import org.apache.spark.sql.functions._
   * All plants are pure column arithmetic on xxhash64(id, salt) — same
   * rows every run; planted values are WRITTEN to parquet so both
   * engines read identical bytes (the differential is pure: same data
-  * in, compare answers out).
+  * in, compare answers out). Per-column plants are chained `when`s, so
+  * the FIRST matching plant wins: a row eligible for both the 1-in-8
+  * negation and the 1-in-16 zero only gets negated. The per-plant
+  * rates above therefore read "up to 1-in-N" — later plants in a
+  * chain land on slightly fewer rows than their nominal rate (the
+  * salts are independent, so the shortfall is ~the product of the
+  * earlier rates). Deliberate: disjoint residue bands would couple
+  * the plants to one shared salt, and the differential only needs
+  * every boundary value PRESENT, not at an exact census.
   *
   * Usage: runMain graft.tools.NumericsWorld <srcSfDir> <dstDir>
   */
