@@ -33,29 +33,8 @@ case class HyperplaneBucket(child: Expression, nBits: Int, dim: Int, seed: Long)
 
   private lazy val et = VecExpr.elemType(child)
 
-  // splitmix64 finalizer (public-domain constants) -> uniform [-0.5, 0.5)
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   /** coefs(p * dim + d) = component d of hyperplane p. */
-  @transient lazy val coefs: Array[Double] = {
-    val a = new Array[Double](nBits * dim)
-    var p = 0
-    while (p < nBits) {
-      var d = 0
-      while (d < dim) {
-        val h = mix(seed * 0x100000001b3L + p * 1000003L + d)
-        a(p * dim + d) = ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-        d += 1
-      }
-      p += 1
-    }
-    a
-  }
+  @transient lazy val coefs: Array[Double] = HyperplaneBucket.coefs(nBits, dim, seed)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -118,4 +97,35 @@ object HyperplaneBucket {
   def bucket(c: Column, nBits: Int, dim: Int = 64, seed: Long = 42L): Column =
     GraftColumnBridge.column(
       HyperplaneBucket(GraftColumnBridge.expression(c), nBits, dim, seed))
+
+  // splitmix64 finalizer (public-domain constants) -> uniform [-0.5, 0.5)
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The hyperplane coefficient table: component d of hyperplane p at
+    * index p·dim + d. On the COMPANION (not the expression instance)
+    * because the oracle twins embed the same table as SQL literals —
+    * the coefficients are data-independent query parameters (like a
+    * damping factor), so interpolating them keeps the wrapping-64-bit
+    * splitmix64 derivation out of DuckDB, where checked BIGINT/int128
+    * arithmetic cannot express it. Doubles round-trip through
+    * Double.toString, so the literal parse is bit-exact. */
+  def coefs(nBits: Int, dim: Int, seed: Long): Array[Double] = {
+    val a = new Array[Double](nBits * dim)
+    var p = 0
+    while (p < nBits) {
+      var d = 0
+      while (d < dim) {
+        val h = mix(seed * 0x100000001b3L + p * 1000003L + d)
+        a(p * dim + d) = ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+        d += 1
+      }
+      p += 1
+    }
+    a
+  }
 }

@@ -88,10 +88,11 @@ class CountWithTtlProcessor(ttlMs: Long)
   }
 }
 
-/** SURVEY.md §2.9 (*no-oracle* rows) — true Structured Streaming over
-  * the events fixture, driven as a file source and drained
-  * synchronously into a memory sink so the driver contract still gets
-  * a finite DataFrame back.
+/** SURVEY.md §2.9 — true Structured Streaming over the events fixture,
+  * driven as a file source and drained synchronously into a memory
+  * sink so the driver contract still gets a finite DataFrame back.
+  * All §2.9 rows are DuckDB-oracled as of round 14 (pinned replays,
+  * commutative final states, and the SigHash-banded near-dedups).
   *
   * Design notes for the real cluster: the same plans run against
   * Kafka/files with checkpointing; watermarks bound state (windows
@@ -612,7 +613,7 @@ object Streams extends QueryPack {
     import s.implicits._
     graft.vec.VectorOps.minhashSignatures(docs, nHashes = 16)
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 3), b -> hash(b, slice(sig, b*4 + 1, 4)))"))
+        graft.vec.VectorOps.bandsExprSql(4, 4)))
         .as(Seq("band_id", "band_hash")))
       .as[(Long, Int, Long)]
       .groupByKey(r => (r._2, r._3))
@@ -652,7 +653,7 @@ object Streams extends QueryPack {
     graft.vec.VectorOps.minhashSignatures(docs, nHashes = 16)
       .select(col("doc_id"), unix_micros(col("ts")).as("event_us"),
         posexplode(expr(
-          "transform(sequence(0, 3), b -> hash(b, slice(sig, b*4 + 1, 4)))"))
+          graft.vec.VectorOps.bandsExprSql(4, 4)))
           .as(Seq("band_id", "band_hash")),
         col("ts"))
       .withWatermark("ts", horizon)
@@ -683,9 +684,13 @@ object Streams extends QueryPack {
     * a doc is flagged when any band bucket was already claimed by an
     * earlier doc. This is the ingestion-time shape: admit-or-flag at
     * arrival with O(1) state per bucket, no pairing, no reprocessing
-    * of the accepted corpus. NO ORACLE (xxhash64 signatures);
-    * StreamsSpec pins planted cross-batch near-copies AND agreement
-    * with the batch banding. */
+    * of the accepted corpus. DuckDB-oracled since round 14 (SigHash
+    * banding): the scored drain is a SINGLE micro-batch, where every
+    * verdict's owner is the bucket's global min — so the output equals
+    * "count the bands whose bucket min is a lower id", plain SQL over
+    * the signature table, under ANY file layout. StreamsSpec pins
+    * planted cross-batch near-copies AND agreement with the batch
+    * banding for the multi-batch path the oracle can't see. */
   def streamDedupNear(s: SparkSession, dir: String): DataFrame =
     graft.config.Sessions.withStreamStatePartitions(s) {
       import s.implicits._
@@ -962,12 +967,32 @@ object Streams extends QueryPack {
   // Stateful streamers are oracled through the pinned 3-batch replay
   // (eventReplayStage): arrival order is deterministic, state
   // transitions are commutative or at-arrival-final, so the drained
-  // final state has an exact batch SQL twin. The remaining no-oracle
-  // rows (stream_dedup_near, _ooo) emit per-ARRIVAL verdicts whose
-  // xxhash64-seeded MinHash banding DuckDB cannot reproduce; they are
-  // spec-verified streaming==batch instead. Single-file-drain queries
-  // (one micro-batch) are oracled by their batch twins directly.
+  // final state has an exact batch SQL twin. Since round 14 the two
+  // near-dedup streamers are oracled too (the SigHash polynomial
+  // re-seed made the banding cross-engine): the in-order variant's
+  // scored drain is a SINGLE micro-batch, where every verdict's owner
+  // is the bucket's global min, and the OOO variant's watermark
+  // reconciliation converges to the same batch rule by construction —
+  // so both equal "count the bands whose bucket min is a lower id",
+  // which is plain SQL over the signature table. Single-file-drain
+  // queries (one micro-batch) are oracled by their batch twins
+  // directly. */
+  private val nearDedupOracle: String =
+    s"""WITH ${graft.vec.VectorOps.duckSigCtes("documents")},
+      |mins AS (SELECT band_id, band_hash, min(doc_id) AS mn
+      |         FROM mh_band GROUP BY 1, 2)
+      |SELECT b.doc_id,
+      |  bool_or(m.mn < b.doc_id) AS is_dup,
+      |  CAST(sum(CASE WHEN m.mn < b.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bands_hit
+      |FROM mh_band b JOIN mins m USING (band_id, band_hash)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "stream_dedup_near" -> nearDedupOracle,
+    // the sentinel row is already filtered by the query; the verdicts
+    // reconcile to the identical batch rule regardless of file split
+    "stream_dedup_near_ooo" -> nearDedupOracle,
     // pinned replay + re-delivered in-horizon duplicates: correct
     // dropDuplicatesWithinWatermark admits each event_id once, so the
     // final counts equal the batch GROUP BY over the ORIGINAL events

@@ -632,7 +632,9 @@ object TextOps extends QueryPack {
     * Doc verdict = the same ≥-half rule as the exact tier. The chunk
     * key packs (doc_id, chunk_ix) into one long (chunk_ix < 2²⁰ —
     * docs are far below 2²⁰·150 chars) so the doc-level minhash
-    * machinery applies unchanged. No oracle (xxhash64 MinHash);
+    * machinery applies unchanged. DuckDB-oracled since round 14 (the
+    * SigHash polynomial re-seed — the oracle rebuilds the chunk table,
+    * signatures, capped buckets and Jaccard verification in SQL);
     * planted SHIFTED-copy docs in VectorOpsSpec prove exactly the
     * recall the exact tier lacks. Scale shape: shuffles key on band
     * hash then chunk key — both high-cardinality; pair volume scales
@@ -742,6 +744,51 @@ object TextOps extends QueryPack {
       |FROM lbl ORDER BY doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // chunk-level MinHash/LSH twin: chunk table (packed keys, the
+    // Spark keyBase), SigHash signatures via the shared CTE chain,
+    // stop-bucket cap 200 (mirroring minhashPairs' maxBucket), exact
+    // shingle-Jaccard >= 0.6 on candidates, cross-DOCUMENT filter,
+    // then the same >=-half doc verdict as the exact tier
+    "dedup_chunks_near" ->
+      s"""WITH chsrc AS MATERIALIZED (
+        |  SELECT doc_id * 1048576 + s // 150 AS doc_id,
+        |    substring(text, s + 1, 200) AS text
+        |  FROM documents,
+        |    unnest(generate_series(0, greatest(length(text) - 1, 0), 150))
+        |      AS u(s)),
+        |${graft.vec.VectorOps.duckSigCtes("chsrc")},
+        |bsz AS (SELECT band_id, band_hash, count(*) AS n
+        |        FROM mh_band GROUP BY 1, 2),
+        |bandc AS MATERIALIZED (
+        |  SELECT mb.doc_id, mb.band_id, mb.band_hash
+        |  FROM mh_band mb JOIN bsz USING (band_id, band_hash)
+        |  WHERE bsz.n <= 200),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM bandc a JOIN bandc b
+        |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        |   AND a.doc_id < b.doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT c.a, c.b FROM cand c
+        |  JOIN mh_sh sa ON sa.doc_id = c.a
+        |  JOIN mh_sh sb ON sb.doc_id = c.b
+        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |        / CAST(len(sa.shingles) + len(sb.shingles)
+        |               - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |        >= 0.6
+        |    AND c.a // 1048576 <> c.b // 1048576),
+        |dupk AS (SELECT a AS ck FROM pairs UNION SELECT b AS ck FROM pairs),
+        |totals AS (SELECT doc_id // 1048576 AS doc_id, count(*) AS n_chunks
+        |           FROM chsrc GROUP BY 1),
+        |dups AS (SELECT ck // 1048576 AS doc_id, count(*) AS n_dup_chunks
+        |         FROM dupk GROUP BY 1)
+        |SELECT t.doc_id, t.n_chunks,
+        |  CAST(coalesce(d.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+        |  round(CAST(coalesce(d.n_dup_chunks, 0) AS DOUBLE) / t.n_chunks, 6)
+        |    AS dup_frac,
+        |  coalesce(d.n_dup_chunks, 0) * 2 >= t.n_chunks AS is_dup
+        |FROM totals t LEFT JOIN dups d USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // generate_series is inclusive-end in DuckDB too; both engines
     // substring 1-based over all-ASCII fixture text
     "dedup_chunks" ->

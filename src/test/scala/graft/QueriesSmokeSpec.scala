@@ -39,5 +39,5 @@ class QueriesSmokeSpec extends AnyFunSuite {
   * same constant instead of a drifting copy. */
 object QueriesSmokeSpec {
   val DeclaredQueries = 239 // r13: + text_bpe_train / text_bpe_apply
-  val DeclaredOracles = 218 // r13: graph_cc, graph_pagerank, text_hot_tokens promoted; BPE pair oracled
+  val DeclaredOracles = 227 // r14: the 9-row xxhash64 class re-seeded onto SigHash and oracled
 }

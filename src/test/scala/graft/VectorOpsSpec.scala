@@ -215,16 +215,7 @@ class VectorOpsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical docs hash identically, near-dups are close") {
-    val out = corpusWithPlants
-      .withColumn("toks", split($"text", " "))
-      .withColumn("votes", expr(
-        """aggregate(toks, array_repeat(0L, 64),
-          |  (acc, t) -> zip_with(acc, transform(sequence(0, 63),
-          |    b -> CASE WHEN (shiftright(xxhash64(t), b) % 2 + 2) % 2 = 1 THEN 1L ELSE -1L END),
-          |    (a, v) -> a + v))""".stripMargin))
-      .withColumn("simhash", expr(
-        "aggregate(zip_with(votes, sequence(0, 63), (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"))
-      .select($"doc_id", $"simhash")
+    val out = VectorOps.simhashOf(corpusWithPlants)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(1L) == out(9001L), "identical docs must collide")
     val hamming = java.lang.Long.bitCount(out(2L) ^ out(9002L))
