@@ -94,6 +94,25 @@ object Bpe extends QueryPack {
       .localCheckpoint(true)
   }
 
+  /** One training round's argmax: weighted adjacent-pair counts over
+    * the live states, global winner by (n DESC, pair ASC). Named so
+    * PlanSpec can lock the PRE-checkpoint plan: the orderBy.limit(1)
+    * must plan as TakeOrderedAndProject (a k=1 heap over map-side
+    * partials), never a global sort — at vocabulary scale the sort
+    * would shuffle every candidate pair per round. */
+  private[graft] def bestPair(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    state
+      .select(col("freq"),
+        expr("filter(split(state, ' '), x -> x != '')").as("sy"))
+      .select(col("freq"), explode(expr(
+        "transform(slice(sy, 1, size(sy) - 1), " +
+        "(x, i) -> struct(x AS a, element_at(sy, i + 2) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+  }
+
   /** Run the 8 greedy rounds; returns (merge rows, final word states).
     * Each round's winner is a 1-row checkpoint (the per-pass action —
     * same discipline as connectedComponents' pass gating); the state
@@ -104,16 +123,7 @@ object Bpe extends QueryPack {
     var state = vocab(s, dir)
     val found = Seq.newBuilder[DataFrame]
     for (r <- 1 to merges) {
-      val best = state
-        .select($"freq",
-          expr("filter(split(state, ' '), x -> x != '')").as("sy"))
-        .select($"freq", explode(expr(
-          "transform(slice(sy, 1, size(sy) - 1), " +
-          "(x, i) -> struct(x AS a, element_at(sy, i + 2) AS b))")).as("p"))
-        .groupBy($"p.a".as("a"), $"p.b".as("b"))
-        .agg(sum($"freq").as("n"))
-        .orderBy($"n".desc, $"a".asc, $"b".asc).limit(1)
-        .localCheckpoint(true)
+      val best = bestPair(state).localCheckpoint(true)
       found += best.select(lit(r).cast("int").as("rk"),
         $"a".as("lhs"), $"b".as("rhs"),
         concat($"a", $"b").as("merged"), $"n")

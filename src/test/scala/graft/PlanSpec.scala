@@ -507,4 +507,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("bpe training argmax plans TakeOrderedAndProject (k=1 heap), never a global sort") {
+    import spark.implicits._
+    // the PRE-checkpoint round plan (localCheckpoint erases plans, so
+    // the lock targets Bpe.bestPair directly): the per-round winner
+    // must reduce through a 1-row heap over map-side partial pair
+    // counts — a global Sort of the candidate-pair table would
+    // shuffle the whole vocabulary's bigram space every round
+    val state = Seq(("low", 5L, " l  o  w "), ("lower", 2L, " l  o  w  e  r "))
+      .toDF("word", "freq", "state")
+    val p = graft.text.Bpe.bestPair(state)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("\n   Sort "), p.take(1200)) // no global Sort node
+  }
 }
