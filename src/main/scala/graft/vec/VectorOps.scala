@@ -185,9 +185,9 @@ object VectorOps extends QueryPack {
     * recall against the exact brute-force global graph. */
   def simKnnJoinAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val kCent = 16
     val nprobe = 2
     val e = emb(s, dir)
+    val kCent = ivfCells(e.count(), minCells = 16)
     val cent = kmeansCentroids(e, kCent, iters = 2)
     val assigned = assignCells(e, cent)
       .select($"vec_id".as("id_b"), $"emb".as("emb_b"),
@@ -297,6 +297,23 @@ object VectorOps extends QueryPack {
            first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("emb"), col("nrm"),
               col("top").getItem(0).getField("id").as("cell"))
+
+  /** Balanced IVF cell count: k = ⌈√n⌉ (floored at `minCells`, the
+    * fixture-scale behavior). The two scale drivers of a cell-blocked
+    * pair query are coarse assignment (n·k distance evals) and the
+    * cell-keyed pair space (nprobe·n·(n/k)); k = √n makes BOTH Θ(n^1.5)
+    * — the canonical IVF-flat balance. A FIXED k is a hidden quadratic:
+    * n²/k pair space looked sublinear for one decade (r13 measured
+    * sim_knn_join_ann at x^0.83 on sf0.1→sf1.0 with k=16) and blew up
+    * in the second (x^1.97 at sf10 — the round-13 verdict's predicted
+    * "quadratic term with a small constant hides in one decade",
+    * caught by exactly the probe it prescribed). Θ(n^1.5) is the
+    * declared IVF-flat contract, not an accident — beating it needs a
+    * hierarchical coarse quantizer (assign via √k super-cells), the
+    * documented next rung at 10⁹ vectors. The count() is one
+    * column-pruned pass over the alive corpus, driver-side k only. */
+  private[graft] def ivfCells(n: Long, minCells: Int): Int =
+    math.max(minCells, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Lloyd's k-means over the embedding corpus, pure DataFrame ops —
     * the centroid-training job that feeds IVF. Per iteration: one
@@ -468,7 +485,12 @@ object VectorOps extends QueryPack {
     * justifier pair ≥ tau). Output: one audit row per cell. */
   def embedSemdedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = semdedupVerdicts(emb(s, dir), k = 10, tau = 0.30)
+    // k = √n (floored at the fixture-scale 10): SemDeDup's own scale
+    // argument — k must grow with the corpus to hold the per-cell
+    // quadratic Σ|cell|² at Θ(n^1.5); a fixed k is a hidden n²/k
+    // (see ivfCells — the sf10 probe caught exactly this class)
+    val e = emb(s, dir)
+    val v = semdedupVerdicts(e, k = ivfCells(e.count(), 10), tau = 0.30)
     v.groupBy($"cell")
       .agg(count(lit(1)).as("n_vecs"),
            sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
@@ -495,7 +517,9 @@ object VectorOps extends QueryPack {
   def pipelineCurateEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val quota = 30
-    val v = semdedupVerdicts(emb(s, dir), k = 10, tau = 0.30)
+    // corpus-derived k, same argument as embed_semdedup (ivfCells)
+    val e = emb(s, dir)
+    val v = semdedupVerdicts(e, k = ivfCells(e.count(), 10), tau = 0.30)
       .localCheckpoint(true)
     val thr = v.where($"kept")
       .groupBy($"cell").agg(expr("percentile(ccos, 0.10)").as("p10"))

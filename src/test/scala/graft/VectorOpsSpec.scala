@@ -555,7 +555,11 @@ class VectorOpsSpec extends AnyFunSuite {
 
   test("pipeline_curate_embed: stage counts partition each cell; quota binds; funnel is monotone") {
     val out = VectorOps.pipelineCurateEmbed(spark, SparkSpec.sfDir).collect()
-    assert(out.length == 10, s"expected one audit row per cell, got ${out.length}")
+    // k is corpus-derived since r14 (ivfCells: ⌈√n⌉ floored at 10 —
+    // the fixed k=10 was a hidden n²/k pair space at scale)
+    val expectK = VectorOps.ivfCells(rawVecs.size.toLong, 10)
+    assert(out.length == expectK,
+      s"expected one audit row per cell (k=$expectK), got ${out.length}")
     var (totVecs, totKept) = (0L, 0L)
     out.foreach { r =>
       val Seq(n, dup, outl, quo, kept) = (1 to 5).map(r.getLong)
