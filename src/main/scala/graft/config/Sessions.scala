@@ -116,6 +116,46 @@ object Sessions {
         withShufflePartitionsCap(s, graphIterPartitions(s, edgeRows))(f)
     }
 
+  /** Shuffle-partition count for corpus-scale PAIR aggregation (the
+    * edge-distinct / pair-dedup stage of the graph queries) — the
+    * opposite dial from [[graphIterPartitions]]: iteration state is
+    * edge-set-sized and SHRINKS, so it wants few partitions; the
+    * pair-distinct stage's hash-aggregate state is proportional to
+    * the raw pair stream and GROWS with the corpus, so its partition
+    * count must grow too or per-task partial maps exhaust the unified
+    * pool (the round-14 sf10 probe: graph_pagerank's ~10⁸-row pair
+    * distinct at 32 partitions died AGGREGATE_OUT_OF_MEMORY at
+    * 0.5 GB/core while the same plan ran clean at 2 GB/core —
+    * provisioning was the workaround, THIS derivation is the fix).
+    * One partition per ~512k pair rows (~30 MB of aggregate state per
+    * task) bounds per-task memory regardless of corpus size; floored
+    * at the session setting so small inputs keep their plan, capped
+    * at 4096 as a local-harness runaway guard (a deployment that
+    * measured its edge volume overrides via
+    * `spark.graft.graph.pairAggPartitions`, same contract as the
+    * iteration dial). */
+  def pairAggPartitions(s: SparkSession, estRows: Long): Int = {
+    val session = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val derived = estRows / 524288L + 1L
+    math.min(math.max(derived, session.toLong), 4096L).toInt
+  }
+
+  /** Scope a pair-aggregation action block to [[pairAggPartitions]] —
+    * RAISES the session setting when the estimated pair volume calls
+    * for it (withShufflePartitionsSet, not the min-cap: bounding
+    * per-task state is the point, and a raise is exactly what a big
+    * input needs). `estRows <= 0` means the caller has no estimate —
+    * run unscoped rather than derive from garbage. */
+  def withPairAggPartitions[T](s: SparkSession, estRows: Long)(f: => T): T =
+    s.conf.getOption("spark.graft.graph.pairAggPartitions") match {
+      case Some(n) => withShufflePartitionsSet(s, n.toInt)(f)
+      case None if estRows > 0 =>
+        withShufflePartitionsSet(s, pairAggPartitions(s, estRows))(f)
+      case None => f
+    }
+
   /** Session storage hygiene for long-lived sessions running many
     * graft queries. The iterative operators (graph_cc / pagerank /
     * dedup clusterers) eagerly `localCheckpoint` model-sized state,

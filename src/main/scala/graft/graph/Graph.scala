@@ -383,26 +383,78 @@ object Graph {
   val rankScale: Long = 1000000000000L
 
   def pagerank(edges: DataFrame, iters: Int, damp: Double,
-               broadcastMaxVertices: Long = 4000000L): DataFrame = {
+               broadcastMaxVertices: Long = 4000000L,
+               edgeRowsHint: Long = -1L): DataFrame = {
+    val s = edges.sparkSession
     // damp quantized to a per-mille rational so both engines (and the
     // in-spec sequential reference) share one exact integer formula
     val dampPm = math.round(damp * 1000)
-    val e = edges.select(col("a"), col("b")).distinct()
-    // the two sym branches share e's distinct via ReuseExchange — no
-    // eager materialization of the edge list needed before adj's
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-    // (src, dst, src-degree): the constant per-iteration join input —
-    // checkpointed ONCE because it feeds every pass of one lazy plan
-    // (a plan-tree reuse Spark would otherwise recompute per pass)
-    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
-    val adj = sym.join(deg, "a")
-      .select(col("a").as("src"), col("b").as("dst"), col("dg"))
-      .localCheckpoint(true)
-    val n = adj.select(col("src")).distinct().count()
-    val useBroadcast = n <= broadcastMaxVertices
+    // the pair distinct, degree agg and adjacency join all execute
+    // inside the checkpoint's job below — scoped to the pair-derived
+    // partition width (Sessions.pairAggPartitions) when the caller
+    // supplies an edge-volume estimate, so per-task aggregate state
+    // stays ~30 MB no matter how big the pair stream is (the r14 sf10
+    // probe died exactly here at 0.5 GB/core with 32 partitions over
+    // ~10⁸ pair rows; spilling beats dying, and bounded partials beat
+    // both). Partition count cannot change the RESULT: every sum in
+    // this query is integer, order- and partitioning-independent.
+    val (adj, n) = graft.config.Sessions.withPairAggPartitions(
+        s, edgeRowsHint) {
+      val e = edges.select(col("a"), col("b")).distinct()
+      // the two sym branches share e's distinct via ReuseExchange — no
+      // eager materialization of the edge list needed before adj's
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      // (src, dst, src-degree): the constant per-iteration join input —
+      // checkpointed ONCE because it feeds every pass of one lazy plan
+      // (a plan-tree reuse Spark would otherwise recompute per pass)
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      // the adjacency is the one CORPUS-scale table this query pins
+      // across all passes (2|E| rows × 3 longs). The default
+      // deserialized MEMORY_AND_DISK level floods the heap's
+      // MemoryStore at tight provisioning — the r15 16 g sf10 re-probe
+      // OOM'd in a shuffle read-ahead thread while ~7 GB of adjacency
+      // blocks were being evicted one 235 MB block at a time — so when
+      // the hinted size crowds a quarter of the heap, pin it DISK_ONLY
+      // outright: blocks stream back per pass (NVMe-speed on any real
+      // executor), execution memory keeps the whole pool, and the
+      // level choice cannot change results (storage is storage).
+      val estBytes = 2L * math.max(edgeRowsHint, 0L) * 32L
+      val level =
+        if (estBytes > Runtime.getRuntime.maxMemory() / 4)
+          org.apache.spark.storage.StorageLevel.DISK_ONLY
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val a = sym.join(deg, "a")
+        .select(col("a").as("src"), col("b").as("dst"), col("dg"))
+        .localCheckpoint(true, level)
+      (a, a.select(col("src")).distinct().count())
+    }
+    // heap-aware broadcast gate (r15): the fixed 4M-vertex ceiling was
+    // sized against 2 GB/core provisioning; at 0.5 GB/core (the r14
+    // sf10 probe's 16 g JVM) it admits a rank table whose per-pass
+    // hashed relations — all `iters` of them built within the ONE
+    // lazy job — plus the multi-GB adjacency cache exceed the heap
+    // (measured: sf10 = 2M vertices OOMs at 16 g mid-iteration, runs
+    // clean partitioned; at 64 g the broadcast path is clean). A rank
+    // row costs ~24 B hashed, so maxMemory/16384 vertices budgets
+    // ≈0.15% of heap per broadcast — iteration-total residency stays
+    // bounded at ANY provisioning, and at 2 GB/core the derived gate
+    // (4M at 64 g) reproduces the measured-good constant exactly.
+    val gate = math.min(broadcastMaxVertices,
+      Runtime.getRuntime.maxMemory() / 16384L)
+    val useBroadcast = n <= gate
     // partitioned path: one exchange subtree shared by every pass via
     // ReuseExchange — adj's blocks are hashed on the join key once
-    val adjIter = if (useBroadcast) adj else adj.repartition(col("src"))
+    // (explicitly pair-width-partitioned when the caller hinted the
+    // volume: the per-pass join + partial sum then work on the same
+    // bounded slices as the distinct above — the iteration runs at
+    // the CALLER's action time, outside any conf scope set here)
+    val adjIter =
+      if (useBroadcast) adj
+      else if (edgeRowsHint > 0)
+        adj.repartition(
+          graft.config.Sessions.pairAggPartitions(s, edgeRowsHint),
+          col("src"))
+      else adj.repartition(col("src"))
     // n = 0 (empty edge set) leaves every frame below empty, but the
     // driver-side divisions still evaluate eagerly — guard them
     val init = if (n == 0) 0L else rankScale / n

@@ -297,7 +297,15 @@ object Joins extends QueryPack {
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
         .as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
-    graft.graph.Graph.pagerank(pairs, iters = prIters, damp = prDampPm / 1000.0)
+    // pair-volume estimate for the memory-bounding partition
+    // derivation (Sessions.pairAggPartitions): measured basket shape
+    // (~4 distinct parts/order → C(4,2)=6 pairs per ~4 rows) puts the
+    // pair stream at ~2× the lineitem row count across every probed
+    // sf — and the count() itself is one column-pruned metadata-cheap
+    // pass, paid once before the corpus-scale work
+    val estPairs = 2L * li.count()
+    graft.graph.Graph.pagerank(pairs, iters = prIters,
+        damp = prDampPm / 1000.0, edgeRowsHint = estPairs)
       .orderBy($"rank".desc, $"id".asc).limit(20)
       .select($"id", $"rank".as("rank_pico"))
   }

@@ -676,6 +676,83 @@ object TextOps extends QueryPack {
   def dedupChunksNear(s: SparkSession, dir: String): DataFrame =
     chunkNearDupStats(docs(s, dir))
 
+  /** Span width (tokens) for [[spanDupStats]] — the "≥ k tokens"
+    * threshold of exact-substring dedup. 8 on the word-soup fixtures
+    * (docs run 10-99 tokens; Lee et al. used 50 on web documents —
+    * the dial, like the chunk width, is corpus-calibrated). */
+  private[text] val spanDupK = 8
+
+  /** Exact substring-SPAN dedup — the suffix-array tier of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499), re-expressed relationally: surface
+    * every maximal token span whose every `k`-token window occurs at
+    * least twice in the corpus (within-doc repeats included — a span
+    * pasted twice into one document is duplicated text all the same).
+    * [[chunkDupStats]]/[[dedupWinnow]] flag the DOC or PAIR; this is
+    * the operator that emits the spans themselves — (doc_id,
+    * span_start, span_len) in token coordinates — so a curation
+    * pipeline can cut the duplicated region and keep the rest, which
+    * is the whole point of the third dedup tier.
+    *
+    * Mechanics: token k-grams with start positions (one in-row
+    * transform over the split array — no token self-join), then a
+    * duplicated-gram verdict, then per-doc interval union: a gram
+    * start p covers [p, p+k-1]; covered extents that overlap or touch
+    * merge into maximal spans via one per-doc window pass (lag gap
+    * test + running-sum island id — the win_islands pattern).
+    *
+    * Scale shape (the reason this beats a literal suffix array on a
+    * cluster): nothing is ever pairwise. The duplicated-gram verdict
+    * is a two-phase candidate+verify — phase 1 counts 8-byte xxhash64
+    * gram hashes (map-side partial count, the gram TEXT never
+    * shuffles), phase 2 re-counts only hash-hot candidates by exact
+    * gram text, so collisions cannot flag a span and the text shuffle
+    * is candidate-sized, not corpus-sized. Result is IDENTICAL to a
+    * direct group-by-gram-text count (text-equal ⟹ hash-equal, so the
+    * prefilter only ever removes true negatives) — which is exactly
+    * what the DuckDB oracle runs, making the differential a proof of
+    * the two-phase rewrite. The island merge shuffles once on doc_id
+    * and sorts per doc (bounded by document length). */
+  def spanDupStats(d: DataFrame, k: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val grams = d
+      .where($"text".isNotNull)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= k)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+        s"i -> array_join(slice(w, i, $k), ' '))")).as(Seq("p", "gram")))
+      .withColumn("h", xxhash64($"gram"))
+      // feeds the hash count AND the candidate re-join — one Generate
+      // pass over the corpus, materialized (house pattern, dedupNgram)
+      .localCheckpoint(false)
+    val hotHash = grams.groupBy($"h").agg(count(lit(1)).as("nh"))
+      .where($"nh" >= 2).select($"h")
+    val cand = grams.join(hotHash, Seq("h"))
+    val dupGram = cand.groupBy($"gram").agg(count(lit(1)).as("ng"))
+      .where($"ng" >= 2).select($"gram")
+    val covered = cand.join(dupGram, Seq("gram"))
+      .select($"doc_id", $"p".cast("long").as("p"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"p")
+    covered
+      // extents [p, p+k-1] merge when the next start is ≤ prev end + 1
+      // ⟺ gap p - prev_p ≤ k (starts are unique per doc, ascending)
+      .withColumn("brk",
+        when($"p" - lag($"p", 1).over(wDoc) <= k, 0L).otherwise(1L))
+      .withColumn("isl", sum($"brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"p").as("span_start"),
+           (max($"p") + lit(k) - min($"p")).as("span_len"),
+           count(lit(1)).as("n_grams"))
+      .select($"doc_id", $"span_start", $"span_len", $"n_grams")
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    spanDupStats(docs(s, dir), spanDupK)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub" -> (textScrub _),
     "dedup_survivors" -> (dedupSurvivors _),
@@ -697,6 +774,7 @@ object TextOps extends QueryPack {
     "dedup_chunks" -> (dedupChunks _),
     "dedup_chunks_near" -> (dedupChunksNear _),
     "text_contamination" -> (textContamination _),
+    "dedup_spans" -> (dedupSpans _),
     "doc_fingerprint" -> (docFingerprint _))
 
   /** Shared by dedup_clusters AND dedup_clusters_star: the recursive
@@ -1049,6 +1127,34 @@ object TextOps extends QueryPack {
         |  CAST(length(text) AS INTEGER) AS n_chars_real,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_spans" ->
+      // the oracle runs the DIRECT group-by-gram-text count — the
+      // Spark side's xxhash64 prefilter is result-identical (see
+      // spanDupStats scaladoc), so the differential certifies the
+      // two-phase rewrite, not just the island algebra
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    array_to_string(w[i : i + ${spanDupK - 1}], ' ') AS gram
+        |  FROM d, unnest(generate_series(1, len(w) - ${spanDupK - 1})) AS u(i)
+        |  WHERE len(w) >= $spanDupK),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $spanDupK
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM cov),
+        |grp AS (
+        |  SELECT doc_id, p,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+        |  FROM isl)
+        |SELECT doc_id, min(p) AS span_start,
+        |  max(p) + $spanDupK - min(p) AS span_len, count(*) AS n_grams
+        |FROM grp GROUP BY doc_id, isl_id
+        |ORDER BY doc_id, span_start""".stripMargin,
     "doc_fingerprint" ->
       // chr(304) = İ, the one SpecialCasing.txt char the unicode world
       // plants: Spark lower() applies the full mapping (İ → i+U+0307),

@@ -95,6 +95,11 @@ object NumericsWorld {
           df.withColumn("n_chars",
             when(planted(col("doc_id"), 311, 16), lit(0L))
               .otherwise(col("n_chars")))
+        // orphan plant folded into this axis too (round 15) — the
+        // boundary-value world now also exercises anti-join survivors
+        // (and q22's avg threshold meets the planted balances under a
+        // population containing negated credit memos)
+        case "customer" => OrphanWorld.plantInto(df)
         case _ => df
       }
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")

@@ -59,19 +59,30 @@ object OrphanWorld {
   def q22Keys(maxKey: Long): Seq[Long] =
     orphans(maxKey).filter(_._4 >= 6000.0).map(_._1)
 
-  def write(spark: SparkSession, src: String, dst: String): Unit = {
+  /** Append the orphan plant to a world's customer table — shared by
+    * the OTHER world generators (round-15: the driver's saturated
+    * fixtures keep join_anti / sql_tpch_q22 vacuous on EVERY axis
+    * that inherits them, so the unicode/numerics/tie worlds fold the
+    * plant in too — each adversarial differential then also
+    * exercises anti-join survivors, not just this dedicated world).
+    * Applied AFTER a world's own customer transform, so the planted
+    * attributes stay exactly the values OrphanInputSpec pins. */
+  def plantInto(customer: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    val spark = customer.sparkSession
+    val maxKey = customer.agg(max(col("c_custkey"))).head().getLong(0)
+    val planted = spark.createDataFrame(
+      spark.sparkContext.parallelize(orphans(maxKey).map {
+        case (k, nm, nk, bal, seg) => Row(k, nm, nk, bal, seg)
+      }, 1), customer.schema)
+    customer.unionByName(planted)
+  }
+
+  def write(spark: SparkSession, src: String, dst: String): Unit = {
     NullWorld.tables.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val out = t match {
-        case "customer" =>
-          val maxKey = df.agg(max(col("c_custkey"))).head().getLong(0)
-          val schema = df.schema
-          val planted = spark.createDataFrame(
-            spark.sparkContext.parallelize(orphans(maxKey).map {
-              case (k, nm, nk, bal, seg) => Row(k, nm, nk, bal, seg)
-            }, 1), schema)
-          df.unionByName(planted)
+        case "customer" => plantInto(df)
         case _ => df
       }
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")

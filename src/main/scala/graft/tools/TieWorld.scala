@@ -131,9 +131,15 @@ object TieWorld {
             when(planted(col("p_partkey"), 110, 4),
               snap(col("p_retailprice"), 1d)).otherwise(col("p_retailprice")))
         case "customer" =>
-          df.withColumn("c_acctbal",
-            when(planted(col("c_custkey"), 111, 4),
-              snap(col("c_acctbal"), 10d)).otherwise(col("c_acctbal")))
+          // tie-grid snap first, then the orphan plant (round 15) —
+          // planted AFTER the transform so the orphan attributes stay
+          // exactly the values OrphanInputSpec pins (and the q22
+          // avg-acctbal threshold sees both the snapped population
+          // and the planted survivors)
+          OrphanWorld.plantInto(
+            df.withColumn("c_acctbal",
+              when(planted(col("c_custkey"), 111, 4),
+                snap(col("c_acctbal"), 10d)).otherwise(col("c_acctbal"))))
         case _ => df
       }
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")

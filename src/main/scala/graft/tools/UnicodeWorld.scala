@@ -99,6 +99,10 @@ object UnicodeWorld {
             .withColumn("lang",
               when(pmod(xxhash64(col("doc_id"), lit(9)), lit(16)) === 0,
                 lit("中文")).otherwise(col("lang")))
+        // orphan plant folded into this axis too (round 15) — the
+        // saturated base fixture otherwise keeps join_anti /
+        // sql_tpch_q22 vacuous in every world but the dedicated one
+        case "customer" => OrphanWorld.plantInto(df)
         case _ => df
       }
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")

@@ -185,6 +185,19 @@ object VectorOps extends QueryPack {
     * recall against the exact brute-force global graph. */
   def simKnnJoinAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // FIXED by measurement, not oversight (see ivfNprobe's scaladoc
+    // for why this is the one consumer that must not take √k probes:
+    // every vector is a query, so √k would lift total pair space to
+    // Θ(n^1.75) against the declared Θ(n^1.5) contract). The recall
+    // risk of a fixed width under the √n-growing cell count was
+    // MEASURED across two decades with the derived k live
+    // (graft.tools.RecallProbe, BASELINE.md round-15 table):
+    // recall@3 = 0.997 at sf1.0 (k=142) and 0.998 at sf10 (k=448) —
+    // nearest neighbors land in the probe's own top-2 cells
+    // essentially always, because as n grows the k-NN radius shrinks
+    // FASTER than the cell radius (both corpus-density effects), so
+    // the probed-fraction argument (2/k of the corpus) is the wrong
+    // lens for the top-k regime.
     val nprobe = 2
     val e = emb(s, dir)
     val kCent = ivfCells(e.count(), minCells = 16)
@@ -315,6 +328,24 @@ object VectorOps extends QueryPack {
   private[graft] def ivfCells(n: Long, minCells: Int): Int =
     math.max(minCells, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** Probe width paired with [[ivfCells]]: nprobe = ⌈√k⌉, floored at
+    * the fixture-scale value — the canonical IVF recall recipe. The
+    * round-14 ivfCells fix grew k with √n but left nprobe FIXED, so
+    * the probed corpus fraction (nprobe/k) shrank as 1/√n — a recall
+    * dial silently tightening with scale (the round-14 verdict's one
+    * weak). Deriving nprobe = √k keeps per-query candidate work at
+    * nprobe·n/k = n/√k = n^(3/4) — still sublinear per query — while
+    * the probed fraction decays only as k^(-1/2) = n^(-1/4), and the
+    * sf1.0/sf10 recall probe (BASELINE.md round-15 section,
+    * graft.tools.RecallProbe) measures the resulting floors at both
+    * decades. The k-NN JOIN ([[simKnnJoinAnn]]) is the one consumer
+    * that must NOT take √k probes: every vector is a query there, so
+    * total pair space would be n·√k·n/k = Θ(n^1.75) against the
+    * declared Θ(n^1.5) IVF-flat contract — its probe width stays a
+    * measured-recall constant (see its scaladoc). */
+  private[graft] def ivfNprobe(k: Int, floor: Int): Int =
+    math.max(floor, math.ceil(math.sqrt(k.toDouble)).toInt)
+
   /** Lloyd's k-means over the embedding corpus, pure DataFrame ops —
     * the centroid-training job that feeds IVF. Per iteration: one
     * corpus scan for assignment (broadcast centroids — the corpus
@@ -367,9 +398,14 @@ object VectorOps extends QueryPack {
     * math is the native codegen'd expressions. */
   def simSearchIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = 16      // centroids
-    val nprobe = 2  // cells probed per query
     val e = emb(s, dir)
+    // both scale dials derived from the corpus (round-15: a FIXED k
+    // was the hidden quadratic of r14, a FIXED nprobe the recall leak
+    // of its fix): k = ⌈√n⌉ balances assignment vs list length,
+    // nprobe = ⌈√k⌉ keeps the probed fraction decaying only as n^(-1/4)
+    // while per-query candidate work stays sublinear (n^(3/4))
+    val k = ivfCells(e.count(), minCells = 16)
+    val nprobe = ivfNprobe(k, floor = 2)
     val cent = kmeansCentroids(e, k, iters = 2)
     // corpus → nearest centroid = its cell (the inverted list)
     val assigned = assignCells(e, cent)
@@ -398,42 +434,93 @@ object VectorOps extends QueryPack {
 
   /** K-means clustering surfaced as a first-class query — the
     * partitioning step of cluster-based curation (SemDeDup / density
-    * pruning / cluster-balanced sampling all start here). Trains
-    * [[kmeansCentroids]] on the FULL corpus (sampleMod=1: here the
-    * assignments are the deliverable, not a coarse quantizer; at
-    * 100 TB the train step samples and only the final assignment pass
-    * touches everything) and reports one audit row per cluster.
-    *
-    * Scale shape per iteration: assignment is a broadcast of k
-    * model-sized centroids against the corpus (corpus never
-    * shuffles) + the BoundedTopK(1) map-side argmax; the update
-    * shuffles only k×64 partial (sum,count) rows after map-side
-    * combine. The audit output joins assignments back to labels —
-    * an equi-join on vec_id that AQE broadcasts at fixture scale and
-    * co-partitions at corpus scale. Dominant label per cluster rides
-    * max(struct(count, -label)): deterministic under count ties,
-    * no window, no second shuffle beyond the k-row regroup. */
+    * pruning / cluster-balanced sampling all start here). Full
+    * Lloyd's on the whole corpus (the assignments are the
+    * deliverable, not a coarse quantizer; at 100 TB the train step
+    * samples and only the final assignment pass touches everything),
+    * one audit row per surviving cluster: size, dominant label +
+    * purity, RMS member distance. DuckDB-ORACLED since round 15 by
+    * making every step exact integer arithmetic on the 1e-6 grid —
+    * see the in-body comment for the construction and the
+    * engine-identity argument. Dominant label rides
+    * max(struct(count, -label)): deterministic under count ties, no
+    * window, no second shuffle beyond the k-row regroup. The
+    * cosine-space trainer ([[kmeansCentroids]]) remains the IVF
+    * family's quantizer; THIS query is the L2 clustering audit. */
   def embedKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val k = 10; val iters = 3
+    // EXACT-INTEGER Lloyd's (round 15 — the promotion that retired
+    // this query's no-oracle status): coordinates snap to the 1e-6
+    // grid ONCE (embed_centroid's trick), distances are integer
+    // squared-L2 (diff ≤ ~4e6, ×64 dims ≪ 2⁶³ — ANSI would throw
+    // loudly on an unexpected corpus, never corrupt), the argmin
+    // tie-breaks on centroid id via a lexicographic struct-min, and
+    // each centroid update RE-SNAPS to the grid with one
+    // engine-identical round (Σg exact in a double — |Σg| < 2⁵³ at
+    // any plausible n — so s/n and round-half-away agree bit-for-bit
+    // across engines). Every step is therefore order-independent
+    // integer arithmetic + one deterministic double per (cell, dim)
+    // per round — unrollable in DuckDB as 3 MATERIALIZED update
+    // rounds + a final assignment (graph_cc's unrolled-passes
+    // precedent), which is exactly what the oracle runs. The float
+    // cosine Lloyd's this replaced had no SQL twin because per-pass
+    // float SUMS are partition-order-sensitive; integer sums are not
+    // (graph_pagerank's picorank argument, applied to k-means).
+    //
+    // Scale shape per pass, unchanged from the float version: the
+    // corpus never shuffles (broadcast k g-centroids, struct-min
+    // argmin reduces map-side); the update shuffles k×dim partial
+    // (sum, count) rows after map-side combine — model-sized. The
+    // g-table is checkpointed once and feeds all 4 assignment passes.
     val e = emb(s, dir)
-    val cent = kmeansCentroids(e, k = 10, iters = 3, sampleMod = 1)
-    val assigned = assignCells(e, cent)
-    val withCos = assigned
-      .join(broadcast(cent), $"cell" === $"cent_id")
-      .withColumn("cos", dot($"emb", $"c_emb") / ($"nrm" * $"c_nrm"))
-      .join(e.select($"vec_id", $"label"), Seq("vec_id"))
-    val byLabel = withCos.groupBy($"cell", $"label")
-      .agg(count(lit(1)).as("nl"), sum($"cos").as("cos_sum"))
-    byLabel.groupBy($"cell")
+      .select($"vec_id", $"label",
+        expr("transform(emb, v -> cast(round(v * 1000000) as bigint))")
+          .as("g"))
+      .localCheckpoint(true)
+    // seeds: same spread-by-stratum rule as kmeansCentroids —
+    // TakeOrderedAndProject, k rows to the driver-side plan only
+    var cent = e.orderBy(pmod($"vec_id", lit(100)), $"vec_id").limit(k)
+      .select($"vec_id".as("cid"), $"g".as("cg"))
+    def assign(c: DataFrame): DataFrame = e.crossJoin(broadcast(c))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(g, cg, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (a, x) -> a + x)"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cid")).as("m"),
+           first($"g").as("g"), first($"label").as("label"))
+      .select($"vec_id", $"label", $"g",
+              $"m.cid".as("cell"), $"m.d2".as("d2"))
+    for (_ <- 1 to iters) {
+      cent = assign(cent)
+        .select($"cell", posexplode($"g").as(Seq("pos", "gv")))
+        .groupBy($"cell", $"pos")
+        .agg(sum($"gv").as("sg"), count(lit(1)).as("n"))
+        .withColumn("cg1",
+          round($"sg".cast("double") / $"n".cast("double")).cast("long"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"pos", $"cg1"))).as("ps"))
+        .select($"cell".as("cid"), expr("transform(ps, p -> p.cg1)").as("cg"))
+        .localCheckpoint(true)
+    }
+    val fin = assign(cent)
+    // per-member d2 sums can pass 2⁶³ on a big cell (2.6e14 per
+    // member × corpus-scale membership) — decimal(38) keeps the SSE
+    // exact; it is cast to double only for the display column
+    fin.groupBy($"cell", $"label")
+      .agg(count(lit(1)).as("nl"),
+           sum($"d2".cast("decimal(38,0)")).as("sd"))
+      .groupBy($"cell")
       .agg(max(struct($"nl", (-$"label").as("neg"))).as("dom"),
            sum($"nl").as("n_vecs"),
-           sum($"cos_sum").as("cos_tot"))
+           sum($"sd").as("sse"))
       .select($"cell",
         $"n_vecs",
         (-$"dom.neg").cast("int").as("dom_label"),
         $"dom.nl".as("n_dom"),
         round($"dom.nl" / $"n_vecs", 4).as("purity"),
-        round($"cos_tot" / $"n_vecs", 6).as("mean_cos"))
+        round(sqrt($"sse".cast("double") / $"n_vecs".cast("double"))
+                / 1e6, 6).as("rms_dist"))
       .orderBy($"cell")
   }
 
@@ -1007,9 +1094,10 @@ object VectorOps extends QueryPack {
   /** Two-stage ANN — the production retrieval shape: a CHEAP coarse
     * stage casts a wide net, an EXACT stage re-ranks only the
     * shortlist. Stage 1 probes twice as many IVF cells as
-    * [[simSearchIvf]] (nprobe 4 vs 2 — affordable because scoring
-    * runs on int8 codes via the codegen'd IntDotProduct kernel, 4×
-    * less scan I/O than float) and keeps a 50-candidate shortlist per
+    * [[simSearchIvf]] (2·⌈√k⌉ vs ⌈√k⌉, both over the derived
+    * k = ⌈√n⌉ cell count — affordable because scoring runs on int8
+    * codes via the codegen'd IntDotProduct kernel, 4× less scan I/O
+    * than float) and keeps a 50-candidate shortlist per
     * query through the BoundedTopK heap. Stage 2 fetches the float
     * vectors for those ≤ 50·|Q| candidates — a broadcast semi-join
     * against the corpus, so the corpus never shuffles (on a bucketed
@@ -1024,8 +1112,28 @@ object VectorOps extends QueryPack {
     */
   def simSearchRerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val kCent = 16; val nprobe = 4; val shortlist = 50
     val e = emb(s, dir)
+    // same derived dials as [[simSearchIvf]] (k = ⌈√n⌉), with the
+    // coarse stage keeping its 2× probe-width advantage over the raw
+    // IVF path — the int8 scan is ~4× cheaper per candidate, so twice
+    // the cells still costs less I/O than IVF's float pass, and the
+    // "wider net feeds the exact re-rank" economics survive scaling
+    val n = e.count()
+    val kCent = ivfCells(n, minCells = 16)
+    val nprobe = math.min(kCent, 2 * ivfNprobe(kCent, floor = 2))
+    // the shortlist is the THIRD dial that silently breaks under a
+    // growing denominator (after k, r14, and nprobe, this round): the
+    // number of candidates within int8-quantization distance of the
+    // true top-10 grows ~linearly with the coarse stage's candidate
+    // pool (nprobe·n/k per query), so a FIXED 50-deep shortlist
+    // measured recall 0.94 at sf1.0 but 0.56 at sf10 (RecallProbe,
+    // BASELINE.md round-15 table) — rank noise squeezed true
+    // neighbors off the list before the exact stage could see them.
+    // Scaling depth with the pool (1/64 of it, floored at 50) holds
+    // the noise-absorption MARGIN constant; stage 2 stays trivial
+    // (shortlist·|Q| exact rescores, broadcast-sized).
+    val candPerQuery = nprobe.toLong * n / math.max(kCent, 1)
+    val shortlist = math.max(50, (candPerQuery / 64).toInt)
     val cent = kmeansCentroids(e, kCent, iters = 2)
     // corpus → cell, plus int8 codes derived map-side (on a real
     // vector store these are precomputed columns, not a join)
@@ -1238,6 +1346,72 @@ object VectorOps extends QueryPack {
     "dedup_clusters_lsh" -> (dedupClustersLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _))
+
+  /** DuckDB twin of [[embedKmeans]]'s exact-integer Lloyd's, unrolled
+    * (graph_cc's unrolled-passes precedent): 3 MATERIALIZED
+    * assign→update rounds + a final assignment, every value exact —
+    * integer grid coordinates, integer squared-L2 (DuckDB sums into
+    * HUGEINT, exact 128-bit, mirroring Spark's decimal(38) SSE), the
+    * argmin's struct-min tie-break spelled as min(d2)-then-min(cid),
+    * and each centroid re-snap the same single double division +
+    * half-away round both engines compute bit-identically. */
+  private def embedKmeansOracleSql: String = {
+    // one Lloyd's round: distances to cPrev's centroids → min-d2
+    // assignment (tie → min cid) → grid-snapped integer centroid
+    def round_(r: Int, cPrev: String): String =
+      s"""d$r AS MATERIALIZED (
+         |  SELECT gd.vec_id, c.cid, sum((gd.gv - c.cg) * (gd.gv - c.cg)) AS d2
+         |  FROM gd JOIN $cPrev c USING (pos) GROUP BY gd.vec_id, c.cid),
+         |a$r AS MATERIALIZED (
+         |  SELECT d.vec_id, min(d.cid) AS cell
+         |  FROM d$r d JOIN (SELECT vec_id, min(d2) AS md
+         |                   FROM d$r GROUP BY vec_id) m
+         |    ON d.vec_id = m.vec_id AND d.d2 = m.md
+         |  GROUP BY d.vec_id),
+         |c$r AS MATERIALIZED (
+         |  SELECT a.cell AS cid, gd.pos,
+         |    CAST(round(CAST(sum(gd.gv) AS DOUBLE) / count(*)) AS BIGINT) AS cg
+         |  FROM a$r a JOIN gd USING (vec_id) GROUP BY a.cell, gd.pos),""".stripMargin
+    s"""WITH adm AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding,
+       |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS g
+       |  FROM embeddings WHERE ${aliveSql("embedding")}),
+       |gd AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    unnest(list_transform(range(len(g)), i -> CAST(i AS INTEGER))) AS pos,
+       |    unnest(g) AS gv
+       |  FROM adm),
+       |sd AS (SELECT vec_id FROM adm ORDER BY vec_id % 100, vec_id LIMIT 10),
+       |c0 AS MATERIALIZED (
+       |  SELECT g.vec_id AS cid, g.pos, g.gv AS cg FROM gd g JOIN sd USING (vec_id)),
+       |${round_(1, "c0")}
+       |${round_(2, "c1")}
+       |${round_(3, "c2")}
+       |d4 AS MATERIALIZED (
+       |  SELECT gd.vec_id, c.cid, sum((gd.gv - c.cg) * (gd.gv - c.cg)) AS d2
+       |  FROM gd JOIN c3 c USING (pos) GROUP BY gd.vec_id, c.cid),
+       |a4 AS MATERIALIZED (
+       |  SELECT d.vec_id, min(d.cid) AS cell
+       |  FROM d4 d JOIN (SELECT vec_id, min(d2) AS md FROM d4 GROUP BY vec_id) m
+       |    ON d.vec_id = m.vec_id AND d.d2 = m.md
+       |  GROUP BY d.vec_id),
+       |fm AS (SELECT vec_id, min(d2) AS d2 FROM d4 GROUP BY vec_id),
+       |fin AS (SELECT a.vec_id, a.cell, m.d2, v.label
+       |        FROM a4 a JOIN fm m USING (vec_id) JOIN adm v USING (vec_id)),
+       |bl AS (SELECT cell, label, count(*) AS nl, sum(d2) AS sd
+       |       FROM fin GROUP BY cell, label),
+       |mx AS (SELECT cell, max(nl) AS n_dom FROM bl GROUP BY cell),
+       |dm AS (SELECT bl.cell, mx.n_dom, CAST(min(bl.label) AS INTEGER) AS dom_label
+       |       FROM bl JOIN mx ON bl.cell = mx.cell AND bl.nl = mx.n_dom
+       |       GROUP BY bl.cell, mx.n_dom),
+       |tot AS (SELECT cell, CAST(sum(nl) AS BIGINT) AS n_vecs, sum(sd) AS sse
+       |        FROM bl GROUP BY cell)
+       |SELECT t.cell, t.n_vecs, d.dom_label, d.n_dom,
+       |  round(CAST(d.n_dom AS DOUBLE) / t.n_vecs, 4) AS purity,
+       |  round(sqrt(CAST(t.sse AS DOUBLE) / t.n_vecs) / 1000000, 6) AS rms_dist
+       |FROM tot t JOIN dm d USING (cell) ORDER BY cell""".stripMargin
+  }
 
   /** DuckDB mirror of the emb()/quantizedVecs front door: a vector is
     * admitted iff non-null with a finite POSITIVE L2 norm (Σx² finite
@@ -1536,6 +1710,7 @@ object VectorOps extends QueryPack {
         |  CAST(sum(g) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000)
         |    AS centroid
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "embed_kmeans" -> embedKmeansOracleSql,
     "embed_quantize" ->
       s"""SELECT vec_id, label,
         |  unnest(list_transform(range(len(emb)),

@@ -658,4 +658,34 @@ class OperatorSpec extends AnyFunSuite {
     // and both restore the session value on exit
     assert(spark.conf.get(key).toInt == sessionN)
   }
+
+  test("dedup_spans: planted shifted spans recovered exactly, at any offset") {
+    import graft.text.TextOps
+    val k = 8
+    // a 12-token span (> k) pasted at DIFFERENT offsets into three
+    // docs whose surrounding tokens are globally unique — the case the
+    // exact chunk tier structurally misses (zero aligned windows) and
+    // the span tier exists for. Doc 40 is span-free noise; doc 41
+    // carries the span TWICE (within-doc repeat — duplicated text all
+    // the same, and the interval union must keep the two occurrences
+    // apart because the 30 unique tokens between them break coverage).
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    def noise(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"${noise("a", 5)} $span ${noise("b", 20)}"),   // offset 5
+      (20L, s"${noise("c", 11)} $span ${noise("d", 9)}"),   // offset 11
+      (30L, s"$span ${noise("e", 15)}"),                    // offset 0
+      (40L, noise("f", 40)),                                // no span
+      (41L, s"${noise("g", 4)} $span ${noise("h", 30)} $span ${noise("i", 3)}")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanDupStats(docs, k)
+      .select($"doc_id", $"span_start", $"span_len")
+      .as[(Long, Long, Long)].collect().toSet
+    // every occurrence recovered with EXACT start/len (unique context
+    // tokens mean no boundary-crossing k-gram can be duplicated, so
+    // coverage starts precisely at each span's first token)
+    assert(got == Set((10L, 5L, 12L), (20L, 11L, 12L), (30L, 0L, 12L),
+                      (41L, 4L, 12L), (41L, 4L + 12L + 30L, 12L)),
+      s"spans mismatch: $got")
+  }
 }

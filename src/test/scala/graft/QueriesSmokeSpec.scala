@@ -38,6 +38,6 @@ class QueriesSmokeSpec extends AnyFunSuite {
   * query. Companion-scoped so other sweeps (EmptyInputSpec) pin the
   * same constant instead of a drifting copy. */
 object QueriesSmokeSpec {
-  val DeclaredQueries = 239 // r13: + text_bpe_train / text_bpe_apply
-  val DeclaredOracles = 227 // r14: the 9-row xxhash64 class re-seeded onto SigHash and oracled
+  val DeclaredQueries = 240 // r15: + dedup_spans (exact substring-span tier)
+  val DeclaredOracles = 229 // r15: dedup_spans oracled from birth; embed_kmeans promoted via exact-integer Lloyd's
 }
