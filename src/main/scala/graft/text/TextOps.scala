@@ -203,13 +203,39 @@ object TextOps extends QueryPack {
     * trick at 100 TB — the O(n·m) edit distance runs on candidate
     * pairs (equi-join groups), never all pairs, and on fixed-length
     * heads, never full documents. */
+  /** Blocking-prefix length for [[dedupFuzzy]], derived from the
+    * corpus: 4 chars up to 8000 docs, +1 char per 32× docs beyond
+    * (≈ the prefix alphabet's branching, so expected block POPULATION
+    * stays roughly constant as the corpus grows). A FIXED prefix was
+    * this round's measured hidden quadratic (the ivfCells disease in
+    * blocking-key form): the key space is constant, so block sizes —
+    * and the Σ|block|² pair space — grow with the corpus: x^1.03 in
+    * the first probed decade, **x^1.43 in the second** (12.6 s →
+    * 336 s, sf1.0 → sf10) before this derivation; the longer prefix
+    * is the standard blocking trade (a fuzzy pair at 500k docs must
+    * share 6 leading chars, not 4). Pure INTEGER thresholds — no
+    * float log whose last ulp could disagree across engines — and the
+    * oracle derives the same length from the same count with the same
+    * unrolled compares, so the two sides can never block differently.
+    * Every driver fixture and gate world sits below the first
+    * threshold: fixture-scale results are byte-identical to the old
+    * fixed-4 behavior. */
+  private[text] def fuzzyBlkLen(nDocs: Long): Int = {
+    var len = 4
+    var th = 8000L
+    while (nDocs >= th && len < 12) { len += 1; th *= 32 }
+    len
+  }
+
   def dedupFuzzy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = docs(s, dir)
+    val d = docs(s, dir)
+    val blkLen = fuzzyBlkLen(d.count())
+    val h = d
       .withColumn("norm", normCol)
       .select($"doc_id", $"source",
               substring($"norm", 1, 40).as("head"),
-              substring($"norm", 1, 4).as("blk"))
+              substring($"norm", 1, blkLen).as("blk"))
     val a = h.select($"doc_id".as("doc_a"), $"source", $"blk", $"head".as("head_a"))
     val b = h.select($"doc_id".as("doc_b"), $"source", $"blk", $"head".as("head_b"))
     a.join(b, Seq("source", "blk"))
@@ -996,12 +1022,25 @@ object TextOps extends QueryPack {
         |WHERE inter = za.szc AND zb.szc > za.szc AND za.szc >= 3
         |ORDER BY contained_id, container_id""".stripMargin,
     "dedup_fuzzy" ->
-      """WITH n AS (
+      // blklen mirrors TextOps.fuzzyBlkLen with the SAME unrolled
+      // integer thresholds (8000·32^k) — engine-exact, no float log
+      """WITH nn AS (SELECT count(*) AS nd FROM documents),
+        |p AS (SELECT 4
+        |  + (CASE WHEN nd >= 8000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN nd >= 256000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN nd >= 8192000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN nd >= 262144000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN nd >= 8388608000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN nd >= 268435456000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN nd >= 8589934592000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN nd >= 274877906944000 THEN 1 ELSE 0 END) AS blklen
+        |  FROM nn),
+        |n AS (
         |  SELECT doc_id, source,
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
         |  FROM documents),
         |h AS (SELECT doc_id, source, substr(norm, 1, 40) AS head,
-        |        substr(norm, 1, 4) AS blk FROM n)
+        |        substr(norm, 1, (SELECT blklen FROM p)) AS blk FROM n)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS lev
         |FROM h a JOIN h b ON a.source = b.source AND a.blk = b.blk
