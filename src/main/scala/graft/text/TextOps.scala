@@ -220,7 +220,7 @@ object TextOps extends QueryPack {
     * Every driver fixture and gate world sits below the first
     * threshold: fixture-scale results are byte-identical to the old
     * fixed-4 behavior. */
-  private[text] def fuzzyBlkLen(nDocs: Long): Int = {
+  private[graft] def fuzzyBlkLen(nDocs: Long): Int = {
     var len = 4
     var th = 8000L
     while (nDocs >= th && len < 12) { len += 1; th *= 32 }

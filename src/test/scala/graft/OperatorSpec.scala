@@ -659,6 +659,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.conf.get(key).toInt == sessionN)
   }
 
+  test("corpus-derived scale dials: fuzzy blocking prefix, pair-agg width, IVF probe width") {
+    import graft.text.TextOps
+    import graft.config.Sessions
+    // fuzzyBlkLen: 4 below the first threshold (every driver fixture),
+    // +1 per 32x docs, hard cap at 12
+    assert(TextOps.fuzzyBlkLen(0) == 4)
+    assert(TextOps.fuzzyBlkLen(7999) == 4)
+    assert(TextOps.fuzzyBlkLen(8000) == 5)
+    assert(TextOps.fuzzyBlkLen(255999) == 5)
+    assert(TextOps.fuzzyBlkLen(256000) == 6)
+    assert(TextOps.fuzzyBlkLen(500000) == 6)  // the probed sf10 corpus
+    assert(TextOps.fuzzyBlkLen(Long.MaxValue) == 12)
+    // pairAggPartitions: floors at the session setting, one partition
+    // per ~512k pair rows, runaway-capped at 4096
+    val sess = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(Sessions.pairAggPartitions(spark, 0L) == sess)
+    assert(Sessions.pairAggPartitions(spark, 524288L * 100) ==
+      math.max(101, sess))
+    assert(Sessions.pairAggPartitions(spark, Long.MaxValue / 2) == 4096)
+    // ivfNprobe: ceil(sqrt(k)) floored — the canonical recipe paired
+    // with the sqrt(n) cell count
+    import graft.vec.VectorOps
+    assert(VectorOps.ivfNprobe(16, 2) == 4)
+    assert(VectorOps.ivfNprobe(448, 2) == 22)  // the probed sf10 k
+    assert(VectorOps.ivfNprobe(1, 2) == 2)
+  }
+
   test("dedup_spans: planted shifted spans recovered exactly, at any offset") {
     import graft.text.TextOps
     val k = 8
