@@ -681,8 +681,24 @@ object TextOps extends QueryPack {
       // maxBucket: boilerplate chunks (headers, license blocks) put an
       // identical signature in every band — cap the bucket so one hot
       // chunk can't form a k² join group (the stop-bucket trade; see
-      // minhashPairs)
-      .minhashPairs(keyed, nHashes = 16, bands = 4, minJaccard = 0.6,
+      // minhashPairs).
+      // 64 hashes in 16 bands × 4 rows (r15; the doc tier keeps
+      // 16 = 4 × 4): chunk pairs live NEAR the 0.6 verify threshold —
+      // a shifted copy's chunks overlap ~0.6-0.8, where the 4-band
+      // curve collides only 1-(1-J⁴)⁴ ≈ 0.43-0.84 of the time
+      // (measured 0.545 planted recall at sf10). Quadrupling the BAND
+      // count lifts the near-threshold curve to 1-(1-J⁴)¹⁶ ≈
+      // 0.89-0.999 (measured: sf10 planted recall 0.545 → 0.945)
+      // while KEEPING 4-row noise suppression — the row count is the
+      // load-bearing dial on this corpus: an attempted 8 × 2 split
+      // measured x^1.35 super-linear, because the word soup's
+      // inter-chunk noise floor (J ≈ 0.15) collides 2-row bands at
+      // J² ≈ 2% each ⇒ ~17% of ALL chunk pairs became candidates; at
+      // J⁴ the same floor is 5e-4 per band, so even 16 bands admit
+      // <1% (measured sublinear: x^0.29 sf0.1→sf1.0 on the skinny
+      // banding below). Extra candidates are verified exactly, so
+      // only recall — never correctness — moves with this dial.
+      .minhashPairs(keyed, nHashes = 64, bands = 16, minJaccard = 0.6,
         maxBucket = 200)
       .where(expr(s"doc_a div $keyBase") =!= expr(s"doc_b div $keyBase"))
     val dupKeys = pairs.select($"doc_a".as("ck"))
@@ -860,7 +876,7 @@ object TextOps extends QueryPack {
         |  FROM documents,
         |    unnest(generate_series(0, greatest(length(text) - 1, 0), 150))
         |      AS u(s)),
-        |${graft.vec.VectorOps.duckSigCtes("chsrc")},
+        |${graft.vec.VectorOps.duckSigCtes("chsrc", nHashes = 64, bands = 16)},
         |bsz AS (SELECT band_id, band_hash, count(*) AS n
         |        FROM mh_band GROUP BY 1, 2),
         |bandc AS MATERIALIZED (

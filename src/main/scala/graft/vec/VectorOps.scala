@@ -835,9 +835,22 @@ object VectorOps extends QueryPack {
   def minhashPairs(docs: DataFrame, nHashes: Int = 16, bands: Int = 4,
                    minJaccard: Double = 0.5,
                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    // one Generate pass over the corpus feeds the banding explode AND
+    // both sides of the verify re-join (lazy checkpoint, house pattern)
     val sig = minhashSignatures(docs, nHashes)
+      .select(col("doc_id"), col("shingles"), col("sig"))
+      .localCheckpoint(false)
     val rows = nHashes / bands
-    val bandedAll = sig.select(col("doc_id"), col("shingles"),
+    // SKINNY banding (r15): band rows carry (doc_id, band_id,
+    // band_hash) ONLY. The shingle arrays — the corpus's heaviest
+    // payload — used to ride through the explode, the bucket-size
+    // window and the candidate distinct, multiplying array bytes by
+    // the band count in every shuffle; they now join back onto the
+    // (doc_a, doc_b) candidate set, which is collision-sized, not
+    // bands × corpus-sized. Same candidates, same verify, same output
+    // (the differential proves it); at 100 TB this is the difference
+    // between shuffling 8× the corpus and shuffling the corpus once.
+    val bandedAll = sig.select(col("doc_id"),
       posexplode(expr(bandsExprSql(bands, rows)))
         .as(Seq("band_id", "band_hash")))
     // stop-bucket cap, the banding twin of TextOps.hotShingleCap: a
@@ -856,13 +869,18 @@ object VectorOps extends QueryPack {
           .over(Window.partitionBy(col("band_id"), col("band_hash"))))
         .where(col("bsz") <= maxBucket)
         .drop("bsz")
-    val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-                          col("band_id"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-                          col("band_id"), col("band_hash"))
-    a.join(b, Seq("band_id", "band_hash"))
+    val cand = banded.select(col("doc_id").as("doc_a"),
+                             col("band_id"), col("band_hash"))
+      .join(banded.select(col("doc_id").as("doc_b"),
+                          col("band_id"), col("band_hash")),
+            Seq("band_id", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+            Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
+            Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
