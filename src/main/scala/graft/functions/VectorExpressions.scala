@@ -299,6 +299,139 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** long_dot(a, b) = Σ a_i * b_i over array<bigint> — the exact-integer
+  * scoring kernel for the 1e-6 grid family (gridLloyd's cosines and
+  * the SemDeDup in-cell pair rule). Bit-identical to the HOF
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, ...)` it replaces
+  * (integer sums are order-free), but a primitive loop inside
+  * whole-stage codegen instead of per-element boxed lambda frames.
+  * Overflow envelope: exact whenever d · max|a_i| · max|b_i| < 2⁶³ —
+  * grid coordinates of unit-norm vectors (|g| ≤ 1e6, d = 64) sit at
+  * 6.4e13, nine orders inside. Mirrors [[IntDotProduct]]. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_dot expects array<bigint> arguments, got " +
+        Seq(left, right).map(_.dataType.simpleString).mkString(", "))
+  }
+  override def prettyName: String = "long_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** long_sqdist(a, b) = Σ (a_i - b_i)² over array<bigint> — the
+  * Lloyd's-assignment distance kernel of the grid k-means family.
+  * Bit-identical to `aggregate(zip_with(a, b, (x, y) ->
+  * (x - y) * (x - y)), 0L, ...)`; same overflow envelope as
+  * [[LongDotProduct]] (diffs of 1e6-grid coordinates ≤ ~4e6, squared
+  * ×64 dims ≪ 2⁶³). This loop runs n·k times per Lloyd's pass — the
+  * single hottest expression in the k-means queries. */
+case class LongSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_sqdist expects array<bigint> arguments, got " +
+        Seq(left, right).map(_.dataType.simpleString).mkString(", "))
+  }
+  override def prettyName: String = "long_sqdist"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points (no session registration needed). */
 object VecFunctions {
   private def e(c: Column): Expression = GraftColumnBridge.expression(c)
@@ -307,6 +440,10 @@ object VecFunctions {
     GraftColumnBridge.column(DotProduct(e(a), e(b)))
   def intDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntDotProduct(e(a), e(b)))
+  def longDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(LongDotProduct(e(a), e(b)))
+  def longSqDist(a: Column, b: Column): Column =
+    GraftColumnBridge.column(LongSqDist(e(a), e(b)))
   def l2Norm(a: Column): Column =
     GraftColumnBridge.column(L2Norm(e(a)))
   def cosineSim(a: Column, b: Column): Column =

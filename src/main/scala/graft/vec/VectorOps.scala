@@ -478,32 +478,7 @@ object VectorOps extends QueryPack {
         expr("transform(emb, v -> cast(round(v * 1000000) as bigint))")
           .as("g"))
       .localCheckpoint(true)
-    // seeds: same spread-by-stratum rule as kmeansCentroids —
-    // TakeOrderedAndProject, k rows to the driver-side plan only
-    var cent = e.orderBy(pmod($"vec_id", lit(100)), $"vec_id").limit(k)
-      .select($"vec_id".as("cid"), $"g".as("cg"))
-    def assign(c: DataFrame): DataFrame = e.crossJoin(broadcast(c))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(g, cg, (x, y) -> (x - y) * (x - y)), " +
-        "0L, (a, x) -> a + x)"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"d2", $"cid")).as("m"),
-           first($"g").as("g"), first($"label").as("label"))
-      .select($"vec_id", $"label", $"g",
-              $"m.cid".as("cell"), $"m.d2".as("d2"))
-    for (_ <- 1 to iters) {
-      cent = assign(cent)
-        .select($"cell", posexplode($"g").as(Seq("pos", "gv")))
-        .groupBy($"cell", $"pos")
-        .agg(sum($"gv").as("sg"), count(lit(1)).as("n"))
-        .withColumn("cg1",
-          round($"sg".cast("double") / $"n".cast("double")).cast("long"))
-        .groupBy($"cell")
-        .agg(array_sort(collect_list(struct($"pos", $"cg1"))).as("ps"))
-        .select($"cell".as("cid"), expr("transform(ps, p -> p.cg1)").as("cg"))
-        .localCheckpoint(true)
-    }
-    val fin = assign(cent)
+    val (fin, _) = gridLloyd(e, k, iters)
     // per-member d2 sums can pass 2⁶³ on a big cell (2.6e14 per
     // member × corpus-scale membership) — decimal(38) keeps the SSE
     // exact; it is cast to double only for the display column
@@ -524,30 +499,94 @@ object VectorOps extends QueryPack {
       .orderBy($"cell")
   }
 
+  /** Shared exact-integer Lloyd's core — [[embedKmeans]]'s
+    * construction (see its in-body comment for the engine-identity
+    * argument), extracted so the SemDeDup family clusters on the same
+    * DuckDB-twinnable cells (the r15 promotion of embed_semdedup /
+    * pipeline_curate_embed from no-oracle: the float cosine trainer's
+    * cells were implementation-defined, which was the ONLY oracle
+    * blocker in those queries). `eg` must carry (vec_id, label, g)
+    * with g on the 1e-6 integer grid and should be checkpointed by
+    * the caller (it feeds iters+1 assignment passes). Returns the
+    * final assignment (vec_id, label, g, cell, d2) and the final
+    * integer centroids (cid, cg). Seeds are the k lowest ids per
+    * stratum spread (vec_id mod 100) — TakeOrderedAndProject, k rows
+    * into the plan only. */
+  private[graft] def gridLloyd(eg: DataFrame, k: Int,
+                               iters: Int): (DataFrame, DataFrame) = {
+    import eg.sparkSession.implicits._
+    var cent = eg.orderBy(pmod($"vec_id", lit(100)), $"vec_id").limit(k)
+      .select($"vec_id".as("cid"), $"g".as("cg"))
+    // native codegen'd kernel — value-identical to the HOF spelling
+    // `aggregate(zip_with(g, cg, (x,y) -> (x-y)*(x-y)), 0L, ...)`
+    // (exact integer sums are order-free) but a primitive loop; this
+    // is the n·k hot loop of every Lloyd's pass
+    def assign(c: DataFrame): DataFrame = eg.crossJoin(broadcast(c))
+      .withColumn("d2",
+        graft.functions.VecFunctions.longSqDist($"g", $"cg"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cid")).as("m"),
+           first($"g").as("g"), first($"label").as("label"))
+      .select($"vec_id", $"label", $"g",
+              $"m.cid".as("cell"), $"m.d2".as("d2"))
+    for (_ <- 1 to iters) {
+      cent = assign(cent)
+        .select($"cell", posexplode($"g").as(Seq("pos", "gv")))
+        .groupBy($"cell", $"pos")
+        .agg(sum($"gv").as("sg"), count(lit(1)).as("n"))
+        .withColumn("cg1",
+          round($"sg".cast("double") / $"n".cast("double")).cast("long"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"pos", $"cg1"))).as("ps"))
+        .select($"cell".as("cid"), expr("transform(ps, p -> p.cg1)").as("cg"))
+        .localCheckpoint(true)
+    }
+    (assign(cent), cent)
+  }
+
   /** Per-vector SemDeDup verdicts (spec + funnel surface): vector →
     * (cell, ccos = cosine to own centroid, kept, justifier). A vector
     * is DROPPED iff some LOWER-id vector in its k-means cell has
     * cosine ≥ tau — the same min-id survivor rule every dedup query
     * in the repo uses, restricted to cells. The checkpointed
     * assignment is shared by the pair join's both sides AND every
-    * downstream consumer, so one k-means run feeds the whole plan. */
+    * downstream consumer, so one k-means run feeds the whole plan.
+    *
+    * DuckDB-ORACLED since r15: cells come from [[gridLloyd]] (the
+    * embed_kmeans integer construction — fixture embeddings are
+    * unit-norm, so integer L2 cells on the 1e-6 grid ARE cosine
+    * cells), and every cosine here is computed FROM the grid: integer
+    * dot and integer squared norms (exact longs, |g|≤1e6 ⇒ Σ ≤
+    * 6.4e13 ≪ 2⁵³), then one double division against the product of
+    * two correctly-rounded sqrts — the same expression tree in both
+    * engines, so the τ compare and the ccos values are bit-identical
+    * by construction, not by fixture luck. (Grid cosine differs from
+    * raw float cosine by ≤ ~2e-6 — the semantic is "cosine on the
+    * 1e-6 grid", stated in the query docs and mirrored in specs.) */
   private[graft] def semdedupVerdicts(e: DataFrame, k: Int,
                                       tau: Double): DataFrame = {
     import e.sparkSession.implicits._
-    val cent = kmeansCentroids(e, k, iters = 2, sampleMod = 1)
-    val assigned = assignCells(e, cent)
-      .join(broadcast(cent), col("cell") === col("cent_id"))
-      .withColumn("ccos", dot(col("emb"), col("c_emb")) /
-                          (col("nrm") * col("c_nrm")))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
-              col("ccos"))
+    val eg = e.select($"vec_id", $"label",
+        expr("transform(emb, v -> cast(round(v * 1000000) as bigint))")
+          .as("g"))
       .localCheckpoint(true)
-    val a = assigned.select($"vec_id".as("id_a"), $"emb".as("emb_a"),
-                            $"nrm".as("nrm_a"), $"cell")
-    val b = assigned.select($"vec_id".as("id_b"), $"emb".as("emb_b"),
-                            $"nrm".as("nrm_b"), $"cell")
+    val (fin, cent) = gridLloyd(eg, k, iters = 2)
+    val ldot = graft.functions.VecFunctions.longDot _
+    val assigned = fin
+      .join(broadcast(cent), $"cell" === $"cid")
+      .withColumn("idot", ldot($"g", $"cg"))
+      .withColumn("gn", sqrt(ldot($"g", $"g").cast("double")))
+      .withColumn("cn", sqrt(ldot($"cg", $"cg").cast("double")))
+      .withColumn("ccos", $"idot".cast("double") / ($"gn" * $"cn"))
+      .select($"vec_id", $"g", $"gn", $"cell", $"ccos")
+      .localCheckpoint(true)
+    val a = assigned.select($"vec_id".as("id_a"), $"g".as("g_a"),
+                            $"gn".as("gn_a"), $"cell")
+    val b = assigned.select($"vec_id".as("id_b"), $"g".as("g_b"),
+                            $"gn".as("gn_b"), $"cell")
     val losers = a.join(b, Seq("cell")).where($"id_a" < $"id_b")
-      .withColumn("cos", dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
+      .withColumn("cos",
+        ldot($"g_a", $"g_b").cast("double") / ($"gn_a" * $"gn_b"))
       .where($"cos" >= tau)
       .groupBy($"id_b").agg(min($"id_a").as("justifier"))
       .select($"id_b".as("vec_id"), $"justifier")
@@ -569,7 +608,9 @@ object VectorOps extends QueryPack {
     * only catch near-identical ones. Same tau (0.30) as dedup_embed,
     * so VectorOpsSpec can measure recall of the exact pair set
     * directly and assert soundness (every drop has an in-cell
-    * justifier pair ≥ tau). Output: one audit row per cell. */
+    * justifier pair ≥ tau). Output: one audit row per cell.
+    * DuckDB-ORACLED since r15: cells from [[gridLloyd]], cosines from
+    * the grid integers — see [[semdedupVerdicts]]. */
   def embedSemdedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // k = √n (floored at the fixture-scale 10): SemDeDup's own scale
@@ -588,12 +629,16 @@ object VectorOps extends QueryPack {
   /** Embedding-space curation funnel — the SemDeDup-paper pipeline
     * composed end to end: k-means partition → in-cell semantic dedup
     * (drop cos ≥ τ to a lower id) → centroid-distance outlier pruning
-    * (drop dedup survivors below their cell's 10th percentile of
-    * centroid cosine — the least-typical tail) → cluster-balanced
-    * quota (keep the ≤ 30 most-central remaining per cell, ties to
-    * the lower id). One audit row per cell charging every vector to
-    * the FIRST stage that drops it, so the stage counts partition
-    * n_vecs exactly.
+    * (drop dedup survivors strictly below their cell's bottom-decile
+    * centroid cosine — the kept value at ascending rank ⌈n_kept/10⌉,
+    * the least-typical tail) → cluster-balanced quota (keep the ≤ 30
+    * most-central remaining per cell, ties to the lower id). One
+    * audit row per cell charging every vector to the FIRST stage that
+    * drops it, so the stage counts partition n_vecs exactly.
+    * DuckDB-ORACLED since r15 (with [[semdedupVerdicts]]'s grid-cell
+    * promotion): the decile is a rank on quantized integer cosines,
+    * the quota a count min — every stage count is integer logic over
+    * engine-identical inputs.
     *
     * Scale shape: dedup pairs are cell-keyed (Σ|cell|² ≈ n²/k —
     * embed_semdedup's bound); the outlier threshold is a k-row
@@ -606,16 +651,27 @@ object VectorOps extends QueryPack {
     val quota = 30
     // corpus-derived k, same argument as embed_semdedup (ivfCells)
     val e = emb(s, dir)
+    // ccos_g: centroid cosine on the 1e-6 grid — one round of two
+    // engine-identical doubles, so the decile rule below is exact
+    // integer logic end to end (the r15 oracle promotion: the decile
+    // is RANK-based — the kept value at ascending rank ⌈n_kept/10⌉,
+    // integer div — not an interpolated percentile, whose lo+(hi-lo)·g
+    // spelling is the one step two engines could round differently)
     val v = semdedupVerdicts(e, k = ivfCells(e.count(), 10), tau = 0.30)
+      .withColumn("ccos_g", round($"ccos" * 1e6).cast("long"))
       .localCheckpoint(true)
+    val wAsc = Window.partitionBy($"cell").orderBy($"ccos_g".asc, $"vec_id".asc)
     val thr = v.where($"kept")
-      .groupBy($"cell").agg(expr("percentile(ccos, 0.10)").as("p10"))
+      .withColumn("rk", row_number().over(wAsc))
+      .withColumn("nk", count(lit(1)).over(Window.partitionBy($"cell")))
+      .where($"rk" === expr("(nk + 9) div 10"))
+      .select($"cell", $"ccos_g".as("p10"))
     val staged = v.join(broadcast(thr), Seq("cell"))
       .withColumn("stage",
         when(!$"kept", "dup")
-          .when($"ccos" < $"p10", "outlier")
+          .when($"ccos_g" < $"p10", "outlier")
           .otherwise("pool"))
-    val w = Window.partitionBy($"cell").orderBy($"ccos".desc, $"vec_id".asc)
+    val w = Window.partitionBy($"cell").orderBy($"ccos_g".desc, $"vec_id".asc)
     val pool = staged.where($"stage" === "pool")
       .withColumn("rk", row_number().over(w))
       .select($"vec_id",
@@ -1373,7 +1429,14 @@ object VectorOps extends QueryPack {
     * argmin's struct-min tie-break spelled as min(d2)-then-min(cid),
     * and each centroid re-snap the same single double division +
     * half-away round both engines compute bit-identically. */
-  private def embedKmeansOracleSql: String = {
+  /** Parameterized CTE chain twinning [[gridLloyd]] (extracted r15 so
+    * the SemDeDup oracles reuse it): emits adm (vec_id, label, g —
+    * the alive grid corpus), gd (long format), sd (seeds: the first
+    * `kSql` ids in (vec_id % 100, vec_id) order — spelled as a
+    * row_number filter so k may be a scalar subquery), c0..c{iters}
+    * (long-format integer centroids: cid, pos, cg) and the final
+    * distance/assignment pair d{iters+1}/a{iters+1}. */
+  private def duckGridLloydCtes(kSql: String, iters: Int): String = {
     // one Lloyd's round: distances to cPrev's centroids → min-d2
     // assignment (tie → min cid) → grid-snapped integer centroid
     def round_(r: Int, cPrev: String): String =
@@ -1390,7 +1453,8 @@ object VectorOps extends QueryPack {
          |  SELECT a.cell AS cid, gd.pos,
          |    CAST(round(CAST(sum(gd.gv) AS DOUBLE) / count(*)) AS BIGINT) AS cg
          |  FROM a$r a JOIN gd USING (vec_id) GROUP BY a.cell, gd.pos),""".stripMargin
-    s"""WITH adm AS MATERIALIZED (
+    val f = iters + 1
+    s"""adm AS MATERIALIZED (
        |  SELECT vec_id, label,
        |    list_transform(embedding,
        |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS g
@@ -1400,20 +1464,108 @@ object VectorOps extends QueryPack {
        |    unnest(list_transform(range(len(g)), i -> CAST(i AS INTEGER))) AS pos,
        |    unnest(g) AS gv
        |  FROM adm),
-       |sd AS (SELECT vec_id FROM adm ORDER BY vec_id % 100, vec_id LIMIT 10),
+       |sd AS (SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |      row_number() OVER (ORDER BY vec_id % 100, vec_id) AS rn
+       |    FROM adm) WHERE rn <= ($kSql)),
        |c0 AS MATERIALIZED (
        |  SELECT g.vec_id AS cid, g.pos, g.gv AS cg FROM gd g JOIN sd USING (vec_id)),
-       |${round_(1, "c0")}
-       |${round_(2, "c1")}
-       |${round_(3, "c2")}
-       |d4 AS MATERIALIZED (
+       |${(1 to iters).map(r => round_(r, s"c${r - 1}")).mkString("\n")}
+       |d$f AS MATERIALIZED (
        |  SELECT gd.vec_id, c.cid, sum((gd.gv - c.cg) * (gd.gv - c.cg)) AS d2
-       |  FROM gd JOIN c3 c USING (pos) GROUP BY gd.vec_id, c.cid),
-       |a4 AS MATERIALIZED (
+       |  FROM gd JOIN c$iters c USING (pos) GROUP BY gd.vec_id, c.cid),
+       |a$f AS MATERIALIZED (
        |  SELECT d.vec_id, min(d.cid) AS cell
-       |  FROM d4 d JOIN (SELECT vec_id, min(d2) AS md FROM d4 GROUP BY vec_id) m
+       |  FROM d$f d JOIN (SELECT vec_id, min(d2) AS md FROM d$f GROUP BY vec_id) m
        |    ON d.vec_id = m.vec_id AND d.d2 = m.md
-       |  GROUP BY d.vec_id),
+       |  GROUP BY d.vec_id)""".stripMargin
+  }
+
+  /** CTE chain twinning [[semdedupVerdicts]] on top of
+    * [[duckGridLloydCtes]] (iters = 2, k = the corpus-derived
+    * ivfCells value computed IN SQL from the same alive count): grid
+    * norms, centroid cosine, in-cell pair dots — every sum an exact
+    * integer, every double the same two-operand tree as the Spark
+    * expressions — ending in `ver` (vec_id, cell, ccos, justifier,
+    * kept). */
+  private def duckSemdedupCtes: String = {
+    val k = "greatest(10, CAST(ceil(sqrt((SELECT count(*) FROM adm))) AS BIGINT))"
+    s"""${duckGridLloydCtes(k, 2)},
+       |gn AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(CAST(sum(gv * gv) AS DOUBLE)) AS gn
+       |  FROM gd GROUP BY vec_id),
+       |cn AS (SELECT cid, sqrt(CAST(sum(cg * cg) AS DOUBLE)) AS cn
+       |       FROM c2 GROUP BY cid),
+       |cd AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell, sum(gd.gv * c.cg) AS idot
+       |  FROM a3 a JOIN gd USING (vec_id)
+       |  JOIN c2 c ON c.cid = a.cell AND c.pos = gd.pos
+       |  GROUP BY a.vec_id, a.cell),
+       |cc AS MATERIALIZED (
+       |  SELECT cd.vec_id, cd.cell,
+       |    CAST(cd.idot AS DOUBLE) / (g.gn * n.cn) AS ccos
+       |  FROM cd JOIN gn g USING (vec_id) JOIN cn n ON n.cid = cd.cell),
+       |pr AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |pd AS MATERIALIZED (
+       |  SELECT p.id_a, p.id_b, sum(ga.gv * gb.gv) AS idot
+       |  FROM pr p JOIN gd ga ON ga.vec_id = p.id_a
+       |  JOIN gd gb ON gb.vec_id = p.id_b AND gb.pos = ga.pos
+       |  GROUP BY p.id_a, p.id_b),
+       |los AS (
+       |  SELECT p.id_b AS vec_id, min(p.id_a) AS justifier
+       |  FROM pd p JOIN gn a ON a.vec_id = p.id_a
+       |  JOIN gn b ON b.vec_id = p.id_b
+       |  WHERE CAST(p.idot AS DOUBLE) / (a.gn * b.gn) >= 0.30
+       |  GROUP BY p.id_b),
+       |ver AS MATERIALIZED (
+       |  SELECT c.vec_id, c.cell, c.ccos, l.justifier,
+       |    l.justifier IS NULL AS kept
+       |  FROM cc c LEFT JOIN los l USING (vec_id))""".stripMargin
+  }
+
+  private def embedSemdedupOracleSql: String =
+    s"""WITH ${duckSemdedupCtes}
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM ver GROUP BY cell ORDER BY cell""".stripMargin
+
+  private def pipelineCurateEmbedOracleSql: String =
+    s"""WITH ${duckSemdedupCtes},
+       |vq AS MATERIALIZED (
+       |  SELECT vec_id, cell, kept,
+       |    CAST(round(ccos * 1000000) AS BIGINT) AS ccos_g
+       |  FROM ver),
+       |kr AS (SELECT cell, ccos_g,
+       |         row_number() OVER (PARTITION BY cell
+       |           ORDER BY ccos_g, vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY cell) AS nk
+       |       FROM vq WHERE kept),
+       |thr AS (SELECT cell, ccos_g AS p10 FROM kr WHERE rk = (nk + 9) // 10),
+       |st AS MATERIALIZED (
+       |  SELECT v.vec_id, v.cell, v.ccos_g,
+       |    CASE WHEN NOT v.kept THEN 'dup'
+       |         WHEN v.ccos_g < t.p10 THEN 'outlier'
+       |         ELSE 'pool' END AS stage
+       |  FROM vq v JOIN thr t USING (cell)),
+       |pl AS (SELECT vec_id,
+       |         CASE WHEN row_number() OVER (PARTITION BY cell
+       |                ORDER BY ccos_g DESC, vec_id) <= 30
+       |              THEN 'kept' ELSE 'quota' END AS fate
+       |       FROM st WHERE stage = 'pool'),
+       |ft AS (SELECT s.cell, coalesce(p.fate, s.stage) AS fate
+       |       FROM st s LEFT JOIN pl p USING (vec_id))
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN fate = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN fate = 'outlier' THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier,
+       |  CAST(sum(CASE WHEN fate = 'quota' THEN 1 ELSE 0 END) AS BIGINT) AS n_quota,
+       |  CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM ft GROUP BY cell ORDER BY cell""".stripMargin
+
+  private def embedKmeansOracleSql: String = {
+    s"""WITH ${duckGridLloydCtes("10", 3)},
        |fm AS (SELECT vec_id, min(d2) AS d2 FROM d4 GROUP BY vec_id),
        |fin AS (SELECT a.vec_id, a.cell, m.d2, v.label
        |        FROM a4 a JOIN fm m USING (vec_id) JOIN adm v USING (vec_id)),
@@ -1729,6 +1881,8 @@ object VectorOps extends QueryPack {
         |    AS centroid
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "embed_kmeans" -> embedKmeansOracleSql,
+    "embed_semdedup" -> embedSemdedupOracleSql,
+    "pipeline_curate_embed" -> pipelineCurateEmbedOracleSql,
     "embed_quantize" ->
       s"""SELECT vec_id, label,
         |  unnest(list_transform(range(len(emb)),

@@ -49,6 +49,32 @@ class VectorExprSpec extends AnyFunSuite {
     assert(nullArr.select(intDot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 
+  test("long_dot / long_sqdist equal the HOF integer folds and handle null/mismatch") {
+    import graft.functions.VecFunctions.{longDot, longSqDist}
+    val ip = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-1000000L, 1000000L, 0L), Seq(999999L, -999999L, 123456L)),
+      (Seq(3999999L, -3999999L), Seq(-3999999L, 3999999L)) // grid-diff extreme
+    ).toDF("a", "b")
+    val rows = ip.select(
+      longDot($"a", $"b").as("nd"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("hd"),
+      longSqDist($"a", $"b").as("ns"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)").as("hs"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "long_dot != HOF")
+      assert(r.getLong(2) == r.getLong(3), "long_sqdist != HOF")
+    }
+    val edge = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(longDot($"a", $"b"), longSqDist($"a", $"b")).collect()
+    assert(edge.head.isNullAt(0) && edge.head.isNullAt(1))
+    val nullArr = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<BIGINT>) AS a, array(1L, 2L) AS b")
+    assert(nullArr.select(longDot(col("a"), col("b"))).collect().head.isNullAt(0))
+    assert(nullArr.select(longSqDist(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("l2_norm and cosine_sim match HOF formulation bitwise") {
     val rows = pairs
       .select(l2Norm($"a").as("nn"), hofNorm("a").as("hn"),

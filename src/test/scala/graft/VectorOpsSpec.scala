@@ -477,6 +477,17 @@ class VectorOpsSpec extends AnyFunSuite {
     while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
     d / (math.sqrt(na) * math.sqrt(nb))
   }
+  // the SemDeDup family's r15 semantic: cosine on the 1e-6 integer
+  // grid (exact long sums; bit-reproduces semdedupVerdicts' rule)
+  private def gridCosine(a: Array[Double], b: Array[Double]): Double = {
+    def g(x: Double): Long = math.round(x * 1e6)
+    var d = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < a.length) {
+      d += g(a(i)) * g(b(i)); na += g(a(i)) * g(a(i))
+      nb += g(b(i)) * g(b(i)); i += 1
+    }
+    d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
 
   test("embed_kmeans: k clusters partition the corpus; Lloyd iterations do not worsen the fit") {
     val out = VectorOps.embedKmeans(spark, SparkSpec.sfDir).collect()
@@ -528,18 +539,20 @@ class VectorOpsSpec extends AnyFunSuite {
       val (id, j) = (r.getLong(0), r.getLong(3))
       assert(j < id, s"justifier $j not lower than $id")
       assert(cellOf(j) == cellOf(id), s"justifier $j not in $id's cell")
-      val c = cosine(rawVecs(id), rawVecs(j))
-      assert(c >= tau - 1e-9, s"justifier pair ($j,$id) cos=$c < tau")
+      // EXACT recompute of the r15 rule (grid cosine) — no epsilon:
+      // the operator's arithmetic is deterministic by construction
+      val c = gridCosine(rawVecs(id), rawVecs(j))
+      assert(c >= tau, s"justifier pair ($j,$id) grid cos=$c < tau")
     }
     // completeness within cells: a kept vector has NO lower-id
-    // in-cell partner at cosine >= tau (epsilon-guarded both ways)
+    // in-cell partner at grid cosine >= tau (exact, same rule)
     val byCell = v.groupBy(_.getLong(1))
     byCell.values.foreach { rs =>
       val ids = rs.map(_.getLong(0)).sorted
       val keptSet = rs.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
       for (j <- ids; i <- ids if i < j && keptSet(j)) {
-        val c = cosine(rawVecs(i), rawVecs(j))
-        assert(c < tau + 1e-9, s"kept $j has in-cell partner $i at cos=$c >= tau")
+        val c = gridCosine(rawVecs(i), rawVecs(j))
+        assert(c < tau, s"kept $j has in-cell partner $i at grid cos=$c >= tau")
       }
     }
     // recall against the EXACT global min-id rule (dedup_embed's
