@@ -520,6 +520,41 @@ class VectorOpsSpec extends AnyFunSuite {
       s"training worsened the objective: seeds=$seed trained=$trained")
   }
 
+  test("hierarchical cell assignment: agrees with flat on most vectors, never beats flat's cosine") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = graft.io.Tables.t(spark, SparkSpec.sfDir, "embeddings")
+      .withColumn("emb", $"embedding".cast(ArrayType(DoubleType)))
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VecFunctions.dotProduct($"emb", $"emb")))
+      .where(!$"nrm".isNaN && $"nrm" > 0.0)
+    val k = 16
+    val cent = VectorOps.kmeansCentroids(e, k, iters = 2)
+    val cents = cent.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val flat = VectorOps.assignCells(e, cent)
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the two-level path (the auto chooser keeps fixture-scale
+    // k on flat; this test exercises the scale path directly)
+    val hier = VectorOps.assignCellsHier(e, cent)
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier.keySet == flat.keySet, "hier must assign every vector")
+    var agree = 0
+    hier.foreach { case (id, hc) =>
+      assert(cents.contains(hc), s"vector $id assigned to unknown cell $hc")
+      // dominance: flat argmaxes over ALL centroids, so its cosine is
+      // an upper bound on the hier pick's cosine
+      val cf = cosine(rawVecs(id), cents(flat(id)))
+      val ch = cosine(rawVecs(id), cents(hc))
+      assert(ch <= cf + 1e-9,
+        s"vector $id: hier cell cos=$ch beats flat cos=$cf")
+      if (hc == flat(id)) agree += 1
+    }
+    val frac = agree.toDouble / hier.size
+    assert(frac >= 0.75, s"hier/flat agreement $frac below floor")
+  }
+
   test("embed_semdedup: drops are sound (in-cell justifier >= tau), survivors complete, recall vs exact rule bounded") {
     val tau = 0.30
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
