@@ -643,7 +643,9 @@ object VectorOps extends QueryPack {
   private[graft] def semdedupVerdicts(e: DataFrame, k: Int,
                                       tau: Double): DataFrame = {
     import e.sparkSession.implicits._
-    val eg = e.select($"vec_id", $"label",
+    // label is gridLloyd plumbing the verdicts never read — inject a
+    // constant so callers (specs, future consumers) need not carry one
+    val eg = e.select($"vec_id", lit(0).as("label"),
         expr("transform(emb, v -> cast(round(v * 1000000) as bigint))")
           .as("g"))
       .localCheckpoint(true)

@@ -477,9 +477,16 @@ class PropertySpec extends AnyFunSuite {
         .select($"vec_id", $"cell", $"kept", $"justifier").collect()
       assert(v.length == planted.size)
       val vecOf = planted.toMap
+      // EXACT recompute of the r15 rule: cosine on the 1e-6 integer
+      // grid (semdedupVerdicts' semantics) — deterministic, no epsilon
       def cos(a: Array[Double], b: Array[Double]): Double = {
-        val d = a.zip(b).map { case (x, y) => x * y }.sum
-        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+        def g(x: Double): Long = math.round(x * 1e6)
+        var d = 0L; var na = 0L; var nb = 0L; var i = 0
+        while (i < a.length) {
+          d += g(a(i)) * g(b(i)); na += g(a(i)) * g(a(i))
+          nb += g(b(i)) * g(b(i)); i += 1
+        }
+        d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
       }
       val cellOf = v.map(r => r.getLong(0) -> r.getLong(1)).toMap
       val byCell = v.groupBy(_.getLong(1))
@@ -488,11 +495,11 @@ class PropertySpec extends AnyFunSuite {
         if (!kept) {
           val j = r.getLong(3)
           assert(j < id && cellOf(j) == cellOf(id))
-          assert(cos(vecOf(j), vecOf(id)) >= tau - 1e-9,
+          assert(cos(vecOf(j), vecOf(id)) >= tau,
             s"trial $trial: unsound drop $id (justifier $j)")
         } else {
           byCell(cellOf(id)).map(_.getLong(0)).filter(_ < id).foreach { o =>
-            assert(cos(vecOf(o), vecOf(id)) < tau + 1e-9,
+            assert(cos(vecOf(o), vecOf(id)) < tau,
               s"trial $trial: kept $id despite in-cell pair $o")
           }
         }

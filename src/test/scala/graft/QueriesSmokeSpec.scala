@@ -39,5 +39,5 @@ class QueriesSmokeSpec extends AnyFunSuite {
   * same constant instead of a drifting copy. */
 object QueriesSmokeSpec {
   val DeclaredQueries = 240 // r15: + dedup_spans (exact substring-span tier)
-  val DeclaredOracles = 229 // r15: dedup_spans oracled from birth; embed_kmeans promoted via exact-integer Lloyd's
+  val DeclaredOracles = 231 // r15: dedup_spans oracled from birth; embed_kmeans promoted via exact-integer Lloyd's, then embed_semdedup + pipeline_curate_embed via grid cells
 }
