@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over edge DataFrames.
@@ -45,18 +44,21 @@ object Graph {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxPasses: Int = 15): DataFrame = {
     // edge generation runs at full parallelism (corpus-scale work)...
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    // lazy checkpoint (r15): the count() below is the materializing
+    // action, so the distinct is computed and its blocks pinned in ONE
+    // job instead of an eager-checkpoint job plus a count scan.
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(false)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // ...but the iteration shuffles tables sized by the PAIR set, so
     // its partition count derives from the edge rows actually entering
     // the loop (Sessions.graphIterPartitions: ~64k rows/partition,
-    // conf-overridable) — the count action is against the eager
-    // checkpoint, so it costs a partition-local scan, no recompute.
+    // conf-overridable) — the count doubles as the checkpoint
+    // materialization.
     graft.config.Sessions.withGraphIterPartitions(e.sparkSession,
         e.count()) {
       var labels = sym.select(col("a").as("v")).distinct()
         .withColumn("lbl", col("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var changed = 1L
       var pass = 0
       while (changed > 0 && pass < maxPasses) {
@@ -67,11 +69,15 @@ object Graph {
         val viaNbr = sym.join(labels, col("a") === col("v"))
           .select(col("b").as("v"), col("lbl"),
                   lit(null).cast("long").as("prev"))
+        // lazy checkpoint: the changed-count below computes every
+        // partition (the filter prunes nothing at plan level), so the
+        // pass output is materialized and its lineage truncated in the
+        // same job that measures convergence — one job per pass (r15)
         val next = labels.withColumn("prev", col("lbl"))
           .unionByName(viaNbr)
           .groupBy(col("v"))
           .agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         changed = next.where(col("lbl") < col("prev")).count()
         labels = next.select(col("v"), col("lbl"))
         pass += 1
@@ -106,8 +112,10 @@ object Graph {
     *    of its neighborhood (incl. itself);
     *  - small-star: every node links its smaller neighbors and itself
     *    to the min of its smaller neighborhood.
-    * Both are one window-min + projection — shuffles key on the node
-    * id, output stays canonical (child > parent). The edge set shrinks
+    * Both are one hash-aggregated neighborhood-min joined back onto
+    * the edge stream (no window sort; partial aggregation + AQE skew
+    * handling on the join) — shuffles key on the node id, output
+    * stays canonical (child > parent). The edge set shrinks
     * toward a star forest whose roots are the component minima. The
     * fixed point is NOMINATED cheaply (count + bit_xor fingerprint in
     * the pass's one aggregate action) and then CERTIFIED exactly by a
@@ -160,7 +168,9 @@ object Graph {
     // checkpoint blocks, not a recompute. graph_cc's strict a < b
     // pairs make both the retained rows and the filter free there.
     val tCanon = System.nanoTime()
-    val e0 = canon.localCheckpoint(true)
+    // lazy: sig0 below is the materializing action — canonicalization
+    // is computed and pinned in the same job that counts it (r15)
+    val e0 = canon.localCheckpoint(false)
     dbg(f"star canonCheckpointSec=${(System.nanoTime() - tCanon) / 1e9}%.2f")
     val loopEdges = e0.where(col("a") =!= col("b"))
     // one action per pass: the count and an order-free content
@@ -199,24 +209,43 @@ object Graph {
             .toString)
         // large-star: symmetrize, m = min(neighborhood ∪ self), link
         // every LARGER neighbor v > u to m (m ≤ u < v keeps it
-        // canonical and self-loop-free)
+        // canonical and self-loop-free). The per-node neighborhood min
+        // is a HASH AGGREGATE joined back onto the edge stream — not a
+        // window — for three scale reasons (r15, guide §2.3/§2.5):
+        // partial aggregation means only per-partition (u, min) rows
+        // cross the agg shuffle instead of the whole symmetrized edge
+        // set entering a window SORT; the join back is equi-keyed, so
+        // AQE's skew-join splitting covers a hub vertex (windows have
+        // no skew handling — one 10⁶-degree hub previously meant one
+        // task sorting its whole partition); and at toy/mid scale AQE
+        // broadcasts the vertex-sized min table outright. Measured at
+        // sf0.1: pass-0 contraction 2.07 s → 1.17 s warm, same output
+        // (the dedup_clusters_star differential and PropertySpec's
+        // star ≡ min-label ≡ closure equivalences pin it).
         val sym = e.select(col("a").as("u"), col("b").as("v"))
           .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-        val wu = Window.partitionBy(col("u"))
-        val ls = sym
-          .withColumn("m", least(min(col("v")).over(wu), col("u")))
-          .where(col("v") > col("u"))
-          .select(col("v").as("a"), col("m").as("b"))
+        val nbrMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        // the probe side is the CANONICAL edge set, not sym: a sym row
+        // survives `v > u` exactly when u is the smaller endpoint, i.e.
+        // once per canonical (a > b) edge with u = b, v = a — so
+        // probing e directly halves the join's scan and emits the
+        // identical row set (r15)
+        val ls = e.join(nbrMin, col("b") === col("u"))
+          .select(col("a"), least(col("mn"), col("b")).as("b"))
           .distinct()
         // small-star: group by the larger endpoint, m = min of its
         // smaller neighbors; re-link them and the node itself to m
-        val wa = Window.partitionBy(col("a"))
-        val sm = ls.withColumn("m", min(col("b")).over(wa))
+        // (same hash-agg + join shape as large-star, same rationale)
+        val sMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+        val sm = ls.join(sMin, "a")
         val ss = sm.where(col("b") =!= col("m"))
           .select(col("b").as("a"), col("m").as("b"))
           .unionByName(sm.select(col("a"), col("m").as("b")))
           .distinct()
-          .localCheckpoint(true)
+          // lazy: the sig() action below materializes the blocks in
+          // the same job that computes them — one job per pass, not
+          // an eager-checkpoint job plus a sig scan (r15)
+          .localCheckpoint(false)
         val t0 = System.nanoTime()
         val (nSS, fpSS) = sig(ss)
         // candidate fixed point → certify with the single exact except
@@ -236,21 +265,23 @@ object Graph {
           "rounds; rounds needed grow with log²(n) — raise maxPasses")
       // fixed point = star forest: children point at their component
       // min, roots label themselves; edge-untouched vertices are
-      // singletons (the same anti-join as the min-label twin). The
-      // singleton universe is the caller's vertex table when given,
-      // else the checkpointed INITIAL edge set's endpoints. In this
+      // singletons (the same anti-join as the min-label twin). In this
       // large-star/small-star formulation every endpoint provably
-      // survives each pass, so the e0 universe is NOT a mid-
-      // contraction repair — it exists to label vertices the caller
-      // never passes (the `touched` variant's universe) and, with an
-      // explicit vertex table, isolated vertices that appear in no
-      // edge at all.
+      // survives each pass (a local min survives as its neighbors'
+      // link target, every other vertex as a source), so the final
+      // forest's endpoints ARE the whole non-self-loop vertex
+      // universe. The anti-join universe therefore only needs to
+      // cover vertices the forest can't: with an explicit vertex
+      // table, isolated vertices; in touched mode, vertices whose
+      // only edges are self-loops — a FILTER over the initial
+      // checkpoint, not the full-endpoint union-distinct the previous
+      // version paid (2|E₀| rows shuffled to recover vertices the
+      // forest already labels — r15, guide §2.4).
       val labels = e.select(col("a").as("v"), col("b").as("lbl"))
         .unionByName(e.select(col("b").as("v"), col("b").as("lbl")))
         .distinct()
       val universe = vertices.getOrElse(
-        e0.select(col("a").as("v"))
-          .unionByName(e0.select(col("b").as("v"))).distinct())
+        e0.where(col("a") === col("b")).select(col("a").as("v")).distinct())
       val singletons = universe.select(col("v"))
         .join(labels.select(col("v")), Seq("v"), "left_anti")
         .withColumn("lbl", col("v"))
@@ -318,8 +349,12 @@ object Graph {
     val tri =
       if (nSampledEdges <= broadcastMaxEdges) wedges.join(broadcast(e), closeOn)
       else wedges.join(e.hint("shuffle_merge"), closeOn)
+    // n_edges_sampled is already on the driver (the size-gate count
+    // above, taken against the same checkpointed edge set) — emit it
+    // as a literal instead of re-scanning e through a third aggregate
+    // subtree in the final cross-join (r15)
     deg.agg(count(lit(1)).as("n_vertices_sampled"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges_sampled")))
+      .withColumn("n_edges_sampled", lit(nSampledEdges))
       .crossJoin(tri.agg(count(lit(1)).as("n_tri_sampled"))
         .select(col("n_tri_sampled"),
                 (col("n_tri_sampled") * invP3).as("est_triangles")))
@@ -398,7 +433,7 @@ object Graph {
     // ~10⁸ pair rows; spilling beats dying, and bounded partials beat
     // both). Partition count cannot change the RESULT: every sum in
     // this query is integer, order- and partitioning-independent.
-    val (adj, n) = graft.config.Sessions.withPairAggPartitions(
+    val (adj, verts, n) = graft.config.Sessions.withPairAggPartitions(
         s, edgeRowsHint) {
       val e = edges.select(col("a"), col("b")).distinct()
       // the two sym branches share e's distinct via ReuseExchange — no
@@ -425,8 +460,17 @@ object Graph {
         else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val a = sym.join(deg, "a")
         .select(col("a").as("src"), col("b").as("dst"), col("dg"))
-        .localCheckpoint(true, level)
-      (a, a.select(col("src")).distinct().count())
+        .localCheckpoint(false, level)
+      // the vertex table is ALSO pinned (r15): it seeds the rank
+      // vector below, and without the checkpoint the pass-1 plan
+      // would re-run this adjacency-wide distinct a second time. Its
+      // count() is the one materializing action for both lazy
+      // checkpoints — adjacency and vertices land in a single job
+      // (previously: eager-checkpoint job + separate distinct+count
+      // job + a second distinct inside the iteration plan).
+      val verts = a.select(col("src")).distinct()
+        .localCheckpoint(false)
+      (a, verts, verts.count())
     }
     // heap-aware broadcast gate (r15): the fixed 4M-vertex ceiling was
     // sized against 2 GB/core provisioning; at 0.5 GB/core (the r14
@@ -459,7 +503,7 @@ object Graph {
     // driver-side divisions still evaluate eagerly — guard them
     val init = if (n == 0) 0L else rankScale / n
     val tele = if (n == 0) 0L else ((1000L - dampPm) * rankScale / 1000L) / n
-    var ranks = adj.select(col("src").as("id")).distinct()
+    var ranks = verts.select(col("src").as("id"))
       .withColumn("rank", lit(init))
     // Unlike connectedComponents there is NO per-pass action (fixed
     // iteration count, no convergence test), so the passes stay LAZY:

@@ -398,24 +398,30 @@ object Joins extends QueryPack {
     * |distinct degrees|-sized. */
   def graphDegree(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // BOTH orientations are generated inside the row and dedup'd as
-    // ONE adjacency set — not union(e.a, e.b) over a shared distinct
-    // edge set: column pruning gives the union's two branches
-    // different plans, ReuseExchange can't kick in, and the whole
-    // pair-generation + distinct subtree executes TWICE (measured
-    // 109 s vs 23 s at sf1.0). One chain, one distinct, one degree
-    // agg, all map-side-partial.
+    // One chain, one distinct, all map-side-partial — NOT union(e.a,
+    // e.b) over a shared distinct edge subtree: column pruning gives a
+    // union's two branches different plans, ReuseExchange can't kick
+    // in, and the whole pair-generation + distinct subtree executes
+    // TWICE (measured 109 s vs 23 s at sf1.0). The dedup runs on the
+    // CANONICAL (a < b) pair stream and both orientations explode
+    // AFTER it from the already-distinct edge row (r15, guide §2.3):
+    // the previous version generated both orientations inside the
+    // basket row and pushed 2|pairs| rows through the distinct
+    // exchange — the adjacency set is symmetric by construction, so
+    // deduping one orientation and unpacking the endpoints map-side
+    // halves the bytes through the query's one corpus-scale shuffle.
+    // Same degrees: each distinct edge contributes 1 to both ends.
     t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
       .groupBy($"l_orderkey")
       .agg(sort_array(array_distinct(collect_list($"l_partkey"))).as("ps"))
       .where(size($"ps") <= hotBasketCap)
       .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> concat(" +
-        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS v, y AS w)), " +
-        "transform(slice(ps, i + 2, size(ps)), y -> struct(y AS v, x AS w)))))"))
+        "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
         .as("p"))
-      .select($"p.v".as("v"), $"p.w".as("w"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
       .distinct()
+      .select(explode(array($"a", $"b")).as("v"))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
       .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
       .orderBy($"deg")
@@ -757,11 +763,20 @@ object Joins extends QueryPack {
     val build = t(s, dir, "customer")
       .where($"c_mktsegment" === "BUILDING")
       .select($"c_custkey", $"c_name")
-    // 1M expected keys @1% fpp ≈ 1.2 MB of bits — shippable at any SF
-    // where the SEGMENT key set stays ~1M; size generously, the filter
-    // degrades to higher fpp (more probe rows, same answer)
+    // Filter capacity derived from the MEASURED build-side key count
+    // (r15; guide §3.2 "expectedNumItems should be >= the true
+    // count"), not a fixed 1M: the fixed size was wrong at both ends —
+    // at small SF it embedded 1.2 MB of mostly-zero bits as a plan
+    // literal that every optimizer-rule pass and task closure then
+    // carries, and past sf~3 the segment key set outgrows 1M and fpp
+    // degrades silently. The count is one column-pruned, pushed-filter
+    // scan of the build side (the build side is scanned twice for the
+    // filter anyway — the guide's disclosed cost); ×1.25 headroom keeps
+    // fpp ≤ 1% against sampling of future appends, and the 1024 floor
+    // keeps tiny builds out of the sketch's degenerate sizing.
+    val nKeys = math.max(1024L, (build.count() * 5L) / 4L)
     val bfBytes: Array[Byte] = build
-      .agg(bloomAgg($"c_custkey", 1000000L, 0.01).as("bf"))
+      .agg(bloomAgg($"c_custkey", nKeys, 0.01).as("bf"))
       .head().getAs[Array[Byte]](0)
     val probe = t(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")

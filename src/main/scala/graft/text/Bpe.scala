@@ -127,8 +127,17 @@ object Bpe extends QueryPack {
       found += best.select(lit(r).cast("int").as("rk"),
         $"a".as("lhs"), $"b".as("rhs"),
         concat($"a", $"b").as("merged"), $"n")
+      // LAZY state checkpoint (r15): round r's bestPair action is the
+      // materializer, so each round's job applies ONE replace over the
+      // previous round's cached blocks instead of re-deriving an
+      // r-deep replace chain from the vocab checkpoint (plan depth —
+      // and with it analysis/codegen cost — stays constant per round
+      // instead of growing linearly). The final state is only
+      // materialized by the caller that consumes it (text_bpe_apply);
+      // text_bpe_train never pays for it.
       state = state.crossJoin(broadcast(best))
         .select($"word", col("freq"), expr(mergeSql).as("state"))
+        .localCheckpoint(false)
     }
     (found.result(), state)
   }
