@@ -117,11 +117,10 @@ object Graph {
     * handling on the join) — shuffles key on the node id, output
     * stays canonical (child > parent). The edge set shrinks
     * toward a star forest whose roots are the component minima. The
-    * fixed point is NOMINATED cheaply (count + bit_xor fingerprint in
-    * the pass's one aggregate action) and then CERTIFIED exactly by a
-    * single except — a fingerprint collision costs one extra except,
-    * never a wrong answer — and non-convergence is loud like the
-    * twin's.
+    * fixed point is recognized STRUCTURALLY and exactly the moment it
+    * forms (unique sources + source/target disjointness — see
+    * `isStarForest` in the impl), one whole pass earlier than
+    * observing ss == e; non-convergence is loud like the twin's.
     *
     * Prefer [[connectedComponents]] for dup graphs (near-cliques: 2-3
     * passes, one join each); prefer this when the diameter is unknown
@@ -173,28 +172,44 @@ object Graph {
     val e0 = canon.localCheckpoint(false)
     dbg(f"star canonCheckpointSec=${(System.nanoTime() - tCanon) / 1e9}%.2f")
     val loopEdges = e0.where(col("a") =!= col("b"))
-    // one action per pass: the count and an order-free content
-    // fingerprint (bit_xor of per-edge hashes — xor, not sum, so ANSI
-    // overflow can't fire) ride the same aggregate. The initial sig
-    // ALSO supplies the edge count the partition derivation needs —
-    // one action serves both.
+    // one action per pass: the count and the source-distinct count
+    // ride the same aggregate; the count ALSO supplies the edge count
+    // the partition derivation needs.
     def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        bit_xor(xxhash64(col("a"), col("b")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      val r = df.agg(count(lit(1)), count_distinct(col("a"))).head()
+      (r.getLong(0), r.getLong(1))
     }
+    // EXACT structural fixed-point test (r15, replacing the
+    // count+fingerprint nomination + trailing except): a canonical
+    // (a > b) edge set is the terminal star forest iff
+    //   (1) every source a appears exactly once (each child has one
+    //       parent), and
+    //   (2) no source appears as a target (parents are roots).
+    // ⇐ both ⇒ components are disjoint stars; canonicality makes each
+    // root its star's minimum, and since contraction preserves the
+    // component partition, a star IS a whole original component — so
+    // the labels are the component minima, which is the algorithm's
+    // entire postcondition, and a star forest is verifiably a fixed
+    // point of both star steps. ⇒ the terminal forest trivially
+    // satisfies both. The test is EXACT (no hashes — strictly
+    // stronger than the old fingerprint nomination) and fires one
+    // whole contraction pass EARLIER: the old scheme had to run pass
+    // k+1 to observe ss == e, then certify with an except; this one
+    // recognizes the forest the moment it forms. Cost: (2) is one
+    // semi-join over the shrunken pass output, gated on the free
+    // necessary condition (1).
+    def isStarForest(df: DataFrame, n: Long, nDistA: Long): Boolean =
+      n == nDistA &&
+        df.select(col("a"))
+          .join(df.select(col("b").as("a")).distinct(), Seq("a"), "left_semi")
+          .isEmpty
     val sig0 = sig(loopEdges)
     graft.config.Sessions.withGraphIterPartitions(edges.sparkSession,
         sig0._1) {
       // edges point larger → smaller (a > b) throughout
       var e = loopEdges
-      // Count alone can stabilize while edges still re-wire, so it is
-      // NOT a fixed point; count+fp equality nominates a candidate,
-      // and ONE exact except certifies it (round-7 verdict: the
-      // per-round except was the heavy half of each pass — now it
-      // runs once, at the end).
-      var (nE, fpE) = sig0
-      var converged = nE == 0L
+      var nE = sig0._1
+      var converged = nE == 0L || isStarForest(loopEdges, nE, sig0._2)
       var pass = 0
       while (!converged && pass < maxPasses) {
         val tPass = System.nanoTime()
@@ -247,17 +262,13 @@ object Graph {
           // an eager-checkpoint job plus a sig scan (r15)
           .localCheckpoint(false)
         val t0 = System.nanoTime()
-        val (nSS, fpSS) = sig(ss)
-        // candidate fixed point → certify with the single exact except
-        // (loud and collision-proof: an xxhash64-xor collision merely
-        // costs one extra except, never a wrong answer)
-        converged = nSS == nE && fpSS == fpE && ss.except(e).isEmpty
+        val (nSS, nDistA) = sig(ss)
+        converged = nSS == 0L || isStarForest(ss, nSS, nDistA)
         dbg(f"star pass=$pass edges=$nE%d -> $nSS%d converged=$converged " +
             f"contractSec=${(t0 - tPass) / 1e9}%.2f " +
             f"sigCertSec=${(System.nanoTime() - t0) / 1e9}%.2f")
         e = ss
         nE = nSS
-        fpE = fpSS
         pass += 1
       }
       require(converged,

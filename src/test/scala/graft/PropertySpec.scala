@@ -186,6 +186,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("star structural convergence: early-exit only on genuine star forests") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.graph.Graph.connectedComponentsStarTouched(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // (a) already a star forest (unique sources, sources ∩ targets = ∅):
+    // the r15 structural test must accept it before any contraction
+    // pass and return it verbatim as labels
+    assert(run(Seq((2L, 1L), (3L, 1L), (5L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // (b) near-miss: unique sources but 2 is both a source and a
+    // target (a chain) — NOT a fixed point; early exit here would
+    // mislabel 3 as component 2
+    assert(run(Seq((2L, 1L), (3L, 2L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // (c) duplicate rows over a star-forest shape: condition (1)
+    // fails on the dup-bearing input, the contraction dedups, labels
+    // unchanged
+    assert(run(Seq((2L, 1L), (2L, 1L), (3L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // (d) reversed orientation of (a): canonicalization first, then
+    // the structural test
+    assert(run(Seq((1L, 2L), (1L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("connectedComponentsStarTouched labels self-loop-only vertices as singletons") {
     import spark.implicits._
     // vertex 9's only edge is the self-loop (9,9): it appears in
