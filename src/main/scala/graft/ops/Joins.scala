@@ -471,19 +471,38 @@ object Joins extends QueryPack {
   def graphJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // localCheckpoint pins the tiny edge set (~|E|/25 rows) for its
-    // three consumers (two wedge-join sides + degrees).
+    // three consumers (wedge pairs + the two denominator joins).
     val e = graphJaccardEdges(s, dir).localCheckpoint()
-    val adj = e.select($"brand", $"a".as("x"), $"b".as("w"))
-      .unionByName(e.select($"brand", $"b".as("x"), $"a".as("w")))
-    val sdeg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))
+    // ONE (brand, w)-keyed aggregate carries the whole wedge phase
+    // (r15, guide §2.4): group the symmetric adjacency by shared
+    // neighbor w into a sorted neighbor LIST. The group size IS
+    // deg(w) — the hub cut becomes a free size() filter instead of a
+    // degree join — and wedge pairs explode IN-ROW from the list
+    // (the copurchasePairs combination), so the wedge self-join on
+    // (brand, w) and its two exchanges disappear. Same pairs: each
+    // unordered (pa, pb) sharing neighbor w appears once per w, with
+    // pa < pb from the sorted list (= the old join's pa < pb cut).
+    // deg(x) also reads off the same aggregate (x's own group size);
+    // ReuseExchange shares the one shuffle across all three consumers.
+    // In-row expansion is hub-cut-bounded: ≤ cap²/2 ≈ 32k structs.
+    val adj = e.select($"brand", explode(array(
+        struct($"a".as("x"), $"b".as("w")),
+        struct($"b".as("x"), $"a".as("w")))).as("p"))
+      .select($"brand", $"p.x".as("x"), $"p.w".as("w"))
+    val nbrs = adj.groupBy($"brand", $"w")
+      .agg(sort_array(collect_list($"x")).as("ns"))
+    // exact degrees for the denominators: deg(x) = size of x's group
+    // (adjacency is symmetric; edges are within-brand, so w's brand
+    // is a function of w and the brand key splits nothing)
+    val sdeg = nbrs.select($"w".as("x"), size($"ns").cast("long").as("deg"))
     // hub cut (see hubNeighborCap): wedges enumerate only at non-hub
     // shared neighbors; sdeg keeps exact degrees for the denominators
-    val adjW = adj
-      .join(sdeg.select($"x".as("w"), $"deg".as("wdeg")), Seq("w"))
-      .where($"wdeg" <= hubNeighborCap)
-    val inter = adjW.select($"brand", $"x".as("pa"), $"w")
-      .join(adjW.select($"brand", $"x".as("pb"), $"w"), Seq("brand", "w"))
-      .where($"pa" < $"pb")
+    val inter = nbrs.where(size($"ns") <= hubNeighborCap)
+      .select(explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+        "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS pa, y AS pb))))"))
+        .as("p"))
+      .select($"p.pa".as("pa"), $"p.pb".as("pb"))
       .groupBy($"pa", $"pb").agg(count(lit(1)).as("inter"))
     inter
       .join(sdeg.select($"x".as("pa"), $"deg".as("dega")), Seq("pa"))
