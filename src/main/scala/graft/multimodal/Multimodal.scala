@@ -97,17 +97,25 @@ object Multimodal extends QueryPack {
     * the oracle derives the same frame grid arithmetically. */
   def multimodalFramesample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The kept rows are fully determined by the frame GRID: frame i
+    // (0 ≤ i < nf = ⌊payload/16⌋) is bytes [i·16+1, i·16+16] of the
+    // payload, so every whole frame is exactly 16 bytes and the %4
+    // sampler keeps i ∈ {0,4,8,…}. The r15 version materialized all
+    // nf 16-byte slices into an in-row array (copying the whole
+    // payload), exploded every frame, dropped 3/4 of them, and then
+    // kept only length(frame) — which is 16 by construction. Generate
+    // the kept grid directly instead (guide §1.2: don't compute
+    // things you throw away): a stepped sequence(0, nf−1, 4) explodes
+    // straight to the surviving frame numbers and no frame bytes are
+    // ever copied. Same rows, same types: frame_no over the same
+    // grid, f_bytes ≡ 16 for every whole frame either way (the oracle
+    // derives the identical arithmetic grid).
     mediaFrame(s, dir)
-      .withColumn("payload", expr("substring(media, 7, length(media) - 6)"))
-      .withColumn("nf", expr("CAST(floor(length(payload) / 16) AS INT)"))
-      .withColumn("frames", expr(
-        // sequence() counts DOWN when stop < start — guard empty payloads
-        "CASE WHEN nf <= 0 THEN array() " +
-        "ELSE transform(sequence(0, nf - 1), i -> substring(payload, i*16 + 1, 16)) END"))
-      .select($"doc_id", posexplode($"frames").as(Seq("frame_no", "frame")))
-      .where($"frame_no" % 4 === 0)
+      .withColumn("nf", expr("CAST(floor((length(media) - 6) / 16) AS INT)"))
+      .where($"nf" > 0)
+      .select($"doc_id", explode(expr("sequence(0, nf - 1, 4)")).as("frame_no"))
       .select($"doc_id", $"frame_no".cast("int").as("frame_no"),
-              length($"frame").cast("int").as("f_bytes"))
+              lit(16).as("f_bytes"))
       .orderBy($"doc_id", $"frame_no")
   }
 

@@ -424,14 +424,21 @@ object VectorOps extends QueryPack {
   /** Lloyd's k-means over the embedding corpus, pure DataFrame ops —
     * the centroid-training job that feeds IVF. Per iteration: one
     * corpus scan for assignment (broadcast centroids — the corpus
-    * never shuffles), then a per-dimension mean via posexplode +
-    * two-level agg whose output is k×dim rows (model-sized, not
-    * data-sized). Seeds are fixed vec_ids, so the run is reproducible.
-    * The result is localCheckpoint'd: k×dim doubles are model state,
-    * and truncating the lineage keeps downstream plans from replaying
-    * every training pass. */
+    * never shuffles), then the per-dimension means in ONE hash
+    * aggregate keyed on cell (r16): the embedding dimension is a
+    * plan-time constant, so `dim` avg columns ride a single
+    * fixed-state aggregate — the r15 shape posexploded every assigned
+    * training vector into dim rows and paid TWO extra shuffles (avg
+    * keyed (cell,d), then a collect_list regroup to (cell)). Same
+    * partial-sum accumulation order over the same rows, so the means
+    * are bit-identical; the train-sample explode (dim× the rows into
+    * the first exchange) is gone (guide §2.3). Seeds are fixed
+    * vec_ids, so the run is reproducible. The result is
+    * localCheckpoint'd: k×dim doubles are model state, and truncating
+    * the lineage keeps downstream plans from replaying every training
+    * pass. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
-                      sampleMod: Int = 10): DataFrame = {
+                      sampleMod: Int = 10, dim: Int = 64): DataFrame = {
     // train on a deterministic key-modulo sample (default ~10%):
     // centroid QUALITY needs a representative sample, not the full
     // corpus — the standard coarse-quantizer trade, and the only
@@ -449,16 +456,19 @@ object VectorOps extends QueryPack {
       .limit(k)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"),
               col("nrm").as("c_nrm"))
+    val dimAvgs = (0 until dim).map(d =>
+      avg(element_at(col("emb"), d + 1)).as(s"m$d"))
     for (_ <- 1 to iters) {
-      val byDim = assignCells(train, cent)
-        .select(col("cell"), posexplode(col("emb")).as(Seq("d", "v")))
-        .groupBy(col("cell"), col("d"))
-        .agg(avg(col("v")).as("mv"))
-      cent = byDim
+      // the size guard mirrors what posexplode did implicitly (a
+      // null/empty vector emitted no rows, so it never moved a
+      // centroid); with fixed-width element_at the guard keeps ANSI
+      // from throwing on a malformed row instead of dropping it
+      cent = assignCells(train, cent)
+        .where(size(col("emb")) === dim)
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("pairs"))
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
         .select(col("cell").as("cent_id"),
-                expr("transform(pairs, p -> p.mv)").as("c_emb"))
+                array((0 until dim).map(d => col(s"m$d")): _*).as("c_emb"))
         .withColumn("c_nrm", l2Norm(col("c_emb")))
     }
     cent.localCheckpoint(true)
@@ -848,6 +858,22 @@ object VectorOps extends QueryPack {
       .select(col("vec_id"), col("sub"), col("sv"),
               col("top").getItem(0).getField("id").cast("int").as("cid"))
 
+  /** [[assignPq]] minus the subvector payload — the CODE path's
+    * variant (r16): the code table is (vec_id, sub, cid) only, so
+    * carrying `first(sv)` through the argmin aggregate shuffled 8
+    * doubles per row that the caller immediately dropped (guide §2.3:
+    * shuffle keys and metadata, not payloads). Same argmin, same
+    * codes. */
+  private def assignPqCode(sv: DataFrame, cent: DataFrame): DataFrame =
+    sv.withColumn("nsv", l2Norm(col("sv")))
+      .join(broadcast(cent), Seq("sub"))
+      .withColumn("d2", l2sq(col("sv"), col("nsv"), col("cv"), col("ncv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(graft.functions.BoundedTopK
+             .boundedTopK(-col("d2"), col("cid"), 1).as("top"))
+      .select(col("vec_id"), col("sub"),
+              col("top").getItem(0).getField("id").cast("int").as("cid"))
+
   /** Per-subspace Lloyd's k-means — [[kmeansCentroids]]'s shape run
     * over all m subspaces IN ONE PLAN (subspace rides as a grouping
     * key, so one corpus pass trains all 8 codebooks). Seeds are the
@@ -864,16 +890,21 @@ object VectorOps extends QueryPack {
     var cent = subvecs(e).join(broadcast(seeds), Seq("vec_id"))
       .select(col("sub"), col("cid"), col("sv").as("cv"))
       .withColumn("ncv", l2Norm(col("cv")))
+    // per-dimension means in ONE model-sized aggregate per iteration
+    // (r16, the kmeansCentroids restructure applied to the subspace
+    // trainer): dsub is a compile-time constant, so dsub avg columns
+    // ride a single hash aggregate keyed (sub, cid) — the posexplode
+    // + two-shuffle regroup is gone, bit-identical means (same
+    // partial-sum order over the same rows).
+    val dimAvgs = (0 until PqDsub).map(d =>
+      avg(element_at(col("sv"), d + 1)).as(s"m$d"))
     for (_ <- 1 to iters) {
-      val byDim = assignPq(train, cent)
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
-        .groupBy(col("sub"), col("cid"), col("d"))
-        .agg(avg(col("x")).as("mx"))
-      cent = byDim
+      cent = assignPq(train, cent)
+        .where(size(col("sv")) === PqDsub)
         .groupBy(col("sub"), col("cid"))
-        .agg(array_sort(collect_list(struct(col("d"), col("mx")))).as("ps"))
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
         .select(col("sub"), col("cid"),
-                expr("transform(ps, p -> p.mx)").as("cv"))
+                array((0 until PqDsub).map(d => col(s"m$d")): _*).as("cv"))
         .withColumn("ncv", l2Norm(col("cv")))
     }
     cent.localCheckpoint(true)
@@ -906,7 +937,7 @@ object VectorOps extends QueryPack {
     val shortlist = 50
     val e = emb(s, dir)
     val cent = pqCodebook(e, iters = 2)
-    val codes = assignPq(subvecs(e), cent).drop("sv")
+    val codes = assignPqCode(subvecs(e), cent)
     val qTable = subvecs(e.where($"vec_id" < 5))
       .withColumn("nsv", l2Norm($"sv"))
       .join(broadcast(cent), Seq("sub"))
