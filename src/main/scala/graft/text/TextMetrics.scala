@@ -355,13 +355,24 @@ object TextMetrics extends QueryPack {
   def curateFull(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
+    // keepQ and exactSurv each feed MULTIPLE census branches below;
+    // without the checkpoints the quality gate ran twice and the
+    // whole exact-dedup window three times (once per consumer), and
+    // the analyzed plan repeated those subtrees per branch — 1185
+    // formatted-plan lines for the one query, a measurable slice of
+    // its fixed cost (guide §1.4 / §3.3: materialize intermediates to
+    // truncate very wide plans). keepQ is doc_id-only (skinny at any
+    // scale); exactSurv is the same corpus-sized intermediate the sh
+    // checkpoint below already pins.
     val keepQ = qualityGate(d).where($"keep").select($"doc_id")
+      .localCheckpoint(false)
     val q = d.join(keepQ, Seq("doc_id"))
     val exactSurv = q
       .withColumn("norm", TextOps.normCol)
       .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"norm")))
       .where($"doc_id" === $"keep_id")
       .select($"doc_id", $"source", $"text", $"n_chars")
+      .localCheckpoint(false)
     val sh = exactSurv
       .select($"doc_id", $"source",
         graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))

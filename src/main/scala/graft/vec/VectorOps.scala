@@ -424,21 +424,17 @@ object VectorOps extends QueryPack {
   /** Lloyd's k-means over the embedding corpus, pure DataFrame ops —
     * the centroid-training job that feeds IVF. Per iteration: one
     * corpus scan for assignment (broadcast centroids — the corpus
-    * never shuffles), then the per-dimension means in ONE hash
-    * aggregate keyed on cell (r16): the embedding dimension is a
-    * plan-time constant, so `dim` avg columns ride a single
-    * fixed-state aggregate — the r15 shape posexploded every assigned
-    * training vector into dim rows and paid TWO extra shuffles (avg
-    * keyed (cell,d), then a collect_list regroup to (cell)). Same
-    * partial-sum accumulation order over the same rows, so the means
-    * are bit-identical; the train-sample explode (dim× the rows into
-    * the first exchange) is gone (guide §2.3). Seeds are fixed
-    * vec_ids, so the run is reproducible. The result is
+    * never shuffles), then a per-dimension mean via posexplode +
+    * two-level agg whose output is k×dim rows (model-sized, not
+    * data-sized; the (cell,d) aggregate is partial-aggregated, so the
+    * exchange carries only model-sized partials — a fixed-width
+    * rewrite was A/B-measured slower in r16 and rejected). Seeds are
+    * fixed vec_ids, so the run is reproducible. The result is
     * localCheckpoint'd: k×dim doubles are model state, and truncating
     * the lineage keeps downstream plans from replaying every training
     * pass. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
-                      sampleMod: Int = 10, dim: Int = 64): DataFrame = {
+                      sampleMod: Int = 10): DataFrame = {
     // train on a deterministic key-modulo sample (default ~10%):
     // centroid QUALITY needs a representative sample, not the full
     // corpus — the standard coarse-quantizer trade, and the only
@@ -456,19 +452,16 @@ object VectorOps extends QueryPack {
       .limit(k)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"),
               col("nrm").as("c_nrm"))
-    val dimAvgs = (0 until dim).map(d =>
-      avg(element_at(col("emb"), d + 1)).as(s"m$d"))
     for (_ <- 1 to iters) {
-      // the size guard mirrors what posexplode did implicitly (a
-      // null/empty vector emitted no rows, so it never moved a
-      // centroid); with fixed-width element_at the guard keeps ANSI
-      // from throwing on a malformed row instead of dropping it
-      cent = assignCells(train, cent)
-        .where(size(col("emb")) === dim)
+      val byDim = assignCells(train, cent)
+        .select(col("cell"), posexplode(col("emb")).as(Seq("d", "v")))
+        .groupBy(col("cell"), col("d"))
+        .agg(avg(col("v")).as("mv"))
+      cent = byDim
         .groupBy(col("cell"))
-        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("pairs"))
         .select(col("cell").as("cent_id"),
-                array((0 until dim).map(d => col(s"m$d")): _*).as("c_emb"))
+                expr("transform(pairs, p -> p.mv)").as("c_emb"))
         .withColumn("c_nrm", l2Norm(col("c_emb")))
     }
     cent.localCheckpoint(true)
@@ -557,8 +550,8 @@ object VectorOps extends QueryPack {
     //
     // Scale shape per pass, unchanged from the float version: the
     // corpus never shuffles (broadcast k g-centroids, struct-min
-    // argmin reduces map-side); the update shuffles k×dim partial
-    // (sum, count) rows after map-side combine — model-sized. The
+    // argmin reduces map-side); the update shuffles k partial rows of
+    // dim integer sums after map-side combine — model-sized. The
     // g-table is checkpointed once and feeds all 4 assignment passes.
     val e = emb(s, dir)
       .select($"vec_id", $"label",
@@ -616,6 +609,14 @@ object VectorOps extends QueryPack {
            first($"g").as("g"), first($"label").as("label"))
       .select($"vec_id", $"label", $"g",
               $"m.cid".as("cell"), $"m.d2".as("d2"))
+    // NOTE (r16): a fixed-width rewrite of this update (dim sum
+    // columns in one aggregate keyed on cell, no posexplode) was
+    // implemented and measured SLOWER in interleaved A/B probes —
+    // the posexplode is map-side row generation and the (cell, pos)
+    // aggregate is partial-aggregated, so the exchange already
+    // carries only k×dim model-sized partials; the rewrite bought no
+    // shuffle bytes and lost on wide-row aggregate codegen. Kept as
+    // is deliberately.
     for (_ <- 1 to iters) {
       cent = assign(cent)
         .select($"cell", posexplode($"g").as(Seq("pos", "gv")))
@@ -890,21 +891,16 @@ object VectorOps extends QueryPack {
     var cent = subvecs(e).join(broadcast(seeds), Seq("vec_id"))
       .select(col("sub"), col("cid"), col("sv").as("cv"))
       .withColumn("ncv", l2Norm(col("cv")))
-    // per-dimension means in ONE model-sized aggregate per iteration
-    // (r16, the kmeansCentroids restructure applied to the subspace
-    // trainer): dsub is a compile-time constant, so dsub avg columns
-    // ride a single hash aggregate keyed (sub, cid) — the posexplode
-    // + two-shuffle regroup is gone, bit-identical means (same
-    // partial-sum order over the same rows).
-    val dimAvgs = (0 until PqDsub).map(d =>
-      avg(element_at(col("sv"), d + 1)).as(s"m$d"))
     for (_ <- 1 to iters) {
-      cent = assignPq(train, cent)
-        .where(size(col("sv")) === PqDsub)
+      val byDim = assignPq(train, cent)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("cid"), col("d"))
+        .agg(avg(col("x")).as("mx"))
+      cent = byDim
         .groupBy(col("sub"), col("cid"))
-        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .agg(array_sort(collect_list(struct(col("d"), col("mx")))).as("ps"))
         .select(col("sub"), col("cid"),
-                array((0 until PqDsub).map(d => col(s"m$d")): _*).as("cv"))
+                expr("transform(ps, p -> p.mx)").as("cv"))
         .withColumn("ncv", l2Norm(col("cv")))
     }
     cent.localCheckpoint(true)
