@@ -482,13 +482,26 @@ object Joins extends QueryPack {
     // (brand, w) and its two exchanges disappear. Same pairs: each
     // unordered (pa, pb) sharing neighbor w appears once per w, with
     // pa < pb from the sorted list (= the old join's pa < pb cut).
-    // deg(x) also reads off the same aggregate (x's own group size);
-    // ReuseExchange shares the one shuffle across all three consumers.
+    // deg(x) also reads off the same aggregate (x's own group size).
+    // The three consumers re-scan the checkpointed edge RDD and
+    // re-run the partial aggregation each (the captured plan shows
+    // three Exchange subtrees; any sharing is AQE-runtime
+    // ReusedExchange, not a planned guarantee) — the checkpoint scan
+    // is cheap and the partials are edge-set-sized, so the recompute
+    // is the right trade vs a second materialization barrier.
     // In-row expansion is hub-cut-bounded: ≤ cap²/2 ≈ 32k structs.
     val adj = e.select($"brand", explode(array(
         struct($"a".as("x"), $"b".as("w")),
         struct($"b".as("x"), $"a".as("w")))).as("p"))
       .select($"brand", $"p.x".as("x"), $"p.w".as("w"))
+    // collect_list builds the FULL neighbor list per node, hubs
+    // included (exact degrees are needed below, and the hub cut can
+    // only apply after the size is known) — per-group memory is
+    // bounded by the max node degree, not by hubNeighborCap. Fine at
+    // this operator's scale (edges are brand-blocked and basket-capped
+    // upstream); if max degree ever grows past task memory, split the
+    // aggregate: count-only degrees for everyone, lists only for
+    // groups a pre-count marks non-hub.
     val nbrs = adj.groupBy($"brand", $"w")
       .agg(sort_array(collect_list($"x")).as("ns"))
     // exact degrees for the denominators: deg(x) = size of x's group

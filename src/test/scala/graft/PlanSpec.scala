@@ -370,7 +370,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Union"), p.take(1200))
   }
 
-  test("graph_jaccard: broadcast brand join at edge generation; wedge and degree joins stay equi; top-20 is TakeOrderedAndProject") {
+  test("graph_jaccard: broadcast brand join at edge generation; in-row wedge expansion, no (brand, w) self-join; top-20 is TakeOrderedAndProject") {
     // the edge builder's plan (pre-checkpoint): brand must ride a
     // broadcast onto the lineitem scan — a shuffled brand join would
     // shuffle the whole fact table to tag 25 brands
@@ -379,10 +379,20 @@ class PlanSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(eplan.contains("BroadcastHashJoin"), eplan.take(1000))
     assert(!eplan.contains("SortMergeJoin"), eplan.take(1000))
-    // the outer plan: every join equi (wedge join on (brand, w) —
-    // all-pairs would be a nested loop), one shared checkpoint RDD
-    // feeding all consumers, top-20 without a global sort
+    // the outer plan (r15 shape): wedge pairs explode IN-ROW from the
+    // (brand, w)-keyed neighbor-list aggregate — the plan must carry
+    // the Generate doing that expansion, and the only joins left are
+    // the TWO degree joins onto the pair aggregate (a regression back
+    // to the wedge self-join shape adds a third join and its
+    // exchanges); all joins equi, top-20 without a global sort
     val p = plan("graph_jaccard")
+    assert(p.contains("Generate"), p.take(1200))
+    // formatted mode prints each node twice (tree + detail); count
+    // the numbered detail headers only (the graph_degree convention)
+    val nJoins =
+      "\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+        .findAllIn(p).size
+    assert(nJoins <= 2, s"expected <= 2 joins (degree attach), got $nJoins")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
