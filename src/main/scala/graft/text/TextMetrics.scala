@@ -55,7 +55,7 @@ object TextMetrics extends QueryPack {
   def winnowPairs(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val sh = d
+    val shW = d
       .withColumn("norm", TextOps.normCol)
       .where(length($"norm") >= 11)
       // native winnow_fingerprints Generator
@@ -69,17 +69,22 @@ object TextMetrics extends QueryPack {
       .select($"doc_id", $"source",
         graft.functions.TextFunctions.winnowFingerprints($"norm", 8, 4)
           .as("fp"))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"fp")))
-      .where($"df" <= TextOps.hotShingleCap)
       .localCheckpoint(false)
-    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"),
-                      $"fp", $"sz".as("sz_a"))
-    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"),
-                      $"fp", $"sz".as("sz_b"))
+    // per-doc fingerprint-set sizes attach at the PAIR level (r16,
+    // the dedupNgram restructure): the sz window was a second
+    // shuffle+sort of the fingerprint stream keyed on doc_id; the
+    // same pre-cap count reads off the checkpoint as a doc-keyed
+    // aggregate and joins onto the collision-sized pair table.
+    val sz = shW.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val sh = shW.where($"df" <= TextOps.hotShingleCap)
+    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"), $"fp")
+    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"), $"fp")
     a.join(b, a("fp") === b("fp") && $"src_a" === $"src_b" && $"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
+      .join(sz.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), Seq("doc_a"))
+      .join(sz.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), Seq("doc_b"))
       .withColumn("winnow_sim",
         $"n_shared".cast("double") / least($"sz_a", $"sz_b").cast("double"))
       .where($"winnow_sim" >= 0.5)
@@ -373,22 +378,24 @@ object TextMetrics extends QueryPack {
       .where($"doc_id" === $"keep_id")
       .select($"doc_id", $"source", $"text", $"n_chars")
       .localCheckpoint(false)
-    val sh = exactSurv
+    val shW = exactSurv
       .select($"doc_id", $"source",
         graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))
       .distinct()
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"sh")))
-      .where($"df" <= TextOps.hotShingleCap)
       .localCheckpoint(false)
-    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"),
-                      $"sh", $"sz".as("sz_a"))
-    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"),
-                      $"sh", $"sz".as("sz_b"))
+    // per-doc set sizes attach at the pair level (r16, the dedupNgram
+    // restructure — one window over the shingle stream, not two)
+    val sz = shW.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val sh = shW.where($"df" <= TextOps.hotShingleCap)
+    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"), $"sh")
+    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"), $"sh")
     val losers = a
       .join(b, a("sh") === b("sh") && $"src_a" === $"src_b" && $"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), Seq("doc_a"))
+      .join(sz.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), Seq("doc_b"))
       .where($"inter".cast("double") /
              ($"sz_a" + $"sz_b" - $"inter").cast("double") >= 0.6)
       .select($"doc_b".as("doc_id")).distinct()

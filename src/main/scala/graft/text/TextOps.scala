@@ -82,7 +82,7 @@ object TextOps extends QueryPack {
     // partitioned, MEMORY_AND_DISK — the standard space-for-recompute
     // trade, and strictly smaller than recomputing two window passes
     // over it per consumer.
-    val sh = docs(s, dir)
+    val shW = docs(s, dir)
       // native word_ngrams Generator (graft.functions.WordNGrams): one
       // Generate node straight off the text column — replaces the
       // split→sequence→transform→explode chain, which materialized the
@@ -93,17 +93,27 @@ object TextOps extends QueryPack {
       .select($"doc_id", $"source",
         graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))
       .distinct()
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"sh")))
-      .where($"df" <= hotShingleCap)
       .localCheckpoint(false)
-    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"),
-                      $"sh", $"sz".as("sz_a"))
-    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"),
-                      $"sh", $"sz".as("sz_b"))
+    // per-doc set sizes attach at the PAIR level, not the stream
+    // level (r16): the old sz window was a SECOND shuffle+sort of the
+    // whole shingle stream keyed on doc_id, only to carry one long
+    // per row into the self-join; the pair aggregate is collision-
+    // sized, so joining the doc-keyed size table onto IT moves the
+    // sizes across a table orders of magnitude smaller (the skinny-
+    // banding argument of r15's minhashPairs, applied to the exact-
+    // shingle family; guide §2.3/§2.4). sz still counts the FULL
+    // distinct set per doc (pre df-cap — the window ran before the
+    // filter), read off the same checkpoint.
+    val sz = shW.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val sh = shW.where($"df" <= hotShingleCap)
+    val a = sh.select($"doc_id".as("doc_a"), $"source".as("src_a"), $"sh")
+    val b = sh.select($"doc_id".as("doc_b"), $"source".as("src_b"), $"sh")
     a.join(b, a("sh") === b("sh") && $"src_a" === $"src_b" && $"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), Seq("doc_a"))
+      .join(sz.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), Seq("doc_b"))
       .select($"doc_a", $"doc_b", $"inter",
               ($"inter".cast("double") /
                ($"sz_a" + $"sz_b" - $"inter").cast("double")).as("jaccard"))
@@ -137,15 +147,22 @@ object TextOps extends QueryPack {
       .distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"source", $"sh")))
       .where($"df" <= hotShingleCap)
-      .withColumn("szc", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .localCheckpoint(false)
-    val a = sh.select($"doc_id".as("id_a"), $"source".as("src_a"),
-                      $"sh", $"szc".as("sz_a"))
-    val b = sh.select($"doc_id".as("id_b"), $"source".as("src_b"),
-                      $"sh", $"szc".as("sz_b"))
+    // CAPPED set sizes attach at the pair level (r16, the dedupNgram
+    // restructure): the szc window was a second shuffle+sort of the
+    // capped stream keyed on doc_id; the same count reads off the
+    // checkpoint as a doc-keyed aggregate and joins onto the
+    // collision-sized pair table instead. Sizes are post-cap either
+    // way (the window ran after the df filter), so the containment
+    // predicate is unchanged.
+    val szc = sh.groupBy($"doc_id").agg(count(lit(1)).as("szc"))
+    val a = sh.select($"doc_id".as("id_a"), $"source".as("src_a"), $"sh")
+    val b = sh.select($"doc_id".as("id_b"), $"source".as("src_b"), $"sh")
     a.join(b, a("sh") === b("sh") && $"src_a" === $"src_b" && $"id_a" =!= $"id_b")
-      .groupBy($"id_a", $"id_b", $"sz_a", $"sz_b")
+      .groupBy($"id_a", $"id_b")
       .agg(count(lit(1)).as("inter"))
+      .join(szc.select($"doc_id".as("id_a"), $"szc".as("sz_a")), Seq("id_a"))
+      .join(szc.select($"doc_id".as("id_b"), $"szc".as("sz_b")), Seq("id_b"))
       .where($"inter" === $"sz_a" && $"sz_b" > $"sz_a" && $"sz_a" >= 3)
       .select($"id_a".as("contained_id"), $"id_b".as("container_id"),
               $"sz_a".as("n_shingles"), $"sz_b".as("container_sz"))
