@@ -199,11 +199,23 @@ object TextOps extends QueryPack {
         graft.functions.TextFunctions.wordNGrams($"text", 3).as("sh"))
       .distinct()
       .localCheckpoint(false)
-    val trainSh = sh.where($"source" =!= evalSrc)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
-      .where($"df" <= hotShingleCap)
     val evalSh = sh.where($"source" === evalSrc)
       .select($"doc_id".as("eval_id"), $"sh")
+    // eval-shingle semi-join BEFORE the df window (r16, guide §3.2's
+    // prefilter-the-big-side): the df window used to shuffle+sort the
+    // ENTIRE train shingle stream only for the eval join to then drop
+    // almost all of it; the broadcast semi-join is map-side (the eval
+    // side broadcasts anyway), so the window now runs over the
+    // eval-matching subset. df is UNCHANGED for every surviving row:
+    // the join key is the shingle alone, so for any shingle in the
+    // eval set ALL train rows carrying it survive the semi-join, and
+    // the per-shingle count over the subset equals the count over the
+    // full stream; shingles outside the eval set produced no output
+    // either way.
+    val trainSh = sh.where($"source" =!= evalSrc)
+      .join(broadcast(evalSh.select($"sh").distinct()), Seq("sh"), "left_semi")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .where($"df" <= hotShingleCap)
     trainSh.join(broadcast(evalSh), "sh")
       .groupBy($"doc_id", $"source")
       .agg(countDistinct($"sh").as("n_shared"),
